@@ -1,0 +1,155 @@
+"""Read paths.
+
+Reference semantics reproduced (SURVEY.md §1.2):
+
+- staged/CSV data is ALL-STRING with NA detection off — missing values
+  are empty strings, not nulls (betl/io/fileIO.py:26-51);
+- row-limit pushdown: DATA_LIMIT_ROWS → ``.limit(n)`` which Catalyst
+  pushes into the scan (betl/ConfClass.py:186-191, betl/io/fileIO.py:39-43,
+  betl/io/dbIO.py:9-13);
+- column pruning: ``cols`` → ``.select`` which Catalyst pushes into the
+  parquet/JDBC scan (betl/io/dbIO.py:7,20).
+
+Everything returns a lazy DataFrame; no driver-side materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from betl_spark.io.datastore import Datastore
+from betl_spark.schema.registry import all_string_schema
+
+
+def read_csv_all_string(
+    spark: SparkSession,
+    path: str,
+    delimiter: str = ",",
+    quotechar: str = '"',
+    limit: int | None = None,
+) -> DataFrame:
+    """CSV scan with every column str and '' (not null) for missing
+    (reference betl/io/fileIO.py:26-51: dtype=str + na_filter=False)."""
+    header = spark.read.option("header", True).option("sep", delimiter).csv(path).schema
+    df = (
+        spark.read.schema(all_string_schema(header.fieldNames()))
+        .option("header", True)
+        .option("sep", delimiter)
+        .option("quote", quotechar)
+        .option("emptyValue", "")
+        .csv(path)
+    )
+    # unquoted empty fields still parse as null → ''
+    df = df.select([F.coalesce(F.col(c), F.lit("")).alias(c) for c in df.columns])
+    return df.limit(limit) if limit else df
+
+
+def read_staged(
+    spark: SparkSession,
+    path: str,
+    all_string: bool = True,
+    limit: int | None = None,
+) -> DataFrame:
+    """Read a staged table (parquet dir written by ``write_staged``).
+
+    Staging layers keep the reference's all-string model; nulls read back
+    as '' so operator semantics match (betl/io/fileIO.py:26-51).
+    """
+    df = spark.read.parquet(path)
+    if all_string:
+        df = df.select(
+            [F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c) for c in df.columns]
+        )
+    return df.limit(limit) if limit else df
+
+
+def read_source_table(
+    spark: SparkSession,
+    datastore: Datastore,
+    table_name: str,
+    cols: list[str] | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """Extract one table from a source system
+    (reference betl/dataflow/dfl_io.py:215-296 dispatch).
+    """
+    t = datastore.datastore_type
+    if t == "FILESYSTEM":
+        df = read_csv_all_string(
+            spark, datastore.table_path(table_name), datastore.delimiter, datastore.quotechar
+        )
+    elif t == "PARQUET":
+        df = spark.read.parquet(datastore.table_path(table_name))
+    elif t in ("POSTGRES", "SQLITE"):
+        if not datastore.jdbc_url:
+            raise ValueError(f"datastore {datastore.datastore_id}: jdbc_url required")
+        reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(
+            "dbtable", table_name
+        )
+        for k, v in datastore.jdbc_properties.items():
+            reader = reader.option(k, v)
+        df = reader.load()
+    elif t == "GSHEET":
+        df = _read_gsheet(spark, datastore, table_name)
+    elif t == "EXCEL":
+        df = _read_excel(spark, datastore, table_name)
+    else:  # pragma: no cover
+        raise ValueError(t)
+    if cols:
+        df = df.select(*cols)
+    return df.limit(limit) if limit else df
+
+
+def _read_gsheet(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:
+    """GSheet scan: row-1 headers, all-string cells
+    (reference betl/io/gsheetIO.py:4-12). Driver-side fetch via gspread,
+    then parallelized into a DataFrame. gspread is not in this container;
+    a pre-fetched list-of-rows can be injected via ``extra['rows']`` for
+    tests.
+    """
+    rows = datastore.extra.get("rows")
+    if rows is None:
+        try:
+            import gspread  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "gspread not installed; inject pre-fetched rows via Datastore.extra['rows']"
+            ) from e
+        raise NotImplementedError("live GSheet fetch not wired in this environment")
+    header, *data = rows
+    return spark.createDataFrame(
+        [[("" if v is None else str(v)) for v in r] for r in data],
+        schema=all_string_schema([str(h) for h in header]),
+    )
+
+
+def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:
+    """Excel scan: stop at first empty row, trim trailing empty columns
+    (reference betl/io/excelIO.py:4-35). Same injection pattern as gsheet.
+    """
+    rows = datastore.extra.get("rows")
+    if rows is None:
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "openpyxl not installed; inject pre-fetched rows via Datastore.extra['rows']"
+            ) from e
+        raise NotImplementedError("live Excel fetch not wired in this environment")
+    header, *data = rows
+    # stop at first fully-empty row (excelIO.py:18-24)
+    trimmed: list[list[str]] = []
+    for r in data:
+        if all(v is None or str(v) == "" for v in r):
+            break
+        trimmed.append([("" if v is None else str(v)) for v in r])
+    # trim to max non-empty column (excelIO.py:26-33)
+    width = 0
+    for r in [header] + trimmed:
+        for i, v in enumerate(r):
+            if v is not None and str(v) != "":
+                width = max(width, i + 1)
+    return spark.createDataFrame(
+        [r[:width] + [""] * (width - len(r)) for r in trimmed],
+        schema=all_string_schema([str(h) for h in header[:width]]),
+    )

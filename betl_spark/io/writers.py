@@ -1,0 +1,70 @@
+"""Write paths.
+
+Reference semantics reproduced:
+
+- write-time schema validation + reorder to logical-model column order
+  (betl/dataflow/dfl_io.py:106-160) — done by the caller via
+  ``Table.ordered_write_columns``;
+- ``''`` → NULL conversion at the warehouse (DB) boundary
+  (betl/io/dbIO.py:27-28) → ``empty_to_null``;
+- NULL → ``''`` when data re-enters staging (betl/io/fileIO.py:26-51,
+  mdm fillna betl/dataflow/dfl_mdm.py:43) → ``null_to_empty``;
+- replace vs append modes (betl/dataflow/dfl_io.py:61-212; truncate-then-
+  COPY becomes ``mode='overwrite'``, which on a cluster is an atomic
+  parquet dir swap instead of a Postgres TRUNCATE+COPY).
+
+Staging format is parquet, not CSV: same all-string *semantics* as the
+reference's tmp_data CSVs, but columnar, splittable, and predicate-
+pushdown-friendly — the format you'd actually use at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def empty_to_null(df: DataFrame, string_cols: list[str] | None = None) -> DataFrame:
+    """'' → NULL for warehouse writes (reference betl/io/dbIO.py:27-28)."""
+    cols = []
+    targets = set(string_cols) if string_cols is not None else None
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "string" and (targets is None or field.name in targets):
+            cols.append(
+                F.when(F.col(field.name) == "", None)
+                .otherwise(F.col(field.name))
+                .alias(field.name)
+            )
+        else:
+            cols.append(F.col(field.name))
+    return df.select(cols)
+
+
+def null_to_empty(df: DataFrame) -> DataFrame:
+    """NULL → '' on staging entry (reference betl/io/fileIO.py:26-51)."""
+    return df.select(
+        [
+            F.coalesce(F.col(f.name), F.lit("")).alias(f.name)
+            if f.dataType.typeName() == "string"
+            else F.col(f.name)
+            for f in df.schema.fields
+        ]
+    )
+
+
+def write_staged(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Persist a dataset to a staging/warehouse parquet dir.
+
+    ``mode`` ∈ {'overwrite', 'append'} mirrors the reference's
+    append_or_replace write arg (betl/dataflow/dfl_io.py:61-212).
+    ``partition_by`` is a scale extension the reference cannot express:
+    partitioned staging keeps downstream scans pruned at 100 TB.
+    """
+    writer = df.write.mode("overwrite" if mode == "replace" else mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

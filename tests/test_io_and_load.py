@@ -1,0 +1,170 @@
+"""IO round-trip + load-engine tests: the golden star-schema pipeline
+(SURVEY.md §5 test-plan item 3) — extract → LOD → dim load with SK
+assignment and default rows → fact load with SK lookup and −1 fallback."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from betl_spark.config import Conf
+from betl_spark.dataflow.core import DataFlow
+from betl_spark.defaults.dm_date import date_dimension
+from betl_spark.defaults.dm_audit import audit_dimension
+from betl_spark.defaults.load import assign_surrogate_keys, sk_nk_map, resolve_fact_fks
+from betl_spark.schema.registry import SchemaRegistry, all_string_schema
+from tests.conftest import rows
+
+
+def test_staged_write_read_round_trip_all_string(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    dfl = DataFlow(conf, "rt", spark=spark)
+    dfl.createDataset("t", {"a": ["1", "", "3"], "b": ["x", "y", ""]})
+    dfl.write("t", "t", "TRN", keepDataflowOpen=True)
+    dfl2 = DataFlow(conf, "rt2", spark=spark)
+    out = dfl2.read("t", "TRN")
+    # staging keeps '' (not null) — reference fileIO.py:26-51 semantics
+    assert rows(out) == [("", "y"), ("1", "x"), ("3", "")]
+
+
+def test_warehouse_write_converts_empty_to_null(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    dfl = DataFlow(conf, "wh", spark=spark)
+    dfl.createDataset("t", {"a": ["1", ""], "b": ["", "y"]})
+    dfl.write("t", "t", "BSE", keepDataflowOpen=True)
+    back = spark.read.parquet(conf.layer_path("BSE", "t"))
+    assert rows(back) == [("1", None), (None, "y")]
+
+
+def test_write_validates_and_reorders_against_schema(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define(
+        "BSE",
+        "dm_thing",
+        [
+            ("sk_thing", "SERIAL", "Surrogate key"),
+            ("nk_thing", "TEXT", "Natural key"),
+            ("attr", "TEXT", "Attribute"),
+        ],
+    )
+    dfl = DataFlow(conf, "v", spark=spark, registry=reg)
+    # wrong order + missing sk/audit is fine; unknown col is not
+    dfl.createDataset("d", {"attr": ["x"], "nk_thing": ["k1"]})
+    dfl.write("d", "dm_thing", "BSE", keepDataflowOpen=True)
+    back = spark.read.parquet(conf.layer_path("BSE", "dm_thing"))
+    assert back.columns == ["nk_thing", "attr"]  # schema order
+    dfl.createDataset("bad", {"nk_thing": ["k"], "attr": ["x"], "rogue": ["!"]})
+    with pytest.raises(ValueError, match="rogue"):
+        dfl.write("bad", "dm_thing", "BSE", keepDataflowOpen=True)
+
+
+def test_assign_surrogate_keys_dense_in_nk_order(spark):
+    df = spark.createDataFrame(
+        [("c",), ("a",), ("b",), ("d",)], schema=all_string_schema(["nk"])
+    ).repartition(3)
+    out = assign_surrogate_keys(df, "sk", ["nk"])
+    assert rows(out.select("nk", "sk")) == [("a", 1), ("b", 2), ("c", 3), ("d", 4)]
+    # offset continues numbering past existing max (append semantics)
+    out2 = assign_surrogate_keys(df, "sk", ["nk"], offset=100)
+    assert [r.sk for r in out2.orderBy("nk").collect()] == [101, 102, 103, 104]
+
+
+def test_sk_nk_map_and_fact_fk_resolution(spark):
+    dim = spark.createDataFrame(
+        [(1, "cust1"), (2, "cust2")], schema=["sk_customer", "nk_customer"]
+    )
+    m = sk_nk_map(dim, "sk_customer", ["nk_customer"])
+    fact = spark.createDataFrame(
+        [("cust1", 10.0), ("cust2", 20.0), ("ghost", 30.0)],
+        schema=["nk_customer", "amount"],
+    )
+    out = resolve_fact_fks(fact, {"fk_customer": m})
+    assert rows(out.select("fk_customer", "amount")) == [
+        (-1, 30.0),
+        (1, 10.0),
+        (2, 20.0),
+    ]
+    assert "nk_customer" not in out.columns
+
+
+def test_date_dimension_attributes(spark):
+    dim = date_dimension(spark, "2020-02-28", "2020-03-02", include_default_rows=True)
+    got = {r.date_id: r for r in dim.collect()}
+    assert set(got) == {20200228, 20200229, 20200301, 20200302, -1, -2}
+    leap = got[20200229]
+    assert leap.cal_day == 29 and leap.cal_month == 2 and leap.cal_year == 2020
+    assert leap.day_number == 60  # day-of-year on a leap year
+    assert leap.cal_date == datetime.date(2020, 2, 29)
+    sat = got[20200229]
+    assert sat.day_of_week_sun_1 == 7 and sat.day_of_week_mon_1 == 6
+    assert sat.day_of_week_sun_0 == 6 and sat.day_of_week_mon_0 == 5
+    assert got[-1].cal_date is None
+
+
+def test_audit_dimension_is_cartesian(spark):
+    dim = audit_dimension(spark)
+    assert dim.count() == 40  # 4 load ops × 10 DQ scores
+    assert dim.select("load_operation").distinct().count() == 4
+
+
+def test_golden_star_pipeline(spark, tmp_path):
+    """End-to-end: source extract → LOD prep → dim load → fact load."""
+    from betl_spark.config import ScheduleConfig
+    from betl_spark.io.datastore import Datastore
+    from betl_spark.pipeline import Pipeline
+
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define(
+        "BSE",
+        "dm_product",
+        [
+            ("sk_product", "SERIAL", "Surrogate key"),
+            ("nk_product", "TEXT", "Natural key"),
+            ("product_name", "TEXT", "Attribute"),
+        ],
+    )
+    reg.define(
+        "BSE",
+        "ft_sales",
+        [
+            ("fk_product", "INTEGER", "Foreign key", "dm_product"),
+            ("qty", "INTEGER", "Attribute"),
+        ],
+    )
+    p = Pipeline(conf, registry=reg, spark=spark)
+
+    # stage a dimension + a fact into LOD, as bespoke dataflows would
+    dfl = p.dataflow("stage dim")
+    dfl.createDataset(
+        "dm_product", {"nk_product": ["p2", "p1"], "product_name": ["Beta", "Alpha"]}
+    )
+    dfl.prepForLoad("dm_product")
+    dfl2 = p.dataflow("stage fact")
+    dfl2.createDataset(
+        "ft_sales",
+        {
+            "nk_product": ["p1", "p2", "p9"],
+            "qty": ["5", "3", "1"],
+            "audit_source_system": ["S", "S", "S"],
+            "audit_bulk_load_date": ["2026-01-01"] * 3,
+            "audit_latest_delta_load_date": [""] * 3,
+            "audit_latest_load_operation": ["BULK"] * 3,
+        },
+    )
+    dfl2.prepForLoad("ft_sales")
+
+    from betl_spark.defaults import bulk_load_dimension, bulk_load_fact
+
+    bulk_load_dimension(p, reg.get_table("BSE", "dm_product"))
+    bulk_load_fact(p, reg.get_table("BSE", "ft_sales"))
+
+    dim = spark.read.parquet(conf.layer_path("BSE", "dm_product"))
+    got = {r.nk_product: r.sk_product for r in dim.collect()}
+    assert got["p1"] == 1 and got["p2"] == 2  # NK-ordered dense SKs
+    assert set(got.values()) == {1, 2, -1, -2}
+
+    fact = spark.read.parquet(conf.layer_path("BSE", "ft_sales"))
+    fk = {r.qty: r.fk_product for r in fact.collect()}
+    assert fk[5] == 1 and fk[3] == 2 and fk[1] == -1  # unmatched NK → −1
