@@ -15,9 +15,13 @@ LOAD_OPS = ["BULK", "DELTA", "MANUAL", "DEFAULT"]
 
 
 def audit_dimension(spark: SparkSession) -> DataFrame:
-    ops = spark.createDataFrame([(o,) for o in LOAD_OPS], ["load_operation"])
-    scores = spark.createDataFrame([(i,) for i in range(10)], ["data_quality_score"])
-    return ops.crossJoin(scores).select("load_operation", "data_quality_score")
+    # built entirely JVM-side (explode + range): a createDataFrame from a
+    # Python list materializes as a 32-partition Python RDD and the cross
+    # join becomes |p1|×|p2| Python tasks — ~1000 tasks for 40 rows
+    ops_list = ", ".join(f"'{o}'" for o in LOAD_OPS)
+    ops = spark.sql(f"SELECT explode(array({ops_list})) AS load_operation")
+    scores = spark.range(10).select(F.col("id").cast("int").alias("data_quality_score"))
+    return ops.crossJoin(scores.coalesce(1)).select("load_operation", "data_quality_score")
 
 
 def transform_dm_audit(pipeline) -> None:

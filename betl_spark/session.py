@@ -55,6 +55,9 @@ def build_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # parquet scans: prune + push down aggressively
         .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.ts is parquet TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long nanos-since-epoch
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
     )
     if extra_conf:
