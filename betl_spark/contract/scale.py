@@ -1,0 +1,325 @@
+"""Contract queries for the beyond-reference scale operators
+(dedup / similarity / text analysis / multimodal).
+
+Where the testdata has no natural near-duplicates, the corpus is
+augmented deterministically inside the query (docs unioned with
+truncated copies at doc_id+100000) so the dedup operators have real
+work to do — the oracle applies the identical augmentation in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betl_spark.contract.common import table
+from betl_spark.operators import dedup, multimodal, similarity, text
+
+MUTANT_OFFSET = 100000
+
+
+def _augmented_docs(spark, sf_dir):
+    """documents ∪ near-duplicate mutants: text minus its last 20 chars,
+    id + MUTANT_OFFSET. Restricted to doc_id < 50 to bound pair work."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    mutants = docs.select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 20)").alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutants)
+
+
+AUGMENTED_DOCS_SQL = f"""
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id + {MUTANT_OFFSET} AS doc_id,
+         substr(text, 1, length(text) - 20) AS text
+  FROM documents WHERE doc_id < 50
+"""
+
+
+# ---- exact dedup (hash-groupBy) ----
+def q_dedup_exact(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    doubled = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + MUTANT_OFFSET)
+    )
+    return dedup.exact_dedup(doubled, ["text"], "doc_id")
+
+
+DEDUP_EXACT_SQL = f"""
+WITH doubled AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text, lang, source, n_chars FROM documents
+)
+SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, count(*) AS n_copies
+FROM doubled GROUP BY md5(text)
+"""
+
+
+# ---- MinHash signatures ----
+N_HASHES, SHINGLE_K, BANDS = 16, 5, 4
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", N_HASHES, SHINGLE_K
+    )
+
+
+MINHASH_SIG_CTE = f"""
+  aug AS ({AUGMENTED_DOCS_SQL}),
+  sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(0, length(text) - {SHINGLE_K - 1}),
+             i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K})))) AS shingle
+    FROM aug
+  ),
+  sigs AS (
+    SELECT doc_id, r.range AS h_idx,
+           min(CAST(('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT)) AS minhash
+    FROM sh CROSS JOIN range({N_HASHES}) r
+    GROUP BY doc_id, r.range
+  )
+"""
+
+MINHASH_SIGNATURES_SQL = f"WITH {MINHASH_SIG_CTE} SELECT doc_id, h_idx, minhash FROM sigs"
+
+
+# ---- MinHash + LSH near-dup pairs ----
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_near_dups(
+        _augmented_docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        min_est_jaccard=0.25,
+    )
+
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+banded AS (
+  SELECT doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER) AS band,
+         md5(string_agg(CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
+             ORDER BY CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b AND sb.h_idx = sa.h_idx
+GROUP BY c.id_a, c.id_b
+HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) / {N_HASHES} >= 0.25
+"""
+
+
+# ---- exact n-gram Jaccard (brute force on the augmented scope) ----
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), "doc_id", "text", SHINGLE_K, threshold=0.5
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH aug AS ({AUGMENTED_DOCS_SQL}),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, length(text) - {SHINGLE_K - 1}),
+           i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS s
+  FROM aug
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+"""
+
+
+# ---- SimHash fingerprints ----
+SIMHASH_BITS = 48
+
+
+def q_simhash(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dedup.simhash(docs, "doc_id", "text", SIMHASH_BITS)
+
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents WHERE doc_id < 100
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       list_sum(list_transform(range({SIMHASH_BITS}), j ->
+         CASE WHEN list_sum(list_transform(hs, h ->
+                CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+              THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)) AS simhash
+FROM hashed
+"""
+
+
+# ---- embedding cosine top-k (brute force) ----
+def q_similarity_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, "vec_id", "embedding", list(range(10)), k=5)
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           list_sum(list_transform(list_zip(q.qv, e.embedding),
+                    p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine_sim
+  FROM q CROSS JOIN embeddings e
+  WHERE q.query_id != e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---- text quality features ----
+def q_text_quality(spark, sf_dir):
+    return text.text_quality(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TEXT_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains(['the','and','of','to','in','is','that','with'], w))) AS INTEGER) AS n_stop,
+         CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INTEGER) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+       round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+       round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio
+FROM t
+"""
+
+
+# ---- language ID heuristic ----
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"w -> list_contains([{words}], w))) AS BIGINT)"
+    )
+
+
+_LANGS = sorted(text.LANG_STOPWORDS)
+_BEST = "greatest(" + ", ".join(f"hits_{lang}" for lang in _LANGS) + ")"
+_PRED = "CASE "
+for _lang in _LANGS:
+    _PRED += f"WHEN hits_{_lang} = {_BEST} AND {_BEST} > 0 THEN '{_lang}' "
+_PRED += "ELSE 'und' END"
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_lang_hits_sql(lang)} AS hits_{lang}" for lang in _LANGS)}
+  FROM documents
+)
+SELECT doc_id, {_PRED} AS lang_pred, {_BEST} AS lang_hits
+FROM scored
+"""
+
+
+# ---- document fingerprints ----
+def q_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprint(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS content_md5,
+       list_min(list_transform(range(0, length(text) - 7),
+         i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) + 1, 8)), 1, 15)) AS BIGINT))) AS min_shingle_hash
+FROM documents
+"""
+
+
+# ---- multimodal: binary wrap + metadata ----
+def q_multimodal_binary(spark, sf_dir):
+    media = multimodal.attach_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return media.select(
+        "media_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+MULTIMODAL_BINARY_SQL = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+# ---- multimodal: Arrow-batched fake decode vs pure-SQL oracle ----
+def q_multimodal_decode(spark, sf_dir):
+    media = multimodal.attach_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.decode_features(media, decoder="fake")
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS width,
+       CAST(1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS height,
+       CAST(1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS INTEGER) AS n_frames,
+       md5(text) AS feature_hash
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
+    "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (q_simhash, SIMHASH_SQL),
+    "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
+    "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
+    "lang_id": (q_lang_id, LANG_ID_SQL),
+    "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "multimodal_binary": (q_multimodal_binary, MULTIMODAL_BINARY_SQL),
+    "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
+}

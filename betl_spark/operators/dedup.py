@@ -1,0 +1,234 @@
+"""Deduplication operators.
+
+Four tiers, cheapest first — the standard large-corpus dedup ladder:
+
+1. ``exact_dedup``        — hash-groupBy on content; one shuffle of
+                            (hash, id), never the payload.
+2. ``simhash``            — 48-bit near-dup fingerprint; Hamming
+                            neighbors are near-dups. One pass, no joins.
+3. ``minhash_signatures`` + ``lsh_candidate_pairs`` — shingle → minhash
+                            → band → bucket-join. The only pairwise work
+                            happens inside LSH buckets, so the candidate
+                            set is ~linear, not quadratic.
+4. ``ngram_jaccard_pairs`` — exact Jaccard verification, intended for
+                            candidate pairs (or small brute-force scopes).
+
+All hashes derive from md5 (seeded by index), so signatures are
+deterministic across runs/engines/partitionings — required for the
+DuckDB oracle and for incremental dedup against a previous corpus.
+
+Scale notes: shingling + minhashing is per-row column work (explode +
+min aggregate re-keyed by doc); the LSH self-join shuffles on
+(band_idx, band_hash) — bucket sizes are the skew knob: more bands ×
+fewer rows per band = bigger buckets; tune (bands, rows_per_band) for
+the target similarity threshold ~ (1/bands)^(1/rows_per_band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 15 hex digits = 60 bits — fits signed 64-bit in both Spark and DuckDB
+_HASH_HEX = 15
+
+
+def _md5_long(col) -> F.Column:
+    """Deterministic 60-bit integer hash of a string column (md5-based,
+    identical in any engine with md5 + hex→int)."""
+    return F.conv(F.substring(F.md5(col), 1, _HASH_HEX), 16, 10).cast("long")
+
+
+def char_shingles(text_col: str, k: int = 5, distinct: bool = True) -> F.Column:
+    """Character k-gram array (the shingle set for MinHash/Jaccard)."""
+    expr = f"transform(sequence(0, length({text_col}) - {k}), i -> substring({text_col}, i + 1, {k}))"
+    out = F.expr(expr)
+    return F.array_distinct(out) if distinct else out
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], id_col: str
+) -> DataFrame:
+    """Exact dedup: group by content hash, keep the minimum id
+    (deterministic winner). Returns (keep_id, content_hash, n_copies).
+
+    At scale: only (hash, id) shuffles — the groupBy never moves the
+    payload, and map-side partial aggregation collapses local dups
+    before the exchange.
+    """
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "content_hash", "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """MinHash signatures, LONG format: (id, h_idx, minhash).
+
+    minhash_i(doc) = min over shingles s of md5(i ':' s) — seeded hashes
+    from one md5 family, no random state.
+    """
+    spark = df.sparkSession
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(char_shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    seeds = spark.range(n_hashes).select(F.col("id").alias("h_idx"))
+    return (
+        shingled.crossJoin(F.broadcast(seeds))
+        .select(
+            id_col,
+            "h_idx",
+            _md5_long(
+                F.concat_ws(":", F.col("h_idx").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy(id_col, "h_idx")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs from banded LSH over LONG-format
+    signatures: docs sharing ≥1 identical band are candidates.
+
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    The self-join happens per (band_idx, band_hash) bucket — the
+    shuffle key — so work scales with bucket sizes, not corpus².
+    """
+    rows_per_band = n_hashes // bands
+    banded = (
+        signatures.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",", F.array_sort(F.collect_list(F.concat_ws(":", "h_idx", "minhash")))
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash+LSH near-dup detection: signatures → banded
+    candidates → signature-estimated Jaccard filter.
+
+    Output: (id_a, id_b, est_jaccard) — est = fraction of equal
+    minhashes, the standard unbiased estimator."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), "h_idx", F.col("minhash").alias("mh_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), "h_idx", F.col("minhash").alias("mh_b")
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "h_idx"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(n_hashes))
+            .alias("est_jaccard")
+        )
+    )
+    return est.filter(F.col("est_jaccard") >= min_est_jaccard)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 48
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, sum ±1 over token hashes' bit j;
+    the sign pattern is the fingerprint. Near-dups differ in few bits
+    (compare with hamming_distance / xor+bit_count).
+
+    One narrow pass: tokens → hashes → 48 bit-votes folded inside a
+    single aggregate expression; no shuffle beyond the final projection.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    hashes = F.transform(tokens, lambda t: _md5_long(t))
+    bit_terms = []
+    for j in range(n_bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
+    fingerprint = bit_terms[0]
+    for t in bit_terms[1:]:
+        fingerprint = fingerprint + t
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming_distance(col_a, col_b) -> F.Column:
+    """Bit distance between two simhash fingerprints."""
+    return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs.
+
+    With ``pairs`` (e.g. from ``lsh_candidate_pairs``) verifies only
+    those — the scale path. Without, brute-forces all id_a < id_b pairs
+    (quadratic: only for small scopes/validation).
+
+    Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to
+    6dp (stable across float environments).
+    """
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if pairs is not None:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,117 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+The Spark-side mechanics are real and tested — binary columns with a
+typed metadata struct, Arrow-batched ``mapInPandas`` decode/feature
+stages, partition-size control for large blobs. The actual codecs
+(PIL/librosa/ffmpeg) are not in this container, so decoding is stubbed:
+``decoder='fake'`` produces deterministic md5-derived features (so
+pipelines are end-to-end testable); ``decoder='real'`` raises
+NotImplementedError at the exact seam where a codec plugs in.
+
+At 100 TB: blobs dominate partition size — re-partition by
+``maxRecordsPerFile``/``files.maxPartitionBytes`` so a batch of decoded
+frames fits executor memory, and keep metadata in separate (pruned)
+columns so metadata-only queries never touch the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("checksum", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+
+def attach_binary(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Wrap a column's bytes (here: utf-8 of a string column, standing in
+    for real blobs) in the engine's media schema with computed metadata."""
+    content = F.encode(F.col(payload_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.lit(media_type).alias("media_type"),
+        F.struct(
+            F.lit("inline").alias("source"),
+            F.octet_length(content).cast("long").alias("n_bytes"),
+            F.md5(content).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("feature_hash", T.StringType(), True),
+    ]
+)
+
+
+def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode binary media → shape/feature rows via Arrow-batched
+    ``mapInPandas`` (the production seam for PIL/ffmpeg decodes).
+
+    'fake': deterministic md5-derived width/height/frames — exercises
+    the full batch path with stable outputs. 'real': NotImplementedError
+    (no codec libraries in this container)."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real decoders need PIL/librosa/ffmpeg, not present in this "
+            "container; plug them in here (batch shape is already correct)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [
+                hashlib.md5(bytes(c) if c is not None else b"").hexdigest()
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [1 + int(d[:4], 16) % 2048 for d in digests],
+                    "height": [1 + int(d[4:8], 16) % 2048 for d in digests],
+                    "n_frames": [1 + int(d[8:12], 16) % 300 for d in digests],
+                    "feature_hash": digests,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, _FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
+    """Plan frame sampling for video rows: one output row per sampled
+    frame index (metadata only — the decode itself happens in
+    ``decode_features``-style batches). Demonstrates explode-based
+    fan-out without touching payload bytes."""
+    feats = decode_features(df)
+    return feats.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,106 @@
+"""Text-analysis operators for corpus pipelines.
+
+All pure column expressions (whole-stage codegen, no UDFs): these run at
+scan speed and their predicates/projections push into the parquet read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# compact stopword profiles for the n-gram/stopword language heuristic;
+# deliberately small + deterministic (the point is the operator shape,
+# not lexicon quality)
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "von", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "en", "que", "por"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def tokens(text_col: str) -> F.Column:
+    """Whitespace tokenization (single-space convention)."""
+    return F.split(F.col(text_col), " ")
+
+
+def bpe_ish_tokens(text_col: str) -> F.Column:
+    """A BPE-ish regex tokenization: word pieces, numbers, punctuation
+    as separate tokens (GPT-2-style pre-tokenizer shape)."""
+    return F.expr(
+        rf"filter(split(regexp_replace({text_col}, '([^ \\w]|\\d+)', ' $1 '), ' +'), t -> t != '')"
+    )
+
+
+def token_count(text_col: str) -> F.Column:
+    return F.size(tokens(text_col))
+
+
+def text_quality(
+    df: DataFrame, id_col: str, text_col: str, stop_lang: str = "en"
+) -> DataFrame:
+    """Quality-scoring features: lengths, token stats, punctuation and
+    stopword ratios — the standard cheap filters before expensive
+    dedup/model scoring. Ratios are double divisions of exact ints
+    (reproducible bit-for-bit on any engine)."""
+    toks = tokens(text_col)
+    n_chars = F.length(text_col)
+    n_toks = F.size(toks)
+    stop_list = F.array(*[F.lit(w) for w in LANG_STOPWORDS[stop_lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(n_chars.cast("double") / n_toks.cast("double"), 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n_toks.cast("double"), 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / n_chars.cast("double"), 6).alias("punct_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-profile language ID: count stopword hits per language
+    profile; argmax wins, alphabetical-language tiebreak, 'und'
+    (undetermined) when nothing matches. Output (id, lang_pred,
+    lang_hits)."""
+    toks = tokens(text_col)
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        stop_list = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t))).alias(
+                f"hits_{lang}"
+            )
+        )
+    scored = df.select(F.col(id_col), *hit_cols)
+    langs = sorted(LANG_STOPWORDS)
+    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"hits_{lang}") == best_hits) & (best_hits > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col, pred.alias("lang_pred"), best_hits.cast("long").alias("lang_hits")
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 8
+) -> DataFrame:
+    """Document fingerprints: full-content md5 (exact identity) + the
+    minimum rolling shingle hash (a 1-hash MinHash — winnowing-style
+    content marker robust to reordering of large blocks)."""
+    from betl_spark.operators.dedup import _md5_long, char_shingles
+
+    min_shingle = F.array_min(
+        F.transform(char_shingles(text_col, shingle_k, distinct=False), _md5_long)
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        min_shingle.alias("min_shingle_hash"),
+    )

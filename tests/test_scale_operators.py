@@ -1,0 +1,121 @@
+"""Behavioral tests for the scale operators: do they actually find the
+near-duplicates / neighbors they claim to, on real testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from betl_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _with_mutants(docs, n=30):
+    base = docs.filter(F.col("doc_id") < n).select("doc_id", "text")
+    mutants = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 15)").alias("text"),
+    )
+    return base.unionByName(mutants)
+
+
+def test_minhash_lsh_finds_planted_near_dups(docs):
+    aug = _with_mutants(docs)
+    pairs = dedup.minhash_near_dups(
+        aug, "doc_id", "text", n_hashes=16, bands=4, min_est_jaccard=0.5
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 1000) for i in range(30)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall} too low; found {len(found)} pairs"
+
+
+def test_ngram_jaccard_scores_mutants_high(docs):
+    aug = _with_mutants(docs, n=15)
+    pairs = dedup.ngram_jaccard_pairs(aug, "doc_id", "text", threshold=0.7)
+    planted = {(i, i + 1000) for i in range(15)}
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert planted <= found  # truncation barely changes the shingle set
+
+
+def test_simhash_mutants_are_hamming_close(spark, docs):
+    aug = _with_mutants(docs, n=20)
+    fp = dedup.simhash(aug, "doc_id", "text")
+    a = fp.filter(F.col("doc_id") < 1000).select(
+        F.col("doc_id").alias("ida"), F.col("simhash").alias("ha")
+    )
+    b = fp.filter(F.col("doc_id") >= 1000).select(
+        (F.col("doc_id") - 1000).alias("ida"), F.col("simhash").alias("hb")
+    )
+    joined = a.join(b, "ida").select(
+        dedup.hamming_distance("ha", "hb").alias("dist")
+    )
+    dists = [r.dist for r in joined.collect()]
+    assert len(dists) == 20
+    assert sum(d <= 12 for d in dists) >= 16, f"simhash distances too large: {dists}"
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["id", "text"]
+    )
+    out = {r.keep_id: r.n_copies for r in dedup.exact_dedup(df, ["text"], "id").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_lsh_bucket_topk_recall_vs_brute_force(emb):
+    qids = list(range(5))
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qids, k=5)
+    approx = similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", qids, k=5, n_planes=2, dim=64
+    )
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # 2 hyperplanes → 4 buckets: top-1 neighbors usually share the
+    # query's bucket (embeddings are clustered by label)
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"bucketed ANN recall suspiciously low: {recall}"
+    assert all(r.rank <= 5 for r in approx.collect())
+
+
+def test_lang_id_predicts_something_for_every_doc(docs):
+    out = text.lang_id(docs, "doc_id", "text")
+    assert out.filter(F.col("lang_pred").isNull()).count() == 0
+    assert out.count() == docs.count()
+
+
+def test_bpe_ish_tokens_split_punct_and_numbers(spark):
+    df = spark.createDataFrame([("hello, world 42x",)], ["text"])
+    out = df.select(text.bpe_ish_tokens("text").alias("t")).head()
+    assert out.t == ["hello", ",", "world", "42", "x"]
+
+
+def test_multimodal_decode_fake_is_deterministic(docs):
+    media = multimodal.attach_binary(docs.limit(20), "doc_id", "text")
+    f1 = sorted(map(tuple, multimodal.decode_features(media).collect()))
+    f2 = sorted(map(tuple, multimodal.decode_features(media).collect()))
+    assert f1 == f2
+    assert all(1 <= r[1] <= 2048 and 1 <= r[2] <= 2048 for r in f1)
+
+
+def test_multimodal_real_decoder_is_explicit_stub(docs):
+    media = multimodal.attach_binary(docs.limit(1), "doc_id", "text")
+    with pytest.raises(NotImplementedError, match="decoders"):
+        multimodal.decode_features(media, decoder="real")
+
+
+def test_frame_sample_plan_explodes_indices(docs):
+    media = multimodal.attach_binary(docs.limit(5), "doc_id", "text")
+    plan = multimodal.frame_sample_plan(media, every_nth=30)
+    rows = plan.collect()
+    assert len(rows) >= 5
+    assert all(r.frame_idx % 30 == 0 for r in rows)
