@@ -18,10 +18,11 @@ Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
 from betl_spark.contract.tpch import QUERIES as _TPCH
 from betl_spark.contract.operators import QUERIES as _OPERATORS
 from betl_spark.contract.scale import QUERIES as _SCALE
+from betl_spark.contract.streaming_delta import QUERIES as _STREAMING
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-for _name, (_fn, _sql) in {**_TPCH, **_OPERATORS, **_SCALE}.items():
+for _name, (_fn, _sql) in {**_TPCH, **_OPERATORS, **_SCALE, **_STREAMING}.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLES[_name] = _sql

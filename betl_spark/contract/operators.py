@@ -269,6 +269,76 @@ SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
 """
 
 
+# ---- full master-data mapping (dfl_mdm.py:8-213) ----
+def q_mdm_map_master_data(spark, sf_dir):
+    """Full mapMasterData: curated mapping wins, empty mapping cells
+    auto-populate from the data, unmatched data rows get the auto value,
+    mapping-only rows are excluded (reference dfl_mdm.py:58-126)."""
+    from betl_spark.dataflow.mdm import MappingStore
+
+    store = MappingStore(
+        [
+            ["c_mktsegment", "segment_code"],
+            ["BUILDING", "BLD-X"],
+            ["AUTOMOBILE", "AUTO-X"],
+            ["MACHINERY", ""],  # empty → auto-populated from the data
+            ["AEROSPACE", "AER-X"],  # mapping-only → excluded from output
+        ]
+    )
+    dfl = dataflow(spark, sf_dir, ["customer"])
+    dfl.addColumns(
+        "customer", {"segment_code": F.lower(F.substring("c_mktsegment", 1, 3))}
+    )
+    dfl.mapMasterData(
+        "customer",
+        store,
+        joinCols=["c_mktsegment"],
+        masterDataCols=["segment_code"],
+        autoPopMappingCols=["segment_code"],
+    )
+    dfl.dropColumns(
+        "customer", colsToKeep=["c_custkey", "c_mktsegment", "segment_code"]
+    )
+    return dfl.getDataFrames("customer")
+
+
+MDM_MAP_MASTER_DATA_SQL = """
+WITH m(c_mktsegment, segment_code) AS (
+  VALUES ('BUILDING', 'BLD-X'), ('AUTOMOBILE', 'AUTO-X'),
+         ('MACHINERY', ''), ('AEROSPACE', 'AER-X')
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       CASE WHEN m.segment_code IS NOT NULL AND m.segment_code != ''
+            THEN m.segment_code
+            ELSE lower(substr(c.c_mktsegment, 1, 3)) END AS segment_code
+FROM customer c LEFT JOIN m USING (c_mktsegment)
+"""
+
+
+# ---- applyFunctionToColumns / pandas UDF (dfl_customCode.py:28-58) ----
+def q_apply_function_columns(spark, sf_dir):
+    """The reference's Series→Series custom-function surface as an
+    Arrow-batched pandas UDF — f sees a real pandas Series."""
+    dfl = dataflow(spark, sf_dir, ["customer"])
+    dfl.applyFunctionToColumns(
+        "customer", lambda s: s.str.upper(), "c_name",
+        targetColumns="name_upper", returnType="string",
+    )
+    dfl.applyFunctionToColumns(
+        "customer", lambda s: (s * 2).round(2), "c_acctbal",
+        targetColumns="bal_doubled", returnType="double",
+    )
+    dfl.dropColumns("customer", colsToKeep=["c_custkey", "name_upper", "bal_doubled"])
+    return dfl.getDataFrames("customer")
+
+
+APPLY_FUNCTION_COLUMNS_SQL = """
+SELECT c_custkey, upper(c_name) AS name_upper,
+       round(c_acctbal * 2, 2) AS bal_doubled
+FROM customer
+"""
+
+
 QUERIES = {
     "filter_ops": (q_filter_ops, FILTER_OPS_SQL),
     "anti_join": (q_anti_join, ANTI_JOIN_SQL),
@@ -284,4 +354,6 @@ QUERIES = {
     "date_dimension": (q_date_dimension, DATE_DIMENSION_SQL),
     "audit_dimension": (q_audit_dimension, AUDIT_DIMENSION_SQL),
     "mdm_group_count": (q_mdm_group_count, MDM_GROUP_COUNT_SQL),
+    "mdm_map_master_data": (q_mdm_map_master_data, MDM_MAP_MASTER_DATA_SQL),
+    "apply_function_columns": (q_apply_function_columns, APPLY_FUNCTION_COLUMNS_SQL),
 }

@@ -204,6 +204,104 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- embedding-cosine near-dup pairs ----
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    return similarity.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.2)
+
+
+_COSINE_PAIR = """
+round(
+  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)
+"""
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 150 AND b.vec_id < 150
+  AND {_COSINE_PAIR} >= 0.2
+"""
+
+
+# ---- ANN: LSH-bucketed cosine top-k (the scale path) ----
+N_PLANES, EMB_DIM = 4, 64
+
+
+def q_similarity_ann_lsh(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", list(range(10)), k=5,
+        n_planes=N_PLANES, dim=EMB_DIM,
+    )
+
+
+def _plane_literal(plane: int) -> str:
+    """The md5-derived ±1 hyperplane as a DuckDB list literal — computed
+    here with hashlib so the oracle needs no md5 bit-twiddling (must stay
+    in lockstep with similarity._plane_component)."""
+    import hashlib
+
+    comps = []
+    for j in range(EMB_DIM):
+        h = int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:2], 16)
+        comps.append("1.0" if h % 2 == 0 else "-1.0")
+    return "[" + ", ".join(comps) + "]"
+
+
+def _bucket_sql(tbl: str) -> str:
+    terms = []
+    for i in range(N_PLANES):
+        dot = (
+            f"list_sum(list_transform(list_zip({tbl}.embedding, {_plane_literal(i)}),"
+            f" p -> CAST(struct_extract(p, 1) AS DOUBLE) * struct_extract(p, 2)))"
+        )
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+SIMILARITY_ANN_LSH_SQL = f"""
+WITH be AS (
+  SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_PAIR} AS cosine_sim
+  FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  WHERE a.vec_id < 10
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---- token counting: whitespace + BPE-ish regex ----
+def q_token_count(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        F.size(text.bpe_ish_tokens("text")).alias("n_bpe_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+       CAST(len(list_filter(
+         string_split_regex(regexp_replace(text, '([^ \w]|\d+)', ' \1 ', 'g'), ' +'),
+         t -> t != '')) AS INTEGER) AS n_bpe_tokens
+FROM documents
+"""
+
+
 # ---- text quality features ----
 def q_text_quality(spark, sf_dir):
     return text.text_quality(table(spark, sf_dir, "documents"), "doc_id", "text")
@@ -316,7 +414,10 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (q_simhash, SIMHASH_SQL),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
+    "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
+    "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
     "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),

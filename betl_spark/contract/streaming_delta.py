@@ -1,0 +1,164 @@
+"""Contract queries for the streaming surface and delta change capture.
+
+``events_stream_tumbling`` genuinely executes Structured Streaming
+(file source → windowed state → memory sink, availableNow) and returns
+the final table — proving the stream computes exactly what the batch
+oracle computes on the same files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betl_spark.contract.common import table
+from betl_spark.defaults.delta import classify_changes
+from betl_spark.streaming import (
+    event_stream,
+    run_stream_to_table,
+    sessionize,
+    sliding_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)
+
+
+def q_events_stream_tumbling(spark, sf_dir):
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = tumbling_window_agg(stream, window="5 minutes")
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+EVENTS_STREAM_TUMBLING_SQL = """
+SELECT
+  CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
+  event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_events_stream_sliding(spark, sf_dir):
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sliding_window_agg(stream, window="10 minutes", slide="5 minutes")
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+# each event lands in window/slide = 2 overlapping windows: the batch
+# equivalent is the event duplicated into its two aligned window starts
+EVENTS_STREAM_SLIDING_SQL = """
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM (
+  SELECT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 300) * 300 - s.off AS BIGINT)
+           AS window_start,
+         event_type
+  FROM events CROSS JOIN (VALUES (0), (300)) s(off)
+)
+GROUP BY window_start, event_type
+"""
+
+
+def q_events_stream_session(spark, sf_dir):
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    agg = sessionize(stream, gap="30 minutes")
+    return run_stream_to_table(agg, output_mode="complete")
+
+
+# gaps-and-islands batch equivalent of session_window: a new session
+# starts when the gap to the previous event is >= 30 min (session
+# windows [t, t+gap) merge only on strict overlap); session end =
+# last event + gap; unix_timestamp truncates to whole seconds
+EVENTS_STREAM_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events
+),
+m AS (
+  SELECT user_id, tus, value,
+         CASE WHEN lag(tus) OVER w IS NULL
+                OR tus - lag(tus) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+),
+s AS (
+  SELECT user_id, tus, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT CAST(FLOOR(MIN(tus) / 1000000) AS BIGINT) AS session_start,
+       CAST(FLOOR((MAX(tus) + 1800000000) / 1000000) AS BIGINT) AS session_end,
+       user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_events_stream_stateful(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): with the whole
+    file set in one availableNow batch, each user emits exactly one
+    update row whose running total is the full per-user aggregate —
+    SQL-checkable. Rounded to 2dp to absorb float summation order."""
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_table(
+        stateful_running_totals(stream), output_mode="update"
+    )
+    return out.select(
+        "user_id",
+        "events_seen",
+        F.round("running_value", 2).alias("running_value"),
+    )
+
+
+EVENTS_STREAM_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS events_seen,
+       round(SUM(value), 2) AS running_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_delta_classify(spark, sf_dir):
+    """Change capture between two deterministic snapshots of orders:
+    previous drops orderkey%7==0 (→INSERT on re-arrival), incoming drops
+    orderkey%11==0 (→DELETE) and doubles totalprice on orderkey%5==0
+    (→UPDATE); the rest classify UNCHANGED."""
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    previous = orders.filter(F.col("o_orderkey") % 7 != 0)
+    incoming = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return classify_changes(previous, incoming, ["o_orderkey"], ["o_totalprice"])
+
+
+DELTA_CLASSIFY_SQL = """
+WITH prev AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+),
+inc AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 11 != 0
+)
+SELECT
+  COALESCE(p.o_orderkey, i.o_orderkey) AS o_orderkey,
+  COALESCE(i.o_totalprice, p.o_totalprice) AS o_totalprice,
+  CASE
+    WHEN p.o_orderkey IS NULL THEN 'INSERT'
+    WHEN i.o_orderkey IS NULL THEN 'DELETE'
+    WHEN p.o_totalprice IS DISTINCT FROM i.o_totalprice THEN 'UPDATE'
+    ELSE 'UNCHANGED'
+  END AS change_op
+FROM prev p FULL OUTER JOIN inc i ON p.o_orderkey = i.o_orderkey
+"""
+
+
+QUERIES = {
+    "events_stream_tumbling": (q_events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
+    "events_stream_sliding": (q_events_stream_sliding, EVENTS_STREAM_SLIDING_SQL),
+    "events_stream_session": (q_events_stream_session, EVENTS_STREAM_SESSION_SQL),
+    "events_stream_stateful": (q_events_stream_stateful, EVENTS_STREAM_STATEFUL_SQL),
+    "delta_classify": (q_delta_classify, DELTA_CLASSIFY_SQL),
+}

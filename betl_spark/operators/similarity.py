@@ -79,6 +79,33 @@ def cosine_topk(
     )
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine ≥ threshold. The all-pairs self-join is the correctness
+    baseline; at scale, pre-bucket with ``hyperplane_signs`` and join on
+    the bucket (same shape as ``lsh_bucket_topk``) so candidate pairs
+    shrink by ~2^n_planes before the exact cosine runs.
+
+    Beyond-reference scale operator (the reference has only exact
+    row dedup, betl/dataflow/dfl_changeRow.py:23-34)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def hyperplane_signs(vec_col, n_planes: int, dim: int) -> F.Column:
     """LSH bucket id: sign bits of dot(vec, plane_i) for md5-derived
     ±1 hyperplanes. Returns an int bucket in [0, 2^n_planes)."""

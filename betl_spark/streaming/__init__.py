@@ -1,0 +1,17 @@
+from betl_spark.streaming.events import (
+    event_stream,
+    run_stream_to_table,
+    sessionize,
+    sliding_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "event_stream",
+    "run_stream_to_table",
+    "sessionize",
+    "sliding_window_agg",
+    "stateful_running_totals",
+    "tumbling_window_agg",
+]

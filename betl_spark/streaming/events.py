@@ -1,0 +1,213 @@
+"""Structured Streaming surface over event streams.
+
+The reference has no streaming at all (SURVEY.md §2.11) — this is the
+engine's capability extension for the north-star events table, built on
+the standard Structured Streaming shapes:
+
+- file-source ``readStream`` over parquet event logs (the batch/stream
+  duality: the same transformations run on ``spark.read`` input);
+- tumbling / sliding window aggregations with event-time watermarks for
+  late data;
+- session windows (``session_window``);
+- custom stateful processing via ``applyInPandasWithState``.
+
+Testing/verification model: streams are executed with
+``trigger(availableNow=True)`` into a memory sink and the final table is
+compared against the batch-equivalent aggregation — the contract query
+``events_stream_tumbling`` does exactly that against the DuckDB oracle.
+
+The testdata's ``events.ts`` is parquet TIMESTAMP(NANOS) read as long
+nanos (see session.py); ``event_stream`` normalizes it to a real
+timestamp column once, at the source.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch (nanosAsLong)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream with normalized event-time.
+
+    ``path`` points at a parquet dir of events rows (new files appearing
+    there are consumed incrementally) or a single parquet file (driven
+    via its parent dir + glob — the file source requires a directory).
+    Returns a streaming DataFrame with ``event_time`` TIMESTAMP
+    (microsecond truncation of the nano timestamps).
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    df = reader.parquet(path)
+    return df.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def tumbling_window_agg(
+    events: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + exact sum.
+
+    Watermark bounds state: windows older than (max event time −
+    watermark) are finalized and dropped from the store — the knob that
+    keeps a perpetual 100 TB/day stream's state finite.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping
+    buckets (here 2)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window, slide), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session extends while events arrive
+    within ``gap`` of the previous one."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("session_window.start")).alias("session_start"),
+            F.unix_timestamp(F.col("session_window.end")).alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.DoubleType())])
+_RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("running_value", T.DoubleType()),
+    ]
+)
+
+
+def stateful_running_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running value totals — the reference shape for stateful logic
+    windowed aggs can't express.
+
+    ``timeout_minutes`` enables processing-time state eviction for
+    perpetual streams. It must stay None for availableNow/batch-parity
+    runs: with a timeout configured the micro-batch engine keeps
+    scheduling timeout-check batches and an availableNow query never
+    terminates."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total = state.get[0] if state.exists else 0.0
+        seen = 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((total,))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "events_seen": [seen], "running_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    table_prefix: str = "stream_out",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; return the result as a batch DataFrame.
+
+    This is the test/verify harness AND the batch-parity bridge: the
+    stream processes the same files a batch read would, so its final
+    table must equal the batch aggregation.
+    """
+    name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,95 @@
+"""Streaming surface + delta change-capture tests."""
+
+from pyspark.sql import functions as F
+
+from betl_spark.defaults.delta import apply_delta, classify_changes
+from betl_spark.streaming import (
+    event_stream,
+    run_stream_to_table,
+    sessionize,
+    sliding_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+EVENTS = f"{SF}/events.parquet"
+
+
+def test_stream_tumbling_equals_batch(spark):
+    stream = event_stream(spark, EVENTS)
+    out = run_stream_to_table(tumbling_window_agg(stream), output_mode="complete")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy(
+            ((F.col("ts") / F.lit(300_000_000_000)).cast("long") * 300).alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want
+
+
+def test_sliding_windows_double_count(spark):
+    stream = event_stream(spark, EVENTS)
+    out = run_stream_to_table(
+        sliding_window_agg(stream, "10 minutes", "5 minutes"), output_mode="complete"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    n_events = spark.read.parquet(EVENTS).count()
+    # every event lands in exactly window/slide = 2 windows
+    assert out.agg(F.sum("n_events")).head()[0] == 2 * n_events
+
+
+def test_sessionize_produces_user_sessions(spark):
+    stream = event_stream(spark, EVENTS)
+    out = run_stream_to_table(sessionize(stream, gap="30 minutes"), output_mode="complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.session_end >= r.session_start for r in rows)
+    assert all(r.n_events >= 1 for r in rows)
+
+
+def test_stateful_running_totals(spark):
+    stream = event_stream(spark, EVENTS)
+    out = run_stream_to_table(
+        stateful_running_totals(stream), output_mode="update", table_prefix="state_out"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(EVENTS)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    got = {r.user_id: (r.events_seen, r.running_value) for r in out.collect()}
+    want = {r.user_id: (r.n, r.total) for r in batch.collect()}
+    assert set(got) == set(want)
+    for uid, (n, total) in want.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - total) < 1e-6
+
+
+def test_delta_classify_and_apply_round_trip(spark):
+    prev = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["nk", "v"]
+    )
+    inc = spark.createDataFrame(
+        [(2, "b"), (3, "changed"), (4, "d")], ["nk", "v"]
+    )
+    changes = classify_changes(prev, inc, ["nk"], ["v"])
+    ops = {r.nk: r.change_op for r in changes.collect()}
+    assert ops == {1: "DELETE", 2: "UNCHANGED", 3: "UPDATE", 4: "INSERT"}
+    new_snapshot = apply_delta(prev, changes, ["nk"])
+    assert sorted(map(tuple, new_snapshot.collect())) == [
+        (2, "b"),
+        (3, "changed"),
+        (4, "d"),
+    ]
