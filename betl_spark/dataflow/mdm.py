@@ -71,10 +71,16 @@ class MDMOps:
             auto_renames = {c: f"autoPop_{c}" for c in autoPopMappingCols}
             data = data.withColumnsRenamed(auto_renames)
 
-            # full outer join with merge indicator (:70-75)
-            left = data.withColumn("__in_data__", F.lit(1))
+            # The reference's full-outer-join-with-indicator (:70-75) would
+            # shuffle the whole dataset on the mapping key — a key with few
+            # distinct values (that's what makes it master data), i.e. a
+            # maximally skewed shuffle at 100 TB. The mapping table is
+            # human-curated and therefore always tiny, so the same
+            # semantics decompose into two shuffle-free pieces:
+            #   non-right_only rows  = data ⟕ broadcast(mapping)
+            #   right_only existence = mapping ⟖anti distinct data keys
             right = mapping.withColumn("__in_map__", F.lit(1))
-            joined = left.join(right, on=list(joinCols), how="full_outer")
+            joined = data.join(F.broadcast(right), on=list(joinCols), how="left")
 
             # auto-populate only where the sheet is empty/null (:83-88)
             for c in autoPopMappingCols:
@@ -86,36 +92,33 @@ class MDMOps:
                 )
             joined = joined.drop(*[f"autoPop_{c}" for c in autoPopMappingCols])
 
-            # match accounting (:90-95) — single job over a cached plan
-            joined = joined.cache()
-            counts = (
+            # output = all non-right_only rows, mapping nulls → '' (:116-126)
+            out = null_to_empty(joined.drop("__in_map__"))
+
+            # One aggregate job serves both bookkeeping contracts: the
+            # grouped combos are few (it's master data), so match
+            # accounting (:90-95) and the sheet write-back (:133-180)
+            # both derive driver-side from its collected result.
+            wb_cols = list(joinCols) + [c for c in masterDataCols if c not in joinCols]
+            combo_counts = (
                 joined.groupBy(
-                    F.col("__in_data__").isNotNull().alias("in_data"),
-                    F.col("__in_map__").isNotNull().alias("in_map"),
+                    F.col("__in_map__").isNotNull().alias("__matched__"), *wb_cols
                 )
-                .count()
+                .agg(F.count(F.lit(1)).alias("count"))
                 .collect()
             )
-            stats = {(r["in_data"], r["in_map"]): r["count"] for r in counts}
-            matched = stats.get((True, True), 0)
-            data_only = stats.get((True, False), 0)
+            matched = sum(r["count"] for r in combo_counts if r["__matched__"])
+            data_only = sum(r["count"] for r in combo_counts if not r["__matched__"])
 
-            # output = all non-right_only rows, mapping nulls → '' (:116-126)
-            out = joined.filter(F.col("__in_data__").isNotNull()).drop(
-                "__in_data__", "__in_map__"
-            )
-            out = null_to_empty(out)
-
-            # write-back: distinct combos + occurrence count, sorted desc (:133-180)
-            wb_cols = list(joinCols) + [c for c in masterDataCols if c not in joinCols]
-            write_back = (
-                out.groupBy(*wb_cols)
-                .agg(F.count(F.lit(1)).alias("count"))
-                .orderBy(F.desc("count"), *wb_cols)
-            )
+            # write-back: distinct combos + occurrence count, sorted desc
+            # (:133-180); '' for the auto-populated nulls, as in `out`
+            wb_agg: dict[tuple, int] = {}
+            for r in combo_counts:
+                key = tuple("" if r[c] is None else str(r[c]) for c in wb_cols)
+                wb_agg[key] = wb_agg.get(key, 0) + r["count"]
             rows = [
-                [("" if v is None else str(v)) for v in r]
-                for r in write_back.collect()
+                list(key) + [str(n)]
+                for key, n in sorted(wb_agg.items(), key=lambda kv: (-kv[1], kv[0]))
             ]
             mdmStore.write_rows(wb_cols + ["count"], rows)
 
