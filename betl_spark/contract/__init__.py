@@ -19,10 +19,17 @@ from betl_spark.contract.tpch import QUERIES as _TPCH
 from betl_spark.contract.operators import QUERIES as _OPERATORS
 from betl_spark.contract.scale import QUERIES as _SCALE
 from betl_spark.contract.streaming_delta import QUERIES as _STREAMING
+from betl_spark.contract.pipeline_e2e import QUERIES as _PIPELINE
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-for _name, (_fn, _sql) in {**_TPCH, **_OPERATORS, **_SCALE, **_STREAMING}.items():
+for _name, (_fn, _sql) in {
+    **_TPCH,
+    **_OPERATORS,
+    **_SCALE,
+    **_STREAMING,
+    **_PIPELINE,
+}.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLES[_name] = _sql
