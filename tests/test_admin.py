@@ -1,0 +1,137 @@
+"""Admin-verb tests (reference betl/admin.py:12-79): readsrc schema
+inference (parquet / csv / sqlite), schema-desc persistence round-trip,
+physical rebuilds, reset."""
+
+import os
+import sqlite3
+
+import pytest
+
+from betl_spark.admin import (
+    admin,
+    declared_type_for,
+    load_schema_desc,
+    read_src,
+    refresh_schema_desc,
+    reset,
+    run_rebuilds,
+    schema_desc_path,
+)
+from betl_spark.config import Conf
+from betl_spark.io.datastore import Datastore
+from betl_spark.schema.registry import SchemaRegistry
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_src_infers_parquet_schema(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["TPCH"] = Datastore("TPCH", "PARQUET", is_src_sys=True, path=SF)
+    reg = read_src(spark, conf, SchemaRegistry(), tables_per_src={"TPCH": ["nation"]})
+    t = reg.get_table("EXT", "nation")
+    types = {c.name: c.data_type for c in t.columns}
+    assert types["n_nationkey"] in ("INTEGER", "BIGINT")  # int32 in testdata
+    assert types["n_name"] == "TEXT"
+    # audit cols auto-appended to the non-fact EXT table
+    assert "audit_source_system" in types
+
+
+def test_read_src_infers_csv_header_all_text(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "people.csv").write_text("id,name,age\n1,ann,33\n")
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["CSV"] = Datastore("CSV", "FILESYSTEM", is_src_sys=True, path=str(src))
+    reg = read_src(spark, conf, SchemaRegistry())
+    t = reg.get_table("EXT", "people")
+    inferred = {c.name: c.data_type for c in t.columns if not c.name.startswith("audit_")}
+    # non-DB sources: every column TEXT Attribute (betl/admin.py:272-274)
+    assert inferred == {"id": "TEXT", "name": "TEXT", "age": "TEXT"}
+
+
+def test_read_src_infers_sqlite_catalog(spark, tmp_path):
+    db = tmp_path / "src.db"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t1 (id INTEGER, label TEXT, amount NUMERIC)")
+    con.commit()
+    con.close()
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["SQL"] = Datastore("SQL", "SQLITE", is_src_sys=True, path=str(db))
+    reg = read_src(spark, conf, SchemaRegistry())
+    t = reg.get_table("EXT", "t1")
+    types = {c.name: c.data_type for c in t.columns if not c.name.startswith("audit_")}
+    assert types == {"id": "INTEGER", "label": "TEXT", "amount": "NUMERIC"}
+
+
+def test_schema_desc_round_trip(tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define(
+        "BSE",
+        "dm_thing",
+        [
+            ("sk_thing", "SERIAL", "Surrogate key"),
+            ("nk_thing", "TEXT", "Natural key"),
+            ("amount", "NUMERIC(12,4)", "Attribute"),
+        ],
+    )
+    path = refresh_schema_desc(conf, reg)
+    assert os.path.exists(path)
+    back = load_schema_desc(conf)
+    t = back.get_table("BSE", "dm_thing")
+    assert t.sk_col.name == "sk_thing"
+    assert [c.name for c in t.nk_cols] == ["nk_thing"]
+    assert {c.name: c.data_type for c in t.columns}["amount"] == "NUMERIC(12,4)"
+
+
+def test_run_rebuilds_creates_empty_typed_tables(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define("BSE", "dm_x", [("sk_x", "SERIAL", "Surrogate key"), ("nk_x", "TEXT", "Natural key")])
+    reg.define("SUM", "su_y", [("k", "TEXT", "Attribute"), ("n", "BIGINT", "Attribute")])
+    rebuilt = run_rebuilds(spark, conf, reg)
+    assert rebuilt == ["BSE.dm_x", "SUM.su_y"]
+    df = spark.read.parquet(conf.layer_path("BSE", "dm_x"))
+    assert df.count() == 0
+    assert df.schema["sk_x"].dataType.typeName() == "long"
+
+
+def test_reset_wipes_staging_and_schema_desc(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define("BSE", "dm_x", [("sk_x", "SERIAL", "Surrogate key"), ("nk_x", "TEXT", "Natural key")])
+    refresh_schema_desc(conf, reg)
+    run_rebuilds(spark, conf, reg)
+    assert os.path.exists(conf.layer_path("BSE", "dm_x"))
+    reset(conf)
+    assert not os.path.exists(str(conf.tmp_data_path))
+    assert not os.path.exists(schema_desc_path(conf))
+
+
+def test_admin_composes_verbs(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["TPCH"] = Datastore("TPCH", "PARQUET", is_src_sys=True, path=SF)
+    reg = admin(
+        spark,
+        conf,
+        read_src_schemas=True,
+        refresh_schema_desc_files=True,
+    )
+    assert reg.get_table("EXT", "region") is not None
+    assert os.path.exists(schema_desc_path(conf))
+
+
+def test_declared_type_for_decimal():
+    from pyspark.sql import types as T
+
+    assert declared_type_for(T.DecimalType(12, 4)) == "NUMERIC(12,4)"
+    assert declared_type_for(T.ArrayType(T.FloatType())) == "TEXT"
+
+
+def test_gsheet_inference_is_gated(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["GS"] = Datastore(
+        "GS", "GSHEET", is_src_sys=True, workbook="wb", path=None
+    )
+    with pytest.raises(NotImplementedError, match="gspread"):
+        read_src(spark, conf, SchemaRegistry(), tables_per_src={"GS": ["sheet1"]})
