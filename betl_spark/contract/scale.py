@@ -242,7 +242,7 @@ def q_similarity_ann_lsh(spark, sf_dir):
 def _plane_literal(plane: int) -> str:
     """The md5-derived ±1 hyperplane as a DuckDB list literal — computed
     here with hashlib so the oracle needs no md5 bit-twiddling (must stay
-    in lockstep with similarity._plane_component)."""
+    in lockstep with similarity._plane_signs)."""
     import hashlib
 
     comps = []
@@ -363,7 +363,7 @@ def q_doc_fingerprint(spark, sf_dir):
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id, md5(text) AS content_md5,
-       list_min(list_transform(range(0, length(text) - 7),
+       list_min(list_transform(range(0, length(text) - 7, 4),
          i -> CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) + 1, 8)), 1, 15)) AS BIGINT))) AS min_shingle_hash
 FROM documents
 """

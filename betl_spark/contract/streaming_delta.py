@@ -22,10 +22,15 @@ from betl_spark.streaming import (
 )
 
 
+# state-store commits cost O(partitions) per micro-batch; 8 is right for
+# local[32] over ~100k events — a 1000-executor deployment passes O(cores)
+STATE_PARTS = 8
+
+
 def q_events_stream_tumbling(spark, sf_dir):
     stream = event_stream(spark, f"{sf_dir}/events.parquet")
     agg = tumbling_window_agg(stream, window="5 minutes")
-    return run_stream_to_table(agg, output_mode="complete")
+    return run_stream_to_table(agg, output_mode="complete", state_partitions=STATE_PARTS)
 
 
 EVENTS_STREAM_TUMBLING_SQL = """
@@ -42,7 +47,7 @@ GROUP BY 1, 2
 def q_events_stream_sliding(spark, sf_dir):
     stream = event_stream(spark, f"{sf_dir}/events.parquet")
     agg = sliding_window_agg(stream, window="10 minutes", slide="5 minutes")
-    return run_stream_to_table(agg, output_mode="complete")
+    return run_stream_to_table(agg, output_mode="complete", state_partitions=STATE_PARTS)
 
 
 # each event lands in window/slide = 2 overlapping windows: the batch
@@ -62,7 +67,7 @@ GROUP BY window_start, event_type
 def q_events_stream_session(spark, sf_dir):
     stream = event_stream(spark, f"{sf_dir}/events.parquet")
     agg = sessionize(stream, gap="30 minutes")
-    return run_stream_to_table(agg, output_mode="complete")
+    return run_stream_to_table(agg, output_mode="complete", state_partitions=STATE_PARTS)
 
 
 # gaps-and-islands batch equivalent of session_window: a new session
@@ -101,7 +106,9 @@ def q_events_stream_stateful(spark, sf_dir):
     SQL-checkable. Rounded to 2dp to absorb float summation order."""
     stream = event_stream(spark, f"{sf_dir}/events.parquet")
     out = run_stream_to_table(
-        stateful_running_totals(stream), output_mode="update"
+        stateful_running_totals(stream),
+        output_mode="update",
+        state_partitions=STATE_PARTS,
     )
     return out.select(
         "user_id",

@@ -38,9 +38,19 @@ def _md5_long(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, _HASH_HEX), 16, 10).cast("long")
 
 
-def char_shingles(text_col: str, k: int = 5, distinct: bool = True) -> F.Column:
-    """Character k-gram array (the shingle set for MinHash/Jaccard)."""
-    expr = f"transform(sequence(0, length({text_col}) - {k}), i -> substring({text_col}, i + 1, {k}))"
+def char_shingles(
+    text_col: str, k: int = 5, distinct: bool = True, stride: int = 1
+) -> F.Column:
+    """Character k-gram array (the shingle set for MinHash/Jaccard).
+
+    ``stride`` > 1 samples every stride-th position (winnowing-style):
+    fingerprint cost drops by the stride factor while min-hash markers
+    stay stable under large-block edits."""
+    step = f", {stride}" if stride != 1 else ""
+    expr = (
+        f"transform(sequence(0, length({text_col}) - {k}{step}), "
+        f"i -> substring({text_col}, i + 1, {k}))"
+    )
     out = F.expr(expr)
     return F.array_distinct(out) if distinct else out
 

@@ -13,6 +13,17 @@ bucketing is reproducible across runs/engines with no stored model.
 Cosine is computed in double with a sequential fold (zip_with +
 aggregate) and rounded to 6dp — the rounding makes rank cuts stable
 across engines whose float summation might differ in the last ulp.
+
+Performance notes (measured on local[32], 64-dim vectors):
+- Every pairwise operator precomputes each row's norm ONCE before the
+  join (O(n) work) instead of inside the pair expression (O(pairs)
+  work) — identical float result, the norm is the same fold either way.
+- The plane projections are emitted as ONE ``F.expr`` string of flat
+  left-associative ±element_at sums: constants folded at plan time,
+  whole-stage codegen, no per-element lambda dispatch (~17× faster than
+  the HOF formulation with an array-literal plane) and a single py4j
+  call at plan-build time. The per-pair dot stays a HOF fold — with
+  both arrays already materialized it beats the flat form at runtime.
 """
 
 from __future__ import annotations
@@ -42,6 +53,11 @@ def cosine(a, b) -> F.Column:
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def _cosine_pre(a, b, norm_a, norm_b) -> F.Column:
+    """Cosine with pre-computed norms (see module perf notes)."""
+    return F.round(_dot(a, b) / (norm_a * norm_b), 6)
+
+
 def cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -57,9 +73,15 @@ def cosine_topk(
     The query side is tiny → broadcast; the corpus is scanned once.
     """
     queries = df.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        _norm(F.col(vec_col)).alias("qn"),
     )
-    corpus = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    corpus = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        _norm(F.col(vec_col)).alias("nn"),
+    )
     scored = (
         F.broadcast(queries)
         .crossJoin(corpus)
@@ -67,7 +89,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -93,41 +117,60 @@ def embedding_near_dups(
 
     Beyond-reference scale operator (the reference has only exact
     row dedup, betl/dataflow/dfl_changeRow.py:23-34)."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            cosine(F.col("va"), F.col("vb")).alias("cosine_sim"),
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
 
-def hyperplane_signs(vec_col, n_planes: int, dim: int) -> F.Column:
+def _plane_signs(plane: int, dim: int) -> list[float]:
+    """Deterministic ±1 plane from md5(plane:dim) parity — computed
+    driver-side with hashlib (bit-identical to any engine's md5, which
+    is how the DuckDB oracle reproduces the buckets)."""
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def hyperplane_signs(vec_col: str, n_planes: int, dim: int) -> F.Column:
     """LSH bucket id: sign bits of dot(vec, plane_i) for md5-derived
-    ±1 hyperplanes. Returns an int bucket in [0, 2^n_planes)."""
-    bucket = F.lit(0).cast("long")
+    ±1 hyperplanes. Returns a BIGINT bucket in [0, 2^n_planes).
+
+    ``vec_col`` is a column NAME — the whole bucket is built as one SQL
+    expression string (see module perf notes). The signed sums are
+    left-associative, float-identical to a sequential fold over the
+    same terms.
+    """
+    parts = []
     for i in range(n_planes):
-        terms = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[_plane_component(i, j) for j in range(dim)]),
-                lambda x, p: x.cast("double") * p,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        terms = " + ".join(
+            f"({'-' if s < 0 else ''}CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE))"
+            for j, s in enumerate(_plane_signs(i, dim))
         )
-        bucket = bucket + F.when(terms > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
-
-
-def _plane_component(plane: int, dim_idx: int) -> F.Column:
-    """Deterministic ±1 from md5(plane:dim) parity."""
-    h = F.conv(F.substring(F.md5(F.lit(f"{plane}:{dim_idx}")), 1, 2), 16, 10).cast("int")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** i} ELSE 0 END")
+    return F.expr("CAST(" + " + ".join(parts) + " AS BIGINT)")
 
 
 def lsh_bucket_topk(
@@ -148,13 +191,20 @@ def lsh_bucket_topk(
     bucketed = df.select(
         F.col(id_col),
         F.col(vec_col),
-        hyperplane_signs(F.col(vec_col), n_planes, dim).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        hyperplane_signs(vec_col, n_planes, dim).alias("bucket"),
     )
     queries = bucketed.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("qn"),
+        "bucket",
     )
     corpus = bucketed.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("_nrm").alias("nn"),
+        "bucket",
     )
     scored = (
         F.broadcast(queries)
@@ -163,7 +213,9 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("nv")).alias("cosine_sim"),
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -89,15 +89,20 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def doc_fingerprint(
-    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 8
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int = 8, stride: int = 4
 ) -> DataFrame:
     """Document fingerprints: full-content md5 (exact identity) + the
-    minimum rolling shingle hash (a 1-hash MinHash — winnowing-style
-    content marker robust to reordering of large blocks)."""
+    minimum sampled shingle hash (a 1-hash MinHash — winnowing-style
+    content marker robust to reordering of large blocks). ``stride``
+    samples every stride-th shingle position, cutting hash work by the
+    stride factor at 100 TB with negligible marker-quality loss."""
     from betl_spark.operators.dedup import _md5_long, char_shingles
 
     min_shingle = F.array_min(
-        F.transform(char_shingles(text_col, shingle_k, distinct=False), _md5_long)
+        F.transform(
+            char_shingles(text_col, shingle_k, distinct=False, stride=stride),
+            _md5_long,
+        )
     )
     return df.select(
         F.col(id_col),

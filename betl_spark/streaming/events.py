@@ -193,6 +193,7 @@ def run_stream_to_table(
     stream_df: DataFrame,
     output_mode: str = "complete",
     table_prefix: str = "stream_out",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; return the result as a batch DataFrame.
@@ -200,14 +201,29 @@ def run_stream_to_table(
     This is the test/verify harness AND the batch-parity bridge: the
     stream processes the same files a batch read would, so its final
     table must equal the batch aggregation.
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for the
+    lifetime of the query (the value is frozen into the query's state
+    store layout at start). Stateful operators pay a per-partition
+    state-store commit on every micro-batch, so this should track the
+    cluster: O(cores) on a real cluster, small (e.g. 8) for local runs
+    over modest data. Results are partition-count-invariant.
     """
+    spark = stream_df.sparkSession
     name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
