@@ -13,8 +13,11 @@ Scale notes (the plans Catalyst produces for these):
   broadcast; only orders⋈lineitem is a real shuffle join, on the
   natural join key — at 100 TB the same plan holds with AQE handling
   skew.
-- top_customers: partial agg then a global top-k (TakeOrderedAndProject)
-  — no full sort of the aggregate.
+- top_customers/q10: partial agg then a global top-k
+  (TakeOrderedAndProject) — no full sort of the aggregate.
+- q6: pure scan+filter+agg — the predicates reach the parquet reader
+  (PushedFilters on l_shipdate/l_quantity), so row groups outside the
+  date range never leave disk.
 """
 
 from __future__ import annotations
@@ -71,6 +74,35 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name
 """
 
+Q6_FORECAST_REVENUE = f"""
+SELECT
+  CAST(SUM({dec('l_extendedprice')} * {dec('l_discount')}) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND {dec('l_discount')} BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+Q10_RETURNED_ITEMS = f"""
+SELECT
+  c.c_custkey,
+  c.c_name,
+  {REVENUE} AS revenue,
+  n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
 TOP_CUSTOMERS = f"""
 SELECT
   c.c_custkey,
@@ -123,6 +155,10 @@ QUERIES = {
     "tpch_q5_local_supplier": _sql_query(
         Q5_LOCAL_SUPPLIER,
         ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    ),
+    "tpch_q6_forecast_revenue": _sql_query(Q6_FORECAST_REVENUE, ["lineitem"]),
+    "tpch_q10_returned_items": _sql_query(
+        Q10_RETURNED_ITEMS, ["customer", "orders", "lineitem", "nation"]
     ),
     "top_customers": _sql_query(TOP_CUSTOMERS, ["customer", "orders"]),
     "events_tumbling_window": _sql_query(
