@@ -162,10 +162,63 @@ FROM prev p FULL OUTER JOIN inc i ON p.o_orderkey = i.o_orderkey
 """
 
 
+def q_delta_load_dimension(spark, sf_dir):
+    """Incremental dimension load over two deterministic customer
+    snapshots: previous omits custkey%10==0 (their re-arrival →
+    INSERT with fresh SKs after the max), incoming omits custkey%13==0
+    (→ retained with old attributes) and rewrites the segment on
+    custkey%7==0 (→ type-1 UPDATE keeping the SK)."""
+    from betl_spark.defaults.delta import delta_load_dimension
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    cust = table(spark, sf_dir, "customer")
+    prev_src = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").cast("string").alias("nk_customer"), "c_mktsegment"
+    )
+    prev_dim = assign_surrogate_keys(prev_src, "sk_customer", ["nk_customer"])
+    incoming = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").cast("string").alias("nk_customer"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return delta_load_dimension(prev_dim, incoming, "sk_customer", ["nk_customer"])
+
+
+DELTA_LOAD_DIMENSION_SQL = """
+WITH prev AS (
+  SELECT row_number() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) AS sk_customer,
+         CAST(c_custkey AS VARCHAR) AS nk_customer, c_mktsegment
+  FROM customer WHERE c_custkey % 10 != 0
+),
+inc AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS nk_customer,
+         CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 != 0
+),
+kept AS (
+  SELECT p.sk_customer, p.nk_customer,
+         COALESCE(i.c_mktsegment, p.c_mktsegment) AS c_mktsegment
+  FROM prev p LEFT JOIN inc i USING (nk_customer)
+),
+new_rows AS (
+  SELECT (SELECT max(sk_customer) FROM prev)
+           + row_number() OVER (ORDER BY i.nk_customer) AS sk_customer,
+         i.nk_customer, i.c_mktsegment
+  FROM inc i LEFT JOIN prev p USING (nk_customer)
+  WHERE p.nk_customer IS NULL
+)
+SELECT sk_customer, nk_customer, c_mktsegment FROM kept
+UNION ALL
+SELECT sk_customer, nk_customer, c_mktsegment FROM new_rows
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (q_events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_sliding": (q_events_stream_sliding, EVENTS_STREAM_SLIDING_SQL),
     "events_stream_session": (q_events_stream_session, EVENTS_STREAM_SESSION_SQL),
     "events_stream_stateful": (q_events_stream_stateful, EVENTS_STREAM_STATEFUL_SQL),
     "delta_classify": (q_delta_classify, DELTA_CLASSIFY_SQL),
+    "delta_load_dimension": (q_delta_load_dimension, DELTA_LOAD_DIMENSION_SQL),
 }

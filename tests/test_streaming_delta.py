@@ -93,3 +93,43 @@ def test_delta_classify_and_apply_round_trip(spark):
         (3, "changed"),
         (4, "d"),
     ]
+
+
+def test_delta_load_dimension_upsert_semantics(spark):
+    from betl_spark.defaults.delta import delta_load_dimension
+
+    prev = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "z")],
+        ["sk", "nk", "attr"],
+    )
+    # b updated, c absent (retained), d + e new
+    inc = spark.createDataFrame(
+        [(("a"), "x"), ("b", "y2"), ("e", "v"), ("d", "w")], ["nk", "attr"]
+    )
+    out = {r.nk: (r.sk, r.attr) for r in
+           delta_load_dimension(prev, inc, "sk", ["nk"]).collect()}
+    assert out["a"] == (1, "x")          # unchanged keeps SK
+    assert out["b"] == (2, "y2")         # type-1 update keeps SK
+    assert out["c"] == (3, "z")          # retain-on-delete
+    assert out["d"] == (4, "w")          # new SKs after max, NK order
+    assert out["e"] == (5, "v")
+    assert len(out) == 5
+
+
+def test_delta_load_dimension_empty_previous(spark):
+    import pyspark.sql.types as T
+    from betl_spark.defaults.delta import delta_load_dimension
+
+    schema = T.StructType(
+        [
+            T.StructField("sk", T.LongType()),
+            T.StructField("nk", T.StringType()),
+            T.StructField("attr", T.StringType()),
+        ]
+    )
+    prev = spark.createDataFrame([], schema=schema)
+    inc = spark.createDataFrame([("b", "y"), ("a", "x")], ["nk", "attr"])
+    rows = sorted(
+        map(tuple, delta_load_dimension(prev, inc, "sk", ["nk"]).collect())
+    )
+    assert rows == [(1, "a", "x"), (2, "b", "y")]
