@@ -51,35 +51,47 @@ def assign_surrogate_keys(
     ``offset + 1`` (Postgres SERIAL parity: stageLoad.py:184-316,
     ColumnClass.py:29-31). ``order_cols`` must be a unique key or
     numbering within ties is undefined — same caveat as any ORDER BY.
+
+    Entirely JVM-side, no single-reducer stage:
+
+    1. range-partition + sort by the key (the distributed ORDER BY
+       machinery) and stamp ``spark_partition_id``;
+    2. one lightweight count-per-partition job (map-side combine: only
+       n_partitions rows cross the wire);
+    3. number each slice with ``row_number() OVER (PARTITION BY pid
+       ORDER BY key)`` plus that partition's cumulative offset.
+
+    Range partitions are ordered, so the result is bit-identical to
+    ``row_number() OVER (ORDER BY key)`` — which is exactly what the
+    DuckDB oracle runs — while every partition numbers independently.
+    (A naive global window would squeeze the whole dimension through
+    one partition; a Python-RDD zipWithIndex would pickle every row
+    through Python workers. Both lose badly at 100M+ rows.)
     """
-    spark = df.sparkSession
     n_part = max(df.rdd.getNumPartitions(), 1)
-    sorted_df = df.repartitionByRange(n_part, *order_cols).sortWithinPartitions(*order_cols)
-    sorted_df = sorted_df.persist()
-    counts = dict(
-        sorted_df.rdd.mapPartitionsWithIndex(
-            lambda i, it: [(i, sum(1 for _ in it))]
-        ).collect()
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    offsets = {}
-    acc = offset
-    for i in sorted(counts):
-        offsets[i] = acc
-        acc += counts[i]
-    b_offsets = spark.sparkContext.broadcast(offsets)
+    counts = {r["__pid"]: r["n"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, offset
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
+        F.col("__pid"),
+    ) if offsets else F.lit(offset)
+    from pyspark.sql import Window
 
-    def number(i, rows):
-        base = b_offsets.value[i]
-        for j, row in enumerate(rows, start=1):
-            yield (base + j, *row)
-
-    schema = T.StructType(
-        [T.StructField(sk_col, T.LongType(), False)] + list(df.schema.fields)
-    )
-    out = spark.createDataFrame(
-        sorted_df.rdd.mapPartitionsWithIndex(number, preservesPartitioning=True), schema
-    )
-    return out
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = ranged.withColumn(
+        sk_col,
+        (offset_expr.cast("long") + F.row_number().over(w).cast("long")),
+    ).drop("__pid")
+    return out.select(sk_col, *df.columns)
 
 
 def default_rows_df(spark, schema: T.StructType, sk_col: str, rows: list[dict]) -> DataFrame:
