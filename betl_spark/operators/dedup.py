@@ -186,24 +186,34 @@ def simhash(
     the sign pattern is the fingerprint. Near-dups differ in few bits
     (compare with hamming_distance / xor+bit_count).
 
-    One narrow pass: tokens → hashes → 48 bit-votes folded inside a
-    single aggregate expression; no shuffle beyond the final projection.
+    Shape: explode tokens → hash each ONCE → one groupBy(id) with
+    n_bits integer-sum vote columns — all whole-stage codegen, votes
+    accumulate map-side, and only (id, 48 ints) cross the shuffle.
+    (The former array-fold formulation ran one interpreted HOF
+    aggregate per bit, re-evaluating the token-hash array each time —
+    O(bits × tokens) lambda dispatches per row.) Integer sums are
+    order-independent, so the fingerprint is partition-invariant.
     """
-    tokens = F.split(F.col(text_col), " ")
-    hashes = F.transform(tokens, lambda t: _md5_long(t))
-    bit_terms = []
+    hashed = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).select(F.col(id_col), _md5_long(F.col("__tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(n_bits)
+    ]
+    fingerprint = None
     for j in range(n_bits):
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        term = F.when(F.col(f"v{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        bit_terms.append(F.when(vote > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long")))
-    fingerprint = bit_terms[0]
-    for t in bit_terms[1:]:
-        fingerprint = fingerprint + t
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return (
+        hashed.groupBy(id_col)
+        .agg(*votes)
+        .select(F.col(id_col), fingerprint.alias("simhash"))
+    )
 
 
 def hamming_distance(col_a, col_b) -> F.Column:
