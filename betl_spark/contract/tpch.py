@@ -103,6 +103,16 @@ ORDER BY revenue DESC, c.c_custkey
 LIMIT 20
 """
 
+ROLLUP_REVENUE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')})) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 TOP_CUSTOMERS = f"""
 SELECT
   c.c_custkey,
@@ -160,6 +170,7 @@ QUERIES = {
     "tpch_q10_returned_items": _sql_query(
         Q10_RETURNED_ITEMS, ["customer", "orders", "lineitem", "nation"]
     ),
+    "rollup_revenue": _sql_query(ROLLUP_REVENUE, ["lineitem"]),
     "top_customers": _sql_query(TOP_CUSTOMERS, ["customer", "orders"]),
     "events_tumbling_window": _sql_query(
         EVENTS_TUMBLING_WINDOW, ["events"], spark_sql=EVENTS_TUMBLING_WINDOW_SPARK
