@@ -38,6 +38,40 @@ class Pipeline:
 
         return DataFlow(self.conf, desc, spark=self.spark, registry=self.registry)
 
+    def schedule_dataflows(
+        self,
+        dataflows: list[Callable],
+        upstream: dict[str, list[str]] | None = None,
+    ) -> list[str]:
+        """Run bespoke dataflows honoring an ``upstream`` dependency dict
+        (function name → names that must run first) — the reference's
+        createAndScheduleDFOperators contract (PipelineClass.py:422-454),
+        as a deterministic topological order instead of an Airflow DAG.
+
+        Ties break in the given list order, so a run is reproducible.
+        Raises ValueError on cycles or unknown dependency names.
+        """
+        upstream = upstream or {}
+        by_name = {fn.__name__: fn for fn in dataflows}
+        for name, deps in upstream.items():
+            unknown = [d for d in [name, *deps] if d not in by_name]
+            if unknown:
+                raise ValueError(f"unknown dataflow(s) in upstream: {unknown}")
+        done: list[str] = []
+        remaining = [fn.__name__ for fn in dataflows]
+        while remaining:
+            ready = [
+                n for n in remaining
+                if all(d in done for d in upstream.get(n, []))
+            ]
+            if not ready:
+                raise ValueError(f"dependency cycle among: {sorted(remaining)}")
+            n = ready[0]
+            remaining.remove(n)
+            self._run_task(f"dataflow_{n}", by_name[n])
+            done.append(n)
+        return done
+
     def _run_task(self, name: str, fn: Callable) -> None:
         self.run_log.append(name)
         fn(self)

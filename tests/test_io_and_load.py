@@ -168,3 +168,37 @@ def test_golden_star_pipeline(spark, tmp_path):
     fact = spark.read.parquet(conf.layer_path("BSE", "ft_sales"))
     fk = {r.qty: r.fk_product for r in fact.collect()}
     assert fk[5] == 1 and fk[3] == 2 and fk[1] == -1  # unmatched NK → −1
+
+
+def test_schedule_dataflows_topological(spark, tmp_path):
+    from betl_spark.pipeline import Pipeline
+
+    p = Pipeline(Conf(app_root=str(tmp_path)), registry=SchemaRegistry(), spark=spark)
+    order = []
+
+    def load_dim(pl):
+        order.append("load_dim")
+
+    def load_fact(pl):
+        order.append("load_fact")
+
+    def stage(pl):
+        order.append("stage")
+
+    ran = p.schedule_dataflows(
+        [load_fact, load_dim, stage],
+        upstream={"load_fact": ["load_dim"], "load_dim": ["stage"]},
+    )
+    assert order == ["stage", "load_dim", "load_fact"]
+    assert ran == order
+    assert p.run_log[-3:] == ["dataflow_stage", "dataflow_load_dim", "dataflow_load_fact"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        p.schedule_dataflows(
+            [load_dim, load_fact],
+            upstream={"load_dim": ["load_fact"], "load_fact": ["load_dim"]},
+        )
+    with _pytest.raises(ValueError, match="unknown"):
+        p.schedule_dataflows([load_dim], upstream={"load_dim": ["nope"]})
