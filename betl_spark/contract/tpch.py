@@ -18,6 +18,34 @@ Scale notes (the plans Catalyst produces for these):
 - q6: pure scan+filter+agg — the predicates reach the parquet reader
   (PushedFilters on l_shipdate/l_quantity), so row groups outside the
   date range never leave disk.
+- q4: EXISTS compiles to a left-semi join on l_orderkey; at scale it
+  is the one shuffle (orders⋈lineitem on the natural key), and the
+  date filter on orders is pushed to its scan first.
+- q7/q8: all dimension sides (supplier/customer/nation/part) broadcast;
+  the nation-name predicate is pushed into the nation scans so the
+  broadcast table is 2 rows. At 100 TB orders⋈lineitem falls back
+  from broadcast to a sort-merge join on the key under AQE — the
+  only plan element that changes with scale.
+- q14/q19: OR-of-ANDs predicates are decomposed by Catalyst — the
+  quantity-only disjunction is pushed to the lineitem scan, the
+  brand/size disjunction to the part scan, and the residual compound
+  stays as the join condition. part broadcasts.
+- q18: the HAVING-subquery (per-order quantity sums) aggregates
+  map-side first, and its survivors feed broadcast LEFT SEMI joins
+  into both orders and lineitem; final top-20 is
+  TakeOrderedAndProject, never a full sort.
+- q22: the scalar AVG subquery is one tiny job; NOT EXISTS is a
+  broadcast anti join (orders' custkeys are the broadcast side after
+  dedup — at 100 TB flip to shuffled anti join via AQE).
+- window_top_orders_per_segment: ROW_NUMBER over (segment, price
+  desc) — one hash shuffle on the partition key, then an in-partition
+  sort; rnk<=5 is applied before the final exchange (WindowGroupLimit
+  pushes the limit into the sort at scale).
+- setop EXCEPT/INTERSECT: compile to aggregate+anti/semi-join shapes
+  on the key — single shuffle each.
+- cube/rollup: Expand multiplies rows by the number of grouping sets
+  BEFORE the shuffle, but partial aggregation collapses them map-side,
+  so the wire carries only |groups|×|sets| rows.
 """
 
 from __future__ import annotations
@@ -126,6 +154,165 @@ ORDER BY total_spend DESC, c.c_custkey
 LIMIT 20
 """
 
+Q4_ORDER_PRIORITY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+Q7_VOLUME_SHIPPING = f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT
+    n1.n_name AS supp_nation,
+    n2.n_name AS cust_nation,
+    CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+    {dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')}) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+Q8_MARKET_SHARE = f"""
+SELECT
+  o_year,
+  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT
+    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+    {dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')}) AS volume,
+    n1.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  WHERE p.p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+Q14_PROMO_REVENUE = f"""
+SELECT
+  CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN {dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')})
+        ELSE 0 END) AS DOUBLE)
+    / CAST(SUM({dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')})) AS DOUBLE)
+    AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+"""
+
+Q18_LARGE_VOLUME_CUSTOMER = f"""
+SELECT
+  c.c_name,
+  c.c_custkey,
+  o.o_orderkey,
+  CAST(o.o_orderdate AS DATE) AS o_orderdate,
+  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+  CAST(SUM({dec('l.l_quantity')}) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM({dec('l_quantity')}) > 300
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, CAST(o.o_orderdate AS DATE), o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey
+LIMIT 20
+"""
+
+Q19_BRAND_REVENUE = f"""
+SELECT
+  {REVENUE} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+Q22_DORMANT_CUSTOMERS = f"""
+SELECT
+  c.c_mktsegment,
+  COUNT(*) AS numcust,
+  CAST(SUM({dec('c.c_acctbal')}) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE {dec('c.c_acctbal')} > (
+    SELECT AVG({dec('c_acctbal')}) FROM customer WHERE {dec('c_acctbal')} > 0.00
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+# ---- capability supersets (absent in the reference; SURVEY §2.5/§2.7) ----
+
+WINDOW_TOP_ORDERS_PER_SEGMENT = f"""
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT
+    c.c_mktsegment,
+    o.o_orderkey,
+    CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY c.c_mktsegment
+      ORDER BY {dec('o.o_totalprice')} DESC, o.o_orderkey
+    ) AS BIGINT) AS rnk
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+) ranked
+WHERE rnk <= 5
+ORDER BY c_mktsegment, rnk
+"""
+
+SETOP_EXCEPT_CUSTOMERS = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey FROM orders
+"""
+
+SETOP_INTERSECT_NATIONS = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+CUBE_REVENUE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {REVENUE} AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 EVENTS_TUMBLING_WINDOW = """
 SELECT
   CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS window_start,
@@ -170,6 +357,30 @@ QUERIES = {
     "tpch_q10_returned_items": _sql_query(
         Q10_RETURNED_ITEMS, ["customer", "orders", "lineitem", "nation"]
     ),
+    "tpch_q4_order_priority": _sql_query(Q4_ORDER_PRIORITY, ["orders", "lineitem"]),
+    "tpch_q7_volume_shipping": _sql_query(
+        Q7_VOLUME_SHIPPING,
+        ["supplier", "lineitem", "orders", "customer", "nation"],
+    ),
+    "tpch_q8_market_share": _sql_query(
+        Q8_MARKET_SHARE, ["part", "lineitem", "supplier", "orders", "nation"]
+    ),
+    "tpch_q14_promo_revenue": _sql_query(Q14_PROMO_REVENUE, ["lineitem", "part"]),
+    "tpch_q18_large_volume_customer": _sql_query(
+        Q18_LARGE_VOLUME_CUSTOMER, ["customer", "orders", "lineitem"]
+    ),
+    "tpch_q19_brand_revenue": _sql_query(Q19_BRAND_REVENUE, ["lineitem", "part"]),
+    "tpch_q22_dormant_customers": _sql_query(
+        Q22_DORMANT_CUSTOMERS, ["customer", "orders"]
+    ),
+    "window_top_orders_per_segment": _sql_query(
+        WINDOW_TOP_ORDERS_PER_SEGMENT, ["customer", "orders"]
+    ),
+    "setop_except_customers": _sql_query(SETOP_EXCEPT_CUSTOMERS, ["customer", "orders"]),
+    "setop_intersect_nations": _sql_query(
+        SETOP_INTERSECT_NATIONS, ["customer", "supplier"]
+    ),
+    "cube_revenue": _sql_query(CUBE_REVENUE, ["lineitem"]),
     "rollup_revenue": _sql_query(ROLLUP_REVENUE, ["lineitem"]),
     "top_customers": _sql_query(TOP_CUSTOMERS, ["customer", "orders"]),
     "events_tumbling_window": _sql_query(
