@@ -282,6 +282,60 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- ANN: IVF (inverted-file) probe top-k ----
+IVF_CENTROID_IDS = [100, 200, 300, 400, 500, 600, 700, 800]
+IVF_NPROBE = 2
+
+
+def q_similarity_ann_ivf(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", list(range(10)),
+        centroid_ids=IVF_CENTROID_IDS, k=5, nprobe=IVF_NPROBE,
+    )
+
+
+_CELL_COS = """
+round(
+  list_sum(list_transform(list_zip(e.embedding, c.embedding),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)
+"""
+
+SIMILARITY_ANN_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in IVF_CENTROID_IDS)})
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_CELL_COS} DESC, c.cell_id
+         ) AS cell_rank
+  FROM embeddings e CROSS JOIN (SELECT cell_id, embedding FROM cent) c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM assign WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id, embedding, cell_id FROM assign
+  WHERE vec_id < 10 AND cell_rank <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COSINE_PAIR} AS cosine_sim
+  FROM probes a JOIN corpus b ON a.cell_id = b.cell_id AND a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---- token counting: whitespace + BPE-ish regex ----
 def q_token_count(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -417,6 +471,7 @@ QUERIES = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
+    "similarity_ann_ivf": (q_similarity_ann_ivf, SIMILARITY_ANN_IVF_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

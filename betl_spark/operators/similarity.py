@@ -173,6 +173,89 @@ def hyperplane_signs(vec_col: str, n_planes: int, dim: int) -> F.Column:
     return F.expr("CAST(" + " + ".join(parts) + " AS BIGINT)")
 
 
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    centroid_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is assigned
+    once to its nearest centroid cell; a query scores only the corpus
+    of its ``nprobe`` nearest cells. Same output shape as
+    ``cosine_topk``.
+
+    Centroids are corpus rows named by id (``centroid_ids``) — a
+    deterministic stand-in for trained k-means centroids, so the
+    DuckDB oracle can rebuild the identical index with no stored
+    model. Swapping in trained centroids changes recall, not the plan.
+
+    Scale shape: centroids are tiny → the assignment pass is one
+    broadcast join + per-row argmax over |cells| cosines (no shuffle,
+    whole-stage codegen). The probe join shuffles on cell_id with
+    ~|corpus|/|cells| rows per cell — the classic IVF candidate
+    reduction. Cell skew (hot centroids) is AQE's skew-join case.
+    """
+    cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rows = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    aw = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "cell_id",
+            _cosine_pre(F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")).alias(
+                "cell_sim"
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(aw))
+    )
+    corpus = assigned.filter(F.col("cell_rank") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("_nrm").alias("nn"),
+        "cell_id",
+    )
+    queries = (
+        assigned.filter(F.col(id_col).isin(query_ids))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("_nrm").alias("qn"),
+            "cell_id",
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,

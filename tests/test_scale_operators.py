@@ -87,6 +87,25 @@ def test_lsh_bucket_topk_recall_vs_brute_force(emb):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_ivf_topk_recall_vs_brute_force(emb):
+    qids = list(range(5))
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qids, k=5)
+    approx = similarity.ivf_topk(
+        emb, "vec_id", "embedding", qids,
+        centroid_ids=[100, 200, 300, 400], k=5, nprobe=2,
+    )
+    rows = approx.collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in rows}
+    # probing the 2 nearest of 4 cells should keep most true neighbors
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall suspiciously low: {recall}"
+    assert all(r.rank <= 5 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    # a neighbor lives in exactly one cell → no duplicate pairs
+    assert len(approx_set) == len(rows)
+
+
 def test_lang_id_predicts_something_for_every_doc(docs):
     out = text.lang_id(docs, "doc_id", "text")
     assert out.filter(F.col("lang_pred").isNull()).count() == 0
