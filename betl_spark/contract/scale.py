@@ -282,6 +282,37 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- duplicate clustering: pairs → connected components ----
+def q_dedup_clusters(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = similarity.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.2)
+    return dedup.duplicate_clusters(pairs)
+
+
+# The oracle computes the same components with a recursive CTE:
+# min reachable id == cluster id (the pair graph is undirected).
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {_COSINE_PAIR} >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # ---- ANN: IVF (inverted-file) probe top-k ----
 IVF_CENTROID_IDS = [100, 200, 300, 400, 500, 600, 700, 800]
 IVF_NPROBE = 2
@@ -472,6 +503,7 @@ QUERIES = {
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
     "similarity_ann_ivf": (q_similarity_ann_ivf, SIMILARITY_ANN_IVF_SQL),
+    "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

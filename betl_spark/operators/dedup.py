@@ -252,3 +252,68 @@ def ngram_jaccard_pairs(
         joined.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: assigns every
+    node the MINIMUM id reachable through the pair graph, i.e. a
+    canonical cluster id per duplicate group. This is the step that
+    turns pairwise match output (LSH / Jaccard / cosine pairs) into
+    "keep one doc per cluster" — the reference has nothing iterative;
+    its dedupe is exact-row only (betl/dataflow/dfl_changeRow.py:23-34).
+
+    Iterative min-label propagation:
+      label(n) ← min(label(n), min over neighbors m of label(m))
+    repeated until a fixpoint (≤ graph diameter rounds; near-dup
+    clusters are shallow, so typically 2-4).
+
+    Scale notes: each round is one shuffle join on node id, and
+    ``localCheckpoint`` truncates the lineage so the plan doesn't grow
+    exponentially with rounds. The convergence test is a cheap count
+    on the changed-label set. For graphs with whale components, switch
+    the propagation to alternating large-star/small-star (same join
+    shape, provably O(log n) rounds).
+
+    Output: (node, cluster_id) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # best label any neighbor can offer this node
+        offered = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("offered"))
+        )
+        new_labels = (
+            labels.join(offered, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("offered", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

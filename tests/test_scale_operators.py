@@ -87,6 +87,16 @@ def test_lsh_bucket_topk_recall_vs_brute_force(emb):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_duplicate_clusters_connected_components(spark):
+    # chain 1-2-3, pair 10-11, chain 20-21-22-23 (diameter 3)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        ["id_a", "id_b"],
+    )
+    got = {r.node: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
 def test_ivf_topk_recall_vs_brute_force(emb):
     qids = list(range(5))
     exact = similarity.cosine_topk(emb, "vec_id", "embedding", qids, k=5)
