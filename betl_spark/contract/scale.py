@@ -282,6 +282,57 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- PII scrub (regex redaction at scan speed) ----
+def q_pii_scrub(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    # deterministic augmentation: every 3rd doc gets appended PII so
+    # the scrub has real work (the synthetic corpus has none)
+    withpii = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return withpii.select(
+        "doc_id",
+        text.pii_counts("text", "email").alias("n_emails"),
+        text.pii_counts("text", "phone").alias("n_phones"),
+        text.pii_counts("text", "ipv4").alias("n_ips"),
+        F.md5(text.pii_redact("text")).alias("redacted_hash"),
+    )
+
+
+PII_SCRUB_SQL = r"""
+WITH withpii AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 at 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+           '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IPV4>', 'g')) AS redacted_hash
+FROM withpii
+"""
+
+
 # ---- duplicate clustering: pairs → connected components ----
 def q_dedup_clusters(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
@@ -504,6 +555,7 @@ QUERIES = {
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
     "similarity_ann_ivf": (q_similarity_ann_ivf, SIMILARITY_ANN_IVF_SQL),
     "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

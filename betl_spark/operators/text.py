@@ -109,3 +109,30 @@ def doc_fingerprint(
         F.md5(F.col(text_col)).alias("content_md5"),
         min_shingle.alias("min_shingle_hash"),
     )
+
+
+# PII patterns in the RE2 ∩ Java-regex dialect (portable to the oracle)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text_col: str, kind: str) -> F.Column:
+    """How many occurrences of one PII pattern a document contains."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[kind]), F.lit(0)))
+
+
+def pii_redact(text_col: str) -> F.Column:
+    """Replace every PII occurrence with a typed placeholder token.
+
+    Chained regexp_replace — stays inside whole-stage codegen; order
+    matters (emails before IPs so 'user@1.2.3.4' redacts as one email).
+    A corpus-scale scrub is this expression at scan speed: no shuffle,
+    no UDF, predicate/column pruning unaffected.
+    """
+    out = F.col(text_col)
+    for kind in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

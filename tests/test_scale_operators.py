@@ -87,6 +87,21 @@ def test_lsh_bucket_topk_recall_vs_brute_force(emb):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_pii_redact_and_counts(spark):
+    df = spark.createDataFrame(
+        [("mail a@b.io and b@c.org, call 555-123-4567, host 10.0.0.1",)],
+        ["text"],
+    )
+    row = df.select(
+        text.pii_counts("text", "email").alias("e"),
+        text.pii_counts("text", "phone").alias("p"),
+        text.pii_counts("text", "ipv4").alias("i"),
+        text.pii_redact("text").alias("red"),
+    ).head()
+    assert (row.e, row.p, row.i) == (2, 1, 1)
+    assert row.red == "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IPV4>"
+
+
 def test_duplicate_clusters_connected_components(spark):
     # chain 1-2-3, pair 10-11, chain 20-21-22-23 (diameter 3)
     pairs = spark.createDataFrame(
