@@ -282,6 +282,46 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- salted join (manual skew handling beyond AQE) ----
+EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "revenue"),
+    ("signup", "growth"),
+    ("error", "ops"),
+]
+
+
+def q_salted_join_events(spark, sf_dir):
+    from betl_spark.operators import skew
+
+    events = table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(EVENT_CATEGORIES, ["event_type", "category"])
+    joined = skew.salted_join(
+        events, dim, on=["event_type"], salt_by="event_id", n_salt=8
+    )
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SALTED_JOIN_EVENTS_SQL = """
+WITH dim(event_type, category) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops')
+)
+SELECT d.category,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY d.category
+"""
+
+
 # ---- PII scrub (regex redaction at scan speed) ----
 def q_pii_scrub(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -556,6 +596,7 @@ QUERIES = {
     "similarity_ann_ivf": (q_similarity_ann_ivf, SIMILARITY_ANN_IVF_SQL),
     "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
+    "salted_join_events": (q_salted_join_events, SALTED_JOIN_EVENTS_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),

@@ -87,6 +87,32 @@ def test_lsh_bucket_topk_recall_vs_brute_force(emb):
     assert all(r.rank <= 5 for r in approx.collect())
 
 
+def test_salted_join_matches_plain_join(spark):
+    from betl_spark.operators import skew
+
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i * 1.0) for i in range(200)],
+        ["row_id", "k", "v"],
+    )
+    small = spark.createDataFrame([("hot", "H"), ("cold", "C")], ["k", "tag"])
+    plain = sorted(
+        (r.row_id, r.tag) for r in big.join(small, "k").select("row_id", "tag").collect()
+    )
+    salted = sorted(
+        (r.row_id, r.tag)
+        for r in skew.salted_join(big, small, ["k"], salt_by="row_id", n_salt=4)
+        .select("row_id", "tag")
+        .collect()
+    )
+    assert salted == plain
+    # the salt actually spreads the hot key across buckets
+    n_buckets = (
+        skew.with_salt(big.filter("k = 'hot'"), "row_id", 4)
+        .select("_salt").distinct().count()
+    )
+    assert n_buckets > 1
+
+
 def test_pii_redact_and_counts(spark):
     df = spark.createDataFrame(
         [("mail a@b.io and b@c.org, call 555-123-4567, host 10.0.0.1",)],
