@@ -545,6 +545,71 @@ FROM documents
 """
 
 
+# ---- corpus curation: the composed training-data pipeline ----
+def q_corpus_curation(spark, sf_dir):
+    """lang-ID → quality features → exact dedup → per-source stats:
+    the standard curation ladder as ONE lazy plan. Every stage is a
+    column expression or one hash shuffle; nothing leaves the JVM."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text", "source"
+    )
+    corpus = docs.unionByName(copies)
+    lang = text.lang_id(corpus, "doc_id", "text").select("doc_id", "lang_pred")
+    qual = text.text_quality(corpus, "doc_id", "text").select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    keep = dedup.exact_dedup(corpus, ["text"], "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = (
+        corpus.join(keep, "doc_id")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter((F.col("n_tokens") >= 25) & (F.col("lang_pred") != "und"))
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.max("stopword_ratio").alias("max_stopword_ratio"),
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text, source
+  FROM documents WHERE doc_id % 5 = 0
+),
+lang_scored AS (
+  SELECT doc_id,
+         {", ".join(f"{_lang_hits_sql(lang)} AS hits_{lang}" for lang in sorted(text.LANG_STOPWORDS))}
+  FROM corpus
+),
+lang AS (SELECT doc_id, {_PRED} AS lang_pred FROM lang_scored),
+qual AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         round(CAST(len(list_filter(string_split(text, ' '),
+               w -> list_contains(['the','and','of','to','in','is','that','with'], w))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS stopword_ratio
+  FROM corpus
+),
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text))
+SELECT c.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       MAX(q.stopword_ratio) AS max_stopword_ratio
+FROM corpus c
+JOIN keep k ON c.doc_id = k.doc_id
+JOIN lang l ON c.doc_id = l.doc_id
+JOIN qual q ON c.doc_id = q.doc_id
+WHERE q.n_tokens >= 25 AND l.lang_pred != 'und'
+GROUP BY c.source
+"""
+
+
 # ---- multimodal: binary wrap + metadata ----
 def q_multimodal_binary(spark, sf_dir):
     media = multimodal.attach_binary(
@@ -597,6 +662,7 @@ QUERIES = {
     "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "salted_join_events": (q_salted_join_events, SALTED_JOIN_EVENTS_SQL),
+    "corpus_curation": (q_corpus_curation, CORPUS_CURATION_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),
     "lang_id": (q_lang_id, LANG_ID_SQL),
