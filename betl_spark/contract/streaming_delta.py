@@ -214,8 +214,44 @@ SELECT sk_customer, nk_customer, c_mktsegment FROM new_rows
 """
 
 
+def q_events_stream_enrich(spark, sf_dir):
+    from betl_spark.streaming import stream_static_enrich
+
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        ["event_type", "category"],
+    )
+    agg = stream_static_enrich(
+        stream, dim, on=["event_type"], group_col="category", window="5 minutes"
+    )
+    return run_stream_to_table(agg, output_mode="complete", state_partitions=STATE_PARTS)
+
+
+EVENTS_STREAM_ENRICH_SQL = """
+WITH dim(event_type, category) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops')
+)
+SELECT
+  CAST(FLOOR(epoch(e.ts) / 300) * 300 AS BIGINT) AS window_start,
+  d.category,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "events_stream_tumbling": (q_events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
+    "events_stream_enrich": (q_events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
     "events_stream_sliding": (q_events_stream_sliding, EVENTS_STREAM_SLIDING_SQL),
     "events_stream_session": (q_events_stream_session, EVENTS_STREAM_SESSION_SQL),
     "events_stream_stateful": (q_events_stream_stateful, EVENTS_STREAM_STATEFUL_SQL),

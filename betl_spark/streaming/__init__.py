@@ -4,6 +4,7 @@ from betl_spark.streaming.events import (
     sessionize,
     sliding_window_agg,
     stateful_running_totals,
+    stream_static_enrich,
     tumbling_window_agg,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "sessionize",
     "sliding_window_agg",
     "stateful_running_totals",
+    "stream_static_enrich",
     "tumbling_window_agg",
 ]

@@ -227,3 +227,38 @@ def run_stream_to_table(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    group_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static join enrichment: join the event stream to a static
+    dimension, then aggregate per (window, dim attribute).
+
+    The stream-static inner join is STATELESS — each micro-batch joins
+    against the (broadcast) static side with no state store, so a
+    perpetual stream pays only the windowed agg's state. The static
+    side is re-resolvable per batch (a dim update is picked up on the
+    next micro-batch) — the streaming analogue of the SK-lookup join in
+    the fact-load path (betl/defaultdataflows/stageLoad.py:361-409).
+    """
+    enriched = events.join(F.broadcast(dim), on)
+    return (
+        enriched.withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start"),
+            group_col,
+            "n_events",
+            F.col("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
