@@ -43,6 +43,29 @@ Scale notes (the plans Catalyst produces for these):
   pushes the limit into the sort at scale).
 - setop EXCEPT/INTERSECT: compile to aggregate+anti/semi-join shapes
   on the key — single shuffle each.
+- q2/q17: correlated scalar-agg subqueries decorrelate into an
+  aggregate-then-join on the correlation key (per-part MAX/AVG) — one
+  extra shuffle on l_partkey, never a per-row subquery execution.
+- q9: dimension sides (part/supplier/nation) broadcast; the p_name LIKE
+  filter shrinks part before broadcast, and the only real shuffle is
+  lineitem⋈orders on the key.
+- q11: the CTE is one grouped aggregate; the uncorrelated scalar
+  threshold is a single tiny job over its (reused) exchange output.
+- q12/q13: one shuffle each (join key / group key); q13's two-level agg
+  aggregates map-side at both levels — only |customers| then |distinct
+  counts| rows cross the wire.
+- q15: revenue CTE computed once, its exchange reused for both the MAX
+  scalar and the join (ReusedExchange in the plan); supplier broadcasts.
+- q16: COUNT(DISTINCT) expands to a two-phase distinct-then-count agg;
+  NOT IN's blacklist is a tiny broadcast null-aware anti join.
+- q20: the IN-subquery aggregates lineitem map-side on l_suppkey
+  (HAVING applied pre-join) then left-semi-joins into supplier —
+  supplier side broadcasts.
+- q21: EXISTS/NOT EXISTS become a broadcast-able semi + anti join pair
+  on l_orderkey with the non-equality residuals (suppkey<>, shipdate>)
+  as join conditions — at 100 TB both fall back to shuffled joins on
+  the same key, and the three lineitem scans share the l_orderkey
+  partitioning.
 - cube/rollup: Expand multiplies rows by the number of grouping sets
   BEFORE the shuffle, but partial aggregation collapses them map-side,
   so the wire carries only |groups|×|sets| rows.
@@ -271,6 +294,193 @@ GROUP BY c.c_mktsegment
 ORDER BY c.c_mktsegment
 """
 
+# The testdata schema is a slim TPC-H (no partsupp table, no
+# commit/receipt dates, no ship modes), so q2/q9/q11/q12/q16/q17/q20/q21
+# are adapted: part⋈supplier relationships go through lineitem, and
+# "late" is shipdate lagging orderdate. The query *shapes* (correlated
+# scalar subqueries, EXISTS/NOT EXISTS pairs, CTE reuse, distinct-count,
+# two-level aggregation) are preserved — they are the point.
+
+Q2_MIN_COST_SUPPLIER = f"""
+SELECT
+  CAST(s.s_acctbal AS DOUBLE) AS s_acctbal,
+  s.s_name,
+  n.n_name,
+  p.p_partkey,
+  p.p_name
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size = 15
+  AND p.p_type = 'STANDARD'
+  AND r.r_name = 'EUROPE'
+  AND {dec('s.s_acctbal')} = (
+    SELECT MAX({dec('s2.s_acctbal')})
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+GROUP BY s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 20
+"""
+
+Q9_PRODUCT_TYPE_PROFIT = f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT
+    n.n_name AS nation,
+    CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+    {dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')}) AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+Q11_IMPORTANT_PARTS = f"""
+WITH supplied AS (
+  SELECT
+    l.l_partkey,
+    SUM({dec('l.l_extendedprice')} * {dec('l.l_quantity')}) AS val
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(val AS DOUBLE) AS value
+FROM supplied
+WHERE val > (SELECT SUM(val) * 0.001 FROM supplied)
+ORDER BY value DESC, l_partkey
+"""
+
+Q12_LATE_SHIPMENTS = """
+SELECT
+  l.l_linestatus,
+  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+ORDER BY l_linestatus
+"""
+
+Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+Q15_TOP_SUPPLIER = f"""
+WITH revenue AS (
+  SELECT
+    l_suppkey AS supplier_no,
+    SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')})) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+Q16_SUPPLIER_COUNT = """
+SELECT
+  p.p_brand,
+  p.p_type,
+  p.p_size,
+  CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00000009%'
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+Q17_SMALL_QUANTITY_REVENUE = f"""
+SELECT CAST(SUM({dec('l.l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+Q20_PROMOTION_SUPPLIERS = """
+SELECT s.s_name, CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+    HAVING SUM(l.l_quantity) > 100
+  )
+ORDER BY s.s_name
+"""
+
+Q21_WAITING_SUPPLIERS = """
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_name = 'NATION_9'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
 # ---- capability supersets (absent in the reference; SURVEY §2.5/§2.7) ----
 
 WINDOW_TOP_ORDERS_PER_SEGMENT = f"""
@@ -370,6 +580,34 @@ QUERIES = {
         Q18_LARGE_VOLUME_CUSTOMER, ["customer", "orders", "lineitem"]
     ),
     "tpch_q19_brand_revenue": _sql_query(Q19_BRAND_REVENUE, ["lineitem", "part"]),
+    "tpch_q2_min_cost_supplier": _sql_query(
+        Q2_MIN_COST_SUPPLIER,
+        ["part", "lineitem", "supplier", "nation", "region"],
+    ),
+    "tpch_q9_product_type_profit": _sql_query(
+        Q9_PRODUCT_TYPE_PROFIT,
+        ["part", "lineitem", "supplier", "orders", "nation"],
+    ),
+    "tpch_q11_important_parts": _sql_query(
+        Q11_IMPORTANT_PARTS, ["lineitem", "supplier", "nation"]
+    ),
+    "tpch_q12_late_shipments": _sql_query(Q12_LATE_SHIPMENTS, ["orders", "lineitem"]),
+    "tpch_q13_customer_distribution": _sql_query(
+        Q13_CUSTOMER_DISTRIBUTION, ["customer", "orders"]
+    ),
+    "tpch_q15_top_supplier": _sql_query(Q15_TOP_SUPPLIER, ["lineitem", "supplier"]),
+    "tpch_q16_supplier_count": _sql_query(
+        Q16_SUPPLIER_COUNT, ["part", "lineitem", "supplier"]
+    ),
+    "tpch_q17_small_qty_revenue": _sql_query(
+        Q17_SMALL_QUANTITY_REVENUE, ["lineitem", "part"]
+    ),
+    "tpch_q20_promotion_suppliers": _sql_query(
+        Q20_PROMOTION_SUPPLIERS, ["supplier", "nation", "lineitem", "part"]
+    ),
+    "tpch_q21_waiting_suppliers": _sql_query(
+        Q21_WAITING_SUPPLIERS, ["supplier", "lineitem", "orders", "nation"]
+    ),
     "tpch_q22_dormant_customers": _sql_query(
         Q22_DORMANT_CUSTOMERS, ["customer", "orders"]
     ),
