@@ -68,6 +68,7 @@ class Conf:
     app_root: str = "."
     tmp_data_path: str | None = None
     schema_path: str | None = None
+    log_path: str | None = None  # alerts + step journal (LoggerClass LOG_PATH)
     data_limit_rows: int | None = None  # LIMIT pushdown (ConfClass.py:186-191)
     earliest_date_in_data: str = "2014-01-01"  # dm_date range (ConfClass.py:230-232)
     latest_date_in_data: str = "2021-12-31"
@@ -80,6 +81,8 @@ class Conf:
             self.tmp_data_path = os.path.join(self.app_root, "tmp_data")
         if self.schema_path is None:
             self.schema_path = os.path.join(self.app_root, "schema")
+        if self.log_path is None:
+            self.log_path = os.path.join(self.app_root, "logs")
 
     def layer_path(self, layer: str, table: str | None = None) -> str:
         layer = layer.upper()

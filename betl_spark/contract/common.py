@@ -34,7 +34,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def dataflow(spark: SparkSession, sf_dir: str, tables: list[str], desc: str = "contract") -> DataFlow:
     """A DataFlow pre-loaded with the named testdata tables, so contract
     queries run through the engine's own operator surface."""
-    dfl = DataFlow(Conf(), desc, spark=spark)
+    import tempfile
+
+    # throwaway app_root so side-channel outputs (alerts file, staging
+    # dirs) never land in the caller's working directory
+    dfl = DataFlow(Conf(app_root=tempfile.mkdtemp(prefix="betl_contract_")), desc, spark=spark)
     for t in tables:
         dfl.createDataset(t, table(spark, sf_dir, t))
     return dfl

@@ -10,9 +10,23 @@ Spark job per step, so shape capture is opt-in
 
 from __future__ import annotations
 
+import os
 import time
 from contextlib import contextmanager
 from dataclasses import dataclass, field
+
+
+def log_alert(conf, alert: str) -> None:
+    """Append an alert to ``<log_path>/_alerts.txt``.
+
+    The reference keeps alerts that need human action (e.g. unmapped
+    MDM rows, betl/dataflow/dfl_mdm.py:186-197) in a file separate from
+    the step log, one entry per blank-line-separated block
+    (betl/logger/alerts.py:4-12).
+    """
+    os.makedirs(str(conf.log_path), exist_ok=True)
+    with open(os.path.join(str(conf.log_path), "_alerts.txt"), "a") as f:
+        f.write(alert + "\n\n")
 
 
 @dataclass

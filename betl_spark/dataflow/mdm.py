@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from betl_spark.dataflow.journal import log_alert
 from betl_spark.io.writers import null_to_empty
 from betl_spark.schema.registry import all_string_schema
 
@@ -123,9 +124,11 @@ class MDMOps:
             mdmStore.write_rows(wb_cols + ["count"], rows)
 
             if data_only > 0:  # :186-197
-                mdmStore.alert(
+                msg = (
                     f"{data_only} rows of {dataset} have no master-data mapping "
                     f"({matched} matched)"
                 )
+                mdmStore.alert(msg)
+                log_alert(self.conf, msg)
             self.data[targetDataset or dataset] = out
         return out

@@ -91,3 +91,29 @@ def test_collapse_natural_key_cols(dfl):
     out = dfl.collapseNaturalKeyCols("d", {"nk_key": ["c1", "c2"]})
     assert out.columns == ["v", "nk_key"]
     assert rows(out) == [("1", "a_b")]
+
+
+def test_mdm_unmapped_rows_write_alerts_file(dfl):
+    """Unmapped MDM rows append to <log_path>/_alerts.txt, one
+    blank-line-separated block per alert (betl/logger/alerts.py:4-12,
+    dfl_mdm.py:186-197)."""
+    import os
+
+    from betl_spark.dataflow.mdm import MappingStore
+
+    dfl.createDataset("d", {"raw": ["a", "a", "zzz"], "v": ["1", "2", "3"]})
+    store = MappingStore([["raw", "clean"], ["a", "A"]])
+    dfl.mapMasterData("d", store, joinCols=["raw"], masterDataCols=["clean"])
+    assert store.alerts and "1 rows of d have no master-data mapping" in store.alerts[0]
+
+    alerts_file = os.path.join(str(dfl.conf.log_path), "_alerts.txt")
+    with open(alerts_file) as f:
+        content = f.read()
+    assert content.endswith("\n\n") and "no master-data mapping (2 matched)" in content
+
+    # a second alerting run appends, preserving prior blocks
+    dfl.createDataset("d2", {"raw": ["q"], "v": ["9"]})
+    dfl.mapMasterData("d2", store, joinCols=["raw"], masterDataCols=["clean"])
+    with open(alerts_file) as f:
+        blocks = [b for b in f.read().split("\n\n") if b]
+    assert len(blocks) == 2
