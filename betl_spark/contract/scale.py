@@ -649,6 +649,58 @@ FROM documents
 """
 
 
+# ---- multimodal: aspect-fit resize + frame-sample plans ----
+def q_multimodal_resize(spark, sf_dir):
+    media = multimodal.attach_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.resize_plan(media, max_width=256, max_height=256)
+
+
+# geometry replayed in SQL: same md5-derived dims, same IEEE min/floor
+MULTIMODAL_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id,
+         1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS ow,
+         1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS oh
+  FROM documents
+), scaled AS (
+  SELECT media_id, ow, oh,
+         LEAST(256.0 / ow, 256.0 / oh, 1.0) AS s
+  FROM dims
+)
+SELECT media_id,
+       CAST(ow AS INTEGER) AS orig_width,
+       CAST(oh AS INTEGER) AS orig_height,
+       CAST(GREATEST(1, FLOOR(ow * s)) AS INTEGER) AS width,
+       CAST(GREATEST(1, FLOOR(oh * s)) AS INTEGER) AS height,
+       CAST(s AS DOUBLE) AS scale
+FROM scaled
+"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    media = multimodal.attach_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = multimodal.frame_sample_plan(media, every_nth=30)
+    return plan.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
+MULTIMODAL_FRAME_SAMPLE_SQL = """
+WITH feats AS (
+  SELECT doc_id AS media_id,
+         1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS n_frames
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(generate_series(0, n_frames - 1, 30)) AS BIGINT) AS frame_idx
+FROM feats
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
@@ -669,4 +721,6 @@ QUERIES = {
     "doc_fingerprint": (q_doc_fingerprint, DOC_FINGERPRINT_SQL),
     "multimodal_binary": (q_multimodal_binary, MULTIMODAL_BINARY_SQL),
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "multimodal_resize": (q_multimodal_resize, MULTIMODAL_RESIZE_SQL),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
 }

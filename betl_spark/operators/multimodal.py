@@ -103,6 +103,56 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.select("media_id", "content").mapInPandas(run, _FEATURE_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("orig_width", T.IntegerType(), True),
+        T.StructField("orig_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("scale", T.DoubleType(), True),
+    ]
+)
+
+
+def resize_plan(
+    df: DataFrame, max_width: int = 256, max_height: int = 256, decoder: str = "fake"
+) -> DataFrame:
+    """Aspect-preserving fit-inside resize over Arrow batches
+    (``mapInPandas``) — never upscales (scale capped at 1.0).
+
+    'fake' derives the source dims from the content digest (same rule
+    as ``decode_features``) and computes the target geometry — the
+    real-codec seam is only the pixel resample itself. All arithmetic
+    is plain IEEE double (min of ratios, floor), so an independent SQL
+    engine reproduces it bit-for-bit."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real resampling needs PIL/ffmpeg, not present in this "
+            "container; plug it in here (geometry + batch shape are done)"
+        )
+
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "orig_width", "orig_height", "width", "height", "scale")}
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                d = hashlib.md5(bytes(c) if c is not None else b"").hexdigest()
+                ow = 1 + int(d[:4], 16) % 2048
+                oh = 1 + int(d[4:8], 16) % 2048
+                scale = min(max_width / ow, max_height / oh, 1.0)
+                rows["media_id"].append(mid)
+                rows["orig_width"].append(ow)
+                rows["orig_height"].append(oh)
+                rows["width"].append(max(1, math.floor(ow * scale)))
+                rows["height"].append(max(1, math.floor(oh * scale)))
+                rows["scale"].append(scale)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, _RESIZE_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
     """Plan frame sampling for video rows: one output row per sampled
     frame index (metadata only — the decode itself happens in

@@ -189,3 +189,18 @@ def test_frame_sample_plan_explodes_indices(docs):
     rows = plan.collect()
     assert len(rows) >= 5
     assert all(r.frame_idx % 30 == 0 for r in rows)
+
+
+def test_resize_plan_fits_bounds_never_upscales(docs):
+    media = multimodal.attach_binary(docs.limit(20), "doc_id", "text")
+    out = multimodal.resize_plan(media, max_width=100, max_height=80).collect()
+    assert out
+    for r in out:
+        assert 1 <= r["width"] <= 100 and 1 <= r["height"] <= 80
+        assert r["scale"] <= 1.0
+        assert r["width"] <= r["orig_width"] and r["height"] <= r["orig_height"]
+        # aspect preserved within 1px of the floor rounding
+        if r["scale"] < 1.0:
+            assert abs(r["width"] / r["orig_width"] - r["height"] / r["orig_height"]) < 0.02
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_plan(media, decoder="real")
