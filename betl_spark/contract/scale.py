@@ -649,6 +649,42 @@ FROM documents
 """
 
 
+# ---- deterministic sampling / corpus splits ----
+def q_split_assign(spark, sf_dir):
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.deterministic_split(docs, "doc_id", val_pct=10, test_pct=10)
+
+
+SPLIT_ASSIGN_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN bucket < 10 THEN 'val'
+            WHEN bucket < 20 THEN 'test'
+            ELSE 'train' END AS split
+FROM b
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_sample(docs, "doc_id", fraction=0.2)
+
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 < 2000
+"""
+
+
 # ---- multimodal: aspect-fit resize + frame-sample plans ----
 def q_multimodal_resize(spark, sf_dir):
     media = multimodal.attach_binary(
@@ -723,4 +759,6 @@ QUERIES = {
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_resize": (q_multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "split_assign": (q_split_assign, SPLIT_ASSIGN_SQL),
+    "hash_sample": (q_hash_sample, HASH_SAMPLE_SQL),
 }

@@ -204,3 +204,29 @@ def test_resize_plan_fits_bounds_never_upscales(docs):
             assert abs(r["width"] / r["orig_width"] - r["height"] / r["orig_height"]) < 0.02
     with pytest.raises(NotImplementedError):
         multimodal.resize_plan(media, decoder="real")
+
+
+def test_deterministic_split_is_stable_and_partition_invariant(docs):
+    from betl_spark.operators import sampling
+
+    d = docs.select("doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in sampling.deterministic_split(d, "doc_id", 10, 10).collect()}
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in sampling.deterministic_split(d.repartition(7), "doc_id", 10, 10).collect()
+    }
+    assert s1 == s2 and set(s1.values()) == {"train", "val", "test"}
+    # growing the corpus never reassigns an existing key
+    half = {r["doc_id"]: r["split"] for r in sampling.deterministic_split(d.limit(50), "doc_id", 10, 10).collect()}
+    assert all(s1[k] == v for k, v in half.items())
+
+
+def test_hash_sample_deterministic_and_near_fraction(docs):
+    from betl_spark.operators import sampling
+
+    d = docs.select("doc_id")
+    k1 = sorted(r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.2).collect())
+    k2 = sorted(r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.2).collect())
+    assert k1 == k2 and k1
+    n = d.count()
+    assert 0.05 * n <= len(k1) <= 0.4 * n  # md5-uniform within loose bounds
