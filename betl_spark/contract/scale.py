@@ -158,7 +158,7 @@ def q_simhash(spark, sf_dir):
 
 SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts
   FROM documents WHERE doc_id < 100
 ),
 hashed AS (
@@ -167,10 +167,10 @@ hashed AS (
   FROM toks
 )
 SELECT doc_id,
-       list_sum(list_transform(range({SIMHASH_BITS}), j ->
+       CAST(list_sum(list_transform(range({SIMHASH_BITS}), j ->
          CASE WHEN list_sum(list_transform(hs, h ->
                 CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-              THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)) AS simhash
+              THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)) AS BIGINT) AS simhash
 FROM hashed
 """
 

@@ -193,9 +193,14 @@ def simhash(
     aggregate per bit, re-evaluating the token-hash array each time —
     O(bits × tokens) lambda dispatches per row.) Integer sums are
     order-independent, so the fingerprint is partition-invariant.
+
+    Contract: output is one fingerprint PER DISTINCT id (duplicate ids
+    merge into one vote pool); NULL text is treated as '' so no
+    document silently disappears from the output.
     """
     hashed = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+        F.col(id_col),
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("__tok"),
     ).select(F.col(id_col), _md5_long(F.col("__tok")).alias("h"))
     votes = [
         F.sum(

@@ -37,6 +37,22 @@ def token_count(text_col: str) -> F.Column:
     return F.size(tokens(text_col))
 
 
+def _stopword_count(text_col: str, words: list[str]) -> F.Column:
+    """Occurrences of any listed stopword as a space-delimited token.
+
+    One codegen ``regexp_count`` over the space-padded text with
+    zero-width lookarounds — exactly the count of split(text, ' ')
+    tokens that equal a listed word (matches are zero-consuming at the
+    boundaries, so consecutive stopwords all count), but with no
+    interpreted HOF lambda per token and no per-language array scan.
+    NULL text → NULL, same as size(filter(split(NULL), ...)).
+    """
+    pat = "(?<= )(?:" + "|".join(words) + ")(?= )"
+    return F.regexp_count(
+        F.concat(F.lit(" "), F.col(text_col), F.lit(" ")), F.lit(pat)
+    )
+
+
 def text_quality(
     df: DataFrame, id_col: str, text_col: str, stop_lang: str = "en"
 ) -> DataFrame:
@@ -47,8 +63,7 @@ def text_quality(
     toks = tokens(text_col)
     n_chars = F.length(text_col)
     n_toks = F.size(toks)
-    stop_list = F.array(*[F.lit(w) for w in LANG_STOPWORDS[stop_lang]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+    n_stop = _stopword_count(text_col, LANG_STOPWORDS[stop_lang])
     n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
     return df.select(
         F.col(id_col),
@@ -64,16 +79,19 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-profile language ID: count stopword hits per language
     profile; argmax wins, alphabetical-language tiebreak, 'und'
     (undetermined) when nothing matches. Output (id, lang_pred,
-    lang_hits)."""
-    toks = tokens(text_col)
-    hit_cols = []
-    for lang in sorted(LANG_STOPWORDS):
-        stop_list = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
-        hit_cols.append(
-            F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t))).alias(
-                f"hits_{lang}"
-            )
-        )
+    lang_hits).
+
+    Each profile's hit count is ONE codegen ``regexp_count`` pass (see
+    ``_stopword_count``) — a pure projection: no HOF lambdas, no
+    explode, no shuffle, so lang-ID composes into curation pipelines at
+    scan speed. (The former formulation ran an interpreted
+    filter-lambda per token per language — the slowest query in the
+    round-1 bench at 7.5s/sf0.1; this shape runs in the text_quality
+    ballpark.)"""
+    hit_cols = [
+        _stopword_count(text_col, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
+        for lang in sorted(LANG_STOPWORDS)
+    ]
     scored = df.select(F.col(id_col), *hit_cols)
     langs = sorted(LANG_STOPWORDS)
     best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
