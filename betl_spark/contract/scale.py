@@ -204,10 +204,12 @@ FROM ranked WHERE rank <= 5
 """
 
 
-# ---- embedding-cosine near-dup pairs ----
+# ---- embedding-cosine near-dup pairs (LSH-bucketed scale path) ----
 def q_dedup_embedding_cosine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
-    return similarity.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.2)
+    return similarity.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.2, n_planes=4, dim=64
+    )
 
 
 _COSINE_PAIR = """
@@ -219,11 +221,17 @@ round(
   6)
 """
 
+# the oracle replays the identical md5-derived hyperplane bucketing
+# (N_PLANES=4 over EMB_DIM=64), so it scores exactly the same-bucket
+# candidate pairs the engine's scale path scores
 DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH be AS (
+  SELECT vec_id, embedding, {{bucket}} AS bucket
+  FROM embeddings WHERE vec_id < 150
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS cosine_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 150 AND b.vec_id < 150
-  AND {_COSINE_PAIR} >= 0.2
+FROM be a JOIN be b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_COSINE_PAIR} >= 0.2
 """
 
 
@@ -262,6 +270,12 @@ def _bucket_sql(tbl: str) -> str:
         terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END")
     return "(" + " + ".join(terms) + ")"
 
+
+# now that the bucket SQL builder exists, finalize the bucketed
+# near-dup oracle (template declared above, next to its query)
+DEDUP_EMBEDDING_COSINE_SQL = DEDUP_EMBEDDING_COSINE_SQL.format(
+    bucket=_bucket_sql("embeddings")
+)
 
 SIMILARITY_ANN_LSH_SQL = f"""
 WITH be AS (
@@ -660,7 +674,7 @@ def q_split_assign(spark, sf_dir):
 SPLIT_ASSIGN_SQL = """
 WITH b AS (
   SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bucket
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
   FROM documents
 )
 SELECT doc_id,
@@ -681,7 +695,7 @@ def q_hash_sample(spark, sf_dir):
 HASH_SAMPLE_SQL = """
 SELECT doc_id
 FROM documents
-WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10000 < 2000
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 2000
 """
 
 

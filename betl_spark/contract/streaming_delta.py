@@ -151,7 +151,8 @@ inc AS (
 )
 SELECT
   COALESCE(p.o_orderkey, i.o_orderkey) AS o_orderkey,
-  COALESCE(i.o_totalprice, p.o_totalprice) AS o_totalprice,
+  CASE WHEN i.o_orderkey IS NULL THEN p.o_totalprice
+       ELSE i.o_totalprice END AS o_totalprice,
   CASE
     WHEN p.o_orderkey IS NULL THEN 'INSERT'
     WHEN i.o_orderkey IS NULL THEN 'DELETE'
@@ -198,7 +199,8 @@ inc AS (
 ),
 kept AS (
   SELECT p.sk_customer, p.nk_customer,
-         COALESCE(i.c_mktsegment, p.c_mktsegment) AS c_mktsegment
+         CASE WHEN i.nk_customer IS NULL THEN p.c_mktsegment
+              ELSE i.c_mktsegment END AS c_mktsegment
   FROM prev p LEFT JOIN inc i USING (nk_customer)
 ),
 new_rows AS (

@@ -35,7 +35,10 @@ def classify_changes(
     """NK-keyed change classification (the stageExtract.py:95-118 spec).
 
     Null-safe comparison (``<=>``) so NULL→value and value→NULL both
-    classify as UPDATE.
+    classify as UPDATE. Output rows carry the INCOMING values whenever
+    the NK is present in the incoming snapshot (so a value→NULL
+    overwrite really lands as NULL), and the previous values only for
+    DELETE rows.
     """
     if compare_cols is None:
         compare_cols = [c for c in incoming.columns if c not in nk_cols]
@@ -55,8 +58,13 @@ def classify_changes(
         .when(changed, F.lit("UPDATE"))
         .otherwise(F.lit("UNCHANGED"))
     )
+    # presence flag, not coalesce: an incoming NULL must overwrite
+    # (coalesce silently kept the previous value for value→NULL updates)
     out_cols = [
-        F.coalesce(F.col(c), F.col(f"__prev_{c}")).alias(c) for c in compare_cols
+        F.when(F.col("__in_inc").isNull(), F.col(f"__prev_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in compare_cols
     ]
     return joined.select(*nk_cols, *out_cols, op.alias(CHANGE_COL))
 

@@ -45,11 +45,18 @@ def char_shingles(
 
     ``stride`` > 1 samples every stride-th position (winnowing-style):
     fingerprint cost drops by the stride factor while min-hash markers
-    stay stable under large-block edits."""
+    stay stable under large-block edits.
+
+    Text shorter than ``k`` chars (or NULL) yields an EMPTY array —
+    without the guard, sequence(0, negative, stride) throws and one
+    short document aborts the whole job; the DuckDB-oracle equivalent
+    (range() → empty list) degrades the same way."""
     step = f", {stride}" if stride != 1 else ""
     expr = (
+        f"CASE WHEN length({text_col}) >= {k} THEN "
         f"transform(sequence(0, length({text_col}) - {k}{step}), "
-        f"i -> substring({text_col}, i + 1, {k}))"
+        f"i -> substring({text_col}, i + 1, {k})) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     out = F.expr(expr)
     return F.array_distinct(out) if distinct else out

@@ -19,12 +19,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def hash_bucket(key_col: str, buckets: int = 100) -> F.Column:
-    """Deterministic bucket 0..buckets-1 from the first 4 md5 hex chars
+    """Deterministic bucket 0..buckets-1 from the first 8 md5 hex chars
     of the key — stable across runs, partitionings, and engines
-    (DuckDB replays it as CAST('0x'||substr(md5(k),1,4) AS INT) % n)."""
+    (DuckDB replays it as CAST('0x'||substr(md5(k),1,8) AS BIGINT) % n).
+
+    32 hash bits, not 16: with 16 bits and the hash_sample default of
+    10000 buckets, 65536 % 10000 != 0 skewed low buckets by ~17% each
+    (a systematic ~7% over-sample); mod-bias with 32 bits is ≤
+    buckets/2^32 — sub-ppm for any sane bucket count."""
     return (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
-        .cast("int")
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
         % buckets
     )
 

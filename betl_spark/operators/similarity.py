@@ -108,32 +108,50 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.2,
+    n_planes: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (id_a < id_b) with
-    cosine ≥ threshold. The all-pairs self-join is the correctness
-    baseline; at scale, pre-bucket with ``hyperplane_signs`` and join on
-    the bucket (same shape as ``lsh_bucket_topk``) so candidate pairs
-    shrink by ~2^n_planes before the exact cosine runs.
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine ≥ threshold.
+
+    With ``n_planes``/``dim`` set (the SCALE path), rows are pre-bucketed
+    by ``hyperplane_signs`` and only same-bucket pairs are scored: the
+    join becomes an equi-join shuffling on the bucket id, candidate
+    pairs shrink by ~2^n_planes, and recall is the standard LSH
+    trade-off (high-cosine pairs land in the same bucket with high
+    probability). Without them, the all-pairs non-equi self-join runs —
+    the exact baseline, quadratic, ONLY for small validation scopes.
 
     Beyond-reference scale operator (the reference has only exact
     row dedup, betl/dataflow/dfl_changeRow.py:23-34)."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        _norm(F.col(vec_col)).alias("na"),
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    ]
+    if n_planes is not None:
+        if dim is None:
+            raise ValueError("dim is required when n_planes is set")
+        cols.append(hyperplane_signs(vec_col, n_planes, dim).alias("bucket"))
+    base = df.select(*cols)
+    a = base.select(
+        *[F.col(c).alias(f"{c}_a") for c in ("id", "v", "nrm")],
+        *(["bucket"] if n_planes is not None else []),
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col)).alias("nb"),
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in ("id", "v", "nrm")],
+        *(["bucket"] if n_planes is not None else []),
     )
+    if n_planes is not None:
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        joined.select(
             "id_a",
             "id_b",
             _cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                F.col("v_a"), F.col("v_b"), F.col("nrm_a"), F.col("nrm_b")
             ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)

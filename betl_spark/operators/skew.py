@@ -54,7 +54,20 @@ def salted_join(
 
     ``salt_by`` names a high-cardinality column of ``big`` (e.g. the
     event/row id) used to derive the deterministic salt. Output columns
-    = the plain join's (salt dropped)."""
+    = the plain join's (salt dropped).
+
+    Only inner/left/left_semi are accepted: those are bit-identical to
+    the plain join because every big-side row carries exactly one salt.
+    With right/full joins an unmatched SMALL-side key would survive
+    once per salt replica (n_salt duplicate rows), so they're rejected
+    rather than silently wrong."""
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            "right/full joins would emit unmatched small-side keys once "
+            "per salt replica"
+        )
     b = with_salt(big, salt_by, n_salt)
     s = replicate(small, n_salt)
     return b.join(s, on + ["_salt"], how).drop("_salt")

@@ -230,3 +230,64 @@ def test_hash_sample_deterministic_and_near_fraction(docs):
     assert k1 == k2 and k1
     n = d.count()
     assert 0.05 * n <= len(k1) <= 0.4 * n  # md5-uniform within loose bounds
+
+
+def test_char_shingles_short_and_null_text_yield_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, None), (3, "exactly8!")], "doc_id int, text string"
+    )
+    m = {
+        r.doc_id: r.sh
+        for r in df.select(
+            "doc_id", dedup.char_shingles("text", 8, distinct=False, stride=4).alias("sh")
+        ).collect()
+    }
+    assert m[1] == [] and m[2] == []
+    assert m[3] == ["exactly8"]
+    # doc_fingerprint (k=8, stride=4) must not abort on short docs
+    fp = {r.doc_id: r.min_shingle_hash for r in text.doc_fingerprint(df, "doc_id", "text").collect()}
+    assert fp[1] is None and fp[3] is not None
+
+
+def test_salted_join_rejects_row_duplicating_join_types(spark):
+    from betl_spark.operators import skew
+
+    big = spark.createDataFrame([(1, "hot")], ["row_id", "k"])
+    small = spark.createDataFrame([("hot", "H"), ("unmatched", "U")], ["k", "tag"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(big, small, ["k"], salt_by="row_id", n_salt=4, how=how)
+    # left join stays bit-identical to the plain join
+    plain = sorted(map(tuple, big.join(small, "k", "left").select("row_id", "tag").collect()))
+    salted = sorted(map(tuple,
+        skew.salted_join(big, small, ["k"], salt_by="row_id", n_salt=4, how="left")
+        .select("row_id", "tag").collect()))
+    assert salted == plain
+
+
+def test_hash_bucket_matches_32bit_md5(spark):
+    import hashlib
+
+    from betl_spark.operators import sampling
+
+    df = spark.createDataFrame([(str(i),) for i in range(64)], ["k"])
+    got = {r.k: r.b for r in df.select("k", sampling.hash_bucket("k", 10000).alias("b")).collect()}
+    for k, b in got.items():
+        assert b == int(hashlib.md5(k.encode()).hexdigest()[:8], 16) % 10000
+
+
+def test_embedding_near_dups_bucketed_subset_of_all_pairs(emb):
+    scoped = emb.filter(F.col("vec_id") < 80)
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dups(scoped, "vec_id", "embedding", 0.2).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in similarity.embedding_near_dups(
+            scoped, "vec_id", "embedding", 0.2, n_planes=4, dim=64
+        ).collect()
+    }
+    assert bucketed  # finds same-bucket near-dups
+    assert set(bucketed) <= set(exact)  # never invents a pair
+    assert all(exact[p] == s for p, s in bucketed.items())  # identical cosine

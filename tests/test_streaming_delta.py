@@ -133,3 +133,11 @@ def test_delta_load_dimension_empty_previous(spark):
         map(tuple, delta_load_dimension(prev, inc, "sk", ["nk"]).collect())
     )
     assert rows == [(1, "a", "x"), (2, "b", "y")]
+
+
+def test_delta_classify_null_overwrite_lands(spark):
+    prev = spark.createDataFrame([(1, "a"), (2, "b")], "nk int, v string")
+    inc = spark.createDataFrame([(1, None), (2, "b")], "nk int, v string")
+    rows = {r.nk: (r.change_op, r.v) for r in classify_changes(prev, inc, ["nk"], ["v"]).collect()}
+    assert rows[1] == ("UPDATE", None)  # value->NULL really overwrites
+    assert rows[2] == ("UNCHANGED", "b")
