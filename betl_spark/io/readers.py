@@ -125,17 +125,27 @@ def _read_gsheet(spark: SparkSession, datastore: Datastore, worksheet: str) -> D
 
 def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:
     """Excel scan: stop at first empty row, trim trailing empty columns
-    (reference betl/io/excelIO.py:4-35). Same injection pattern as gsheet.
+    (reference betl/io/excelIO.py:4-35).
+
+    Live path: ``datastore.workbook`` names an .xlsx file, read
+    driver-side with the stdlib SpreadsheetML parser (io/xlsx.py) —
+    workbook sheets are small config/mapping inputs, so a driver fetch
+    then ``createDataFrame`` is the right distribution shape. A
+    pre-fetched list-of-rows can still be injected via
+    ``extra['rows']`` (kept for parity with the gsheet seam).
     """
     rows = datastore.extra.get("rows")
     if rows is None:
-        try:
-            import openpyxl  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "openpyxl not installed; inject pre-fetched rows via Datastore.extra['rows']"
-            ) from e
-        raise NotImplementedError("live Excel fetch not wired in this environment")
+        if not datastore.workbook:
+            raise ValueError(
+                f"EXCEL datastore {datastore.datastore_id}: set workbook=<path to .xlsx> "
+                "or inject pre-fetched rows via extra['rows']"
+            )
+        from betl_spark.io.xlsx import read_worksheet_rows
+
+        rows = read_worksheet_rows(datastore.workbook, worksheet)
+    if not rows:
+        raise ValueError(f"worksheet {worksheet!r} is empty (no header row)")
     header, *data = rows
     # stop at first fully-empty row (excelIO.py:18-24)
     trimmed: list[list[str]] = []
@@ -143,13 +153,20 @@ def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> Da
         if all(v is None or str(v) == "" for v in r):
             break
         trimmed.append([("" if v is None else str(v)) for v in r])
-    # trim to max non-empty column (excelIO.py:26-33)
+    # trim to max non-empty column (excelIO.py:26-33); data can be wider
+    # than the header row (the reference leaves those columns unnamed —
+    # here they get positional _c<i> names so the schema stays valid)
     width = 0
     for r in [header] + trimmed:
         for i, v in enumerate(r):
             if v is not None and str(v) != "":
                 width = max(width, i + 1)
+    names = [str(h) for h in header[:width]]
+    names += [f"_c{i}" for i in range(len(names), width)]
     return spark.createDataFrame(
-        [r[:width] + [""] * (width - len(r)) for r in trimmed],
-        schema=all_string_schema([str(h) for h in header[:width]]),
+        [
+            [("" if v is None else str(v)) for v in r[:width]] + [""] * (width - len(r))
+            for r in trimmed
+        ],
+        schema=all_string_schema(names),
     )
