@@ -31,15 +31,27 @@ FROM part WHERE p_size > 40 AND p_brand != 'Brand#4'
 
 # ---- filterWhereNotIn / anti join (dfl_changeRow.py:96-162) ----
 def q_anti_join(spark, sf_dir):
-    dfl = dataflow(spark, sf_dir, ["customer", "orders"])
-    dfl.filterWhereNotIn("customer", ["c_custkey"], "orders", ["o_custkey"])
-    dfl.dropColumns("customer", colsToKeep=["c_custkey", "c_name"])
-    return dfl.getDataFrames("customer")
+    """Multi-column anti join with a guaranteed non-empty result: keep
+    lineitems whose (orderkey, linenumber) pair is absent from the
+    high-quantity subset. (Round 1 anti-joined customers against all
+    orders, which was vacuously empty on this testdata — every customer
+    has an order — so the semantics were never distinguished.)"""
+    dfl = dataflow(spark, sf_dir, ["lineitem"])
+    dfl.filter("lineitem", {"l_quantity": (">", 45)}, targetDataset="bigqty")
+    dfl.filterWhereNotIn(
+        "lineitem", ["l_orderkey", "l_linenumber"], "bigqty", ["l_orderkey", "l_linenumber"]
+    )
+    dfl.dropColumns("lineitem", colsToKeep=["l_orderkey", "l_linenumber", "l_quantity"])
+    return dfl.getDataFrames("lineitem")
 
 
 ANTI_JOIN_SQL = """
-SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+SELECT a.l_orderkey, a.l_linenumber, a.l_quantity FROM lineitem a
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem b
+  WHERE b.l_quantity > 45
+    AND b.l_orderkey = a.l_orderkey AND b.l_linenumber = a.l_linenumber
+)
 """
 
 
@@ -315,6 +327,49 @@ FROM customer c LEFT JOIN m USING (c_mktsegment)
 """
 
 
+# ---- DataFlow.write surface: validate/reorder + ''→NULL (dfl_io.py:61-212) ----
+def q_write_readback(spark, sf_dir):
+    """write → read-back proof of the warehouse boundary: columns
+    arrive out of schema order (write must reorder against the logical
+    model, dfl_io.py:106-160) with '' markers (write must convert to
+    NULL at BSE, dbIO.py:27-28); the returned frame is what an
+    independent reader sees in the written parquet."""
+    from betl_spark.io.readers import read_staged
+    from betl_spark.schema.registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.define(
+        "BSE",
+        "dm_segment",
+        [
+            ("cust_id", "TEXT", "Natural key"),
+            ("segment", "TEXT", "Attribute"),
+            ("name_prefix", "TEXT", "Attribute"),
+        ],
+    )
+    dfl = dataflow(spark, sf_dir, ["customer"])
+    dfl.registry = reg
+    # deliberately NOT in schema order; MACHINERY blanked to ''
+    dfl.customSQL(
+        "SELECT CASE WHEN c_mktsegment = 'MACHINERY' THEN '' ELSE c_mktsegment END AS segment, "
+        "CAST(c_custkey AS STRING) AS cust_id, substring(c_name, 1, 12) AS name_prefix "
+        "FROM customer",
+        dataset="dm_segment",
+    )
+    dfl.write("dm_segment", "dm_segment", "BSE", keepDataflowOpen=True)
+    return read_staged(
+        spark, dfl.conf.layer_path("BSE", "dm_segment"), all_string=False
+    )
+
+
+WRITE_READBACK_SQL = """
+SELECT CAST(c_custkey AS VARCHAR) AS cust_id,
+       NULLIF(c_mktsegment, 'MACHINERY') AS segment,
+       substr(c_name, 1, 12) AS name_prefix
+FROM customer
+"""
+
+
 # ---- applyFunctionToColumns / pandas UDF (dfl_customCode.py:28-58) ----
 def q_apply_function_columns(spark, sf_dir):
     """The reference's Series→Series custom-function surface as an
@@ -356,4 +411,5 @@ QUERIES = {
     "mdm_group_count": (q_mdm_group_count, MDM_GROUP_COUNT_SQL),
     "mdm_map_master_data": (q_mdm_map_master_data, MDM_MAP_MASTER_DATA_SQL),
     "apply_function_columns": (q_apply_function_columns, APPLY_FUNCTION_COLUMNS_SQL),
+    "write_readback": (q_write_readback, WRITE_READBACK_SQL),
 }

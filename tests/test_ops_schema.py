@@ -67,3 +67,24 @@ def test_pivot_cols_to_rows(dfl):
         ("2", "m1", "b"),
         ("2", "m2", "d"),
     ]
+
+
+def test_add_columns_callable_vectorized_matches_row_path(dfl):
+    dfl.createDataset("d", {"a": ["1", "2"], "b": ["x", "y"]})
+    dfl.duplicateDataset("d", ["d2"])
+    slow = dfl.addColumns("d", {"fn": lambda row: row.a + row.b})
+    fast = dfl.addColumns("d2", {"fn": lambda row: row.a + row.b}, vectorized=True)
+    assert rows(slow) == rows(fast) == [("1", "x", "1x"), ("2", "y", "2y")]
+
+
+def test_positional_column_guards(dfl):
+    import pytest
+
+    from betl_spark.dataflow.ops_schema import _add_positional_column
+
+    dfl.createDataset("d", {"a": ["1", "2", "3"]})
+    df = dfl.getDataFrames("d")
+    with pytest.raises(ValueError, match="2 values for 3 rows"):
+        _add_positional_column(df, "pos", ["x", "y"])
+    with pytest.raises(ValueError, match="row cap"):
+        _add_positional_column(df, "pos", ["x", "y", "z"], max_rows=2)
