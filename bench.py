@@ -43,12 +43,19 @@ def main() -> None:
             except Exception:
                 pass
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop the plan + any localCheckpoint blocks before the next
+        # query: 76 retained plans otherwise inflate later timings
+        # (ContextCleaner frees executor blocks only after Python GC)
+        del df
+        gc.collect()
 
     payload = {
         "metric": "contract_queries_total_runtime",
