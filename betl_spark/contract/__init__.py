@@ -69,6 +69,12 @@ _PRIORITY = [
     "dedup_simhash",
     "anti_join",
     "write_readback",
+    # -- new in round 2, first check --
+    "vocab_topk",
+    "tf_idf",
+    "bigram_counts",
+    "pack_sequences",
+    "stratified_sample",
 ]
 
 QUERIES: dict = {}

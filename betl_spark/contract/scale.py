@@ -751,6 +751,117 @@ FROM feats
 """
 
 
+# ---- corpus: vocabulary / TF-IDF / bigrams / packing / stratified mix ----
+def q_vocab_topk(spark, sf_dir):
+    from betl_spark.operators import corpus
+
+    return corpus.token_frequencies(
+        table(spark, sf_dir, "documents"), "doc_id", "text", top_k=100
+    )
+
+
+VOCAB_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+  FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT token, n_docs, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, token) AS r
+  FROM counts
+)
+SELECT token, n_docs, n_occurrences FROM ranked WHERE r <= 100
+"""
+
+
+def q_tf_idf(spark, sf_dir):
+    from betl_spark.operators import corpus
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return corpus.tf_idf(docs, "doc_id", "text", min_doc_freq=2)
+
+
+TF_IDF_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM docs),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY token
+  HAVING COUNT(*) >= 2
+)
+SELECT t.doc_id, t.token, t.tf,
+       round(t.tf * ln(CAST((SELECT COUNT(*) FROM docs) AS DOUBLE) / d.doc_freq), 6) AS tfidf
+FROM tf t JOIN dfreq d USING (token)
+"""
+
+
+def q_bigram_counts(spark, sf_dir):
+    from betl_spark.operators import corpus
+
+    return corpus.bigram_counts(table(spark, sf_dir, "documents"), "text", min_count=5)
+
+
+BIGRAM_COUNTS_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+b AS (
+  SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+  FROM t WHERE len(ts) >= 2
+)
+SELECT struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2, COUNT(*) AS n
+FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    from betl_spark.operators import corpus
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", text.token_count("text").alias("n_tokens")
+    )
+    return corpus.pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_shards=16)
+
+
+PACK_SEQUENCES_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS chunk
+FROM c
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.1}, default_fraction=0.25
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 <
+      CASE WHEN source = 'src0' THEN 5000
+           WHEN source = 'src1' THEN 1000
+           ELSE 2500 END
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
@@ -775,4 +886,9 @@ QUERIES = {
     "multimodal_frame_sample": (q_multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "split_assign": (q_split_assign, SPLIT_ASSIGN_SQL),
     "hash_sample": (q_hash_sample, HASH_SAMPLE_SQL),
+    "vocab_topk": (q_vocab_topk, VOCAB_TOPK_SQL),
+    "tf_idf": (q_tf_idf, TF_IDF_SQL),
+    "bigram_counts": (q_bigram_counts, BIGRAM_COUNTS_SQL),
+    "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
 }

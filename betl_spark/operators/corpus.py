@@ -1,0 +1,140 @@
+"""Corpus-level operators for training-data pipelines: vocabulary
+building, TF-IDF, n-gram statistics, and sequence packing.
+
+Beyond-reference scale surface (the reference's only text handling is
+string cleanup, betl/dataflow/dfl_changeData.py); same family as
+operators/text.py and operators/dedup.py.
+
+Scale shapes:
+- vocab/bigram counts are explode → groupBy(token): map-side partial
+  aggregation collapses per-partition duplicates before the shuffle, so
+  wire volume is ~|vocab| per partition, not |tokens|.
+- TF-IDF is two of those aggregations joined back on the token — the
+  token join broadcasts when the vocabulary fits (it almost always
+  does: vocab grows ~log corpus).
+- sequence packing is shard-local by design: a GLOBAL greedy pack of
+  100 TB would serialize on one cumulative sum, so documents are
+  sharded by key hash and packed within shards (what production
+  concat-and-chunk pipelines do); each shard's window runs in parallel
+  and chunk ids are (shard, chunk_in_shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from betl_spark.operators.sampling import hash_bucket
+
+
+def token_frequencies(
+    df: DataFrame, id_col: str, text_col: str, top_k: int | None = None
+) -> DataFrame:
+    """Corpus token frequencies (vocabulary building): (token, n_docs,
+    n_occurrences), optionally the top_k by occurrences with a total
+    (n desc, token asc) order so the cut is deterministic."""
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count_distinct("__doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    if top_k is None:
+        return counts
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def tf_idf(
+    df: DataFrame, id_col: str, text_col: str, min_doc_freq: int = 1
+) -> DataFrame:
+    """Per-(doc, token) TF-IDF: tf = occurrences in doc, idf =
+    ln(N / doc_freq), rounded to 6dp so independent engines agree on
+    the float tail. Output (id, token, tf, tfidf).
+
+    One explode feeds both aggregations; doc_freq is computed on
+    (doc, token) pairs already deduplicated by the tf groupBy, so the
+    corpus-wide pass aggregates |doc×vocab| rows, not |tokens|.
+    """
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    if min_doc_freq > 1:
+        docfreq = docfreq.filter(F.col("doc_freq") >= min_doc_freq)
+    return tf.join(docfreq, "token").select(
+        id_col,
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
+        ).alias("tfidf"),
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame:
+    """Adjacent-token bigram counts over the corpus: (w1, w2, n).
+    The bigram array is built with a codegen slice-zip (no HOF lambda
+    per element beyond the zip itself), then explode → groupBy."""
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    out = (
+        df.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return out.filter(F.col("n") >= min_count) if min_count > 1 else out
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end to end
+    in key order and each is assigned to the training chunk its FIRST
+    token lands in (chunk = floor(start_offset / budget)) — the
+    standard packing when sequences are later split at token
+    granularity, so a chunk boundary spills by at most one document.
+    Output (id, token_count, shard, chunk); chunk ids are per-shard.
+
+    Documents are sharded by key hash and packed WITHIN each shard: a
+    global pack would serialize 100 TB through one cumulative sum,
+    while the shard windows parallelize and the assignment stays a
+    pure function of the key set (independent of partitioning). Each
+    shard's running total is one window scan in one task — no
+    driver-side loop.
+    """
+    shard = hash_bucket(id_col, n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(token_count_col),
+        shard,
+        F.col(token_count_col).cast("long").alias("__tc"),
+    )
+    start_offset = F.sum("__tc").over(w) - F.col("__tc")
+    return base.select(
+        id_col,
+        token_count_col,
+        "shard",
+        (start_offset / budget).cast("long").alias("chunk"),
+    )

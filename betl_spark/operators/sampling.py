@@ -43,6 +43,28 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, buckets: int = 100
     return df.where(hash_bucket(key_col, buckets) < keep)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ~``fractions[s]`` of
+    each stratum (e.g. rebalancing sources/languages in a training
+    mix). Same pure-key-hash membership as ``hash_sample`` — join-stable
+    and reproducible — with the threshold selected per row from the
+    stratum column; strata not listed keep ``default_fraction``.
+    Still one narrow projection: no shuffle, no per-stratum pass."""
+    threshold = F.lit(int(round(default_fraction * buckets)))
+    for s, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum_col) == s, F.lit(int(round(frac * buckets)))
+        ).otherwise(threshold)
+    return df.where(hash_bucket(key_col, buckets) < threshold)
+
+
 def deterministic_split(
     df: DataFrame,
     key_col: str,

@@ -291,3 +291,53 @@ def test_embedding_near_dups_bucketed_subset_of_all_pairs(emb):
     assert bucketed  # finds same-bucket near-dups
     assert set(bucketed) <= set(exact)  # never invents a pair
     assert all(exact[p] == s for p, s in bucketed.items())  # identical cosine
+
+
+def test_pack_sequences_offsets_and_partition_invariance(docs):
+    from betl_spark.operators import corpus
+
+    d = docs.selectExpr("doc_id", "size(split(text, ' ')) AS n_tokens")
+    out = corpus.pack_sequences(d, "doc_id", "n_tokens", budget=500, n_shards=4)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(
+        map(tuple, corpus.pack_sequences(d.repartition(7), "doc_id", "n_tokens", 500, 4).collect())
+    )
+    # replay the offset rule per shard: chunk = floor(start_offset/budget)
+    by_shard = {}
+    for doc_id, n_tokens, shard, chunk in rows:
+        by_shard.setdefault(shard, []).append((doc_id, n_tokens, chunk))
+    for shard, items in by_shard.items():
+        offset = 0
+        for doc_id, n_tokens, chunk in sorted(items):
+            assert chunk == offset // 500, (shard, doc_id)
+            offset += n_tokens
+
+
+def test_stratified_sample_respects_per_stratum_fractions(docs):
+    from betl_spark.operators import sampling
+
+    d = docs.select("doc_id", "lang")
+    out = sampling.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": 1.0, "de": 0.0}, default_fraction=0.3
+    )
+    got = {r["lang"]: 1 for r in out.collect()}
+    kept = out.groupBy("lang").count().collect()
+    n_en = d.filter("lang = 'en'").count()
+    by_lang = {r["lang"]: r["count"] for r in kept}
+    assert by_lang.get("en") == n_en  # fraction 1.0 keeps every doc
+    assert "de" not in by_lang        # fraction 0.0 keeps none
+    # default strata keep a middling share, and membership is by key
+    # hash, so the sample is a subset of the unstratified 30% sample
+    base = {r["doc_id"] for r in sampling.hash_sample(d, "doc_id", 0.3).collect()}
+    other = {r["doc_id"] for r in out.filter("lang NOT IN ('en','de')").collect()}
+    assert other <= base
+
+
+def test_vocab_and_tfidf_shapes(docs):
+    from betl_spark.operators import corpus
+
+    top = corpus.token_frequencies(docs, "doc_id", "text", top_k=10).collect()
+    assert len(top) == 10
+    assert all(r["n_occurrences"] >= r["n_docs"] > 0 for r in top)
+    ti = corpus.tf_idf(docs.limit(20), "doc_id", "text").collect()
+    assert all(r["tfidf"] >= 0 for r in ti)
