@@ -81,14 +81,20 @@ def read_source_table(
     elif t == "PARQUET":
         df = spark.read.parquet(datastore.table_path(table_name))
     elif t in ("POSTGRES", "SQLITE"):
-        if not datastore.jdbc_url:
-            raise ValueError(f"datastore {datastore.datastore_id}: jdbc_url required")
-        reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(
-            "dbtable", table_name
-        )
-        for k, v in datastore.jdbc_properties.items():
-            reader = reader.option(k, v)
-        df = reader.load()
+        if datastore.jdbc_url:
+            reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(
+                "dbtable", table_name
+            )
+            for k, v in datastore.jdbc_properties.items():
+                reader = reader.option(k, v)
+            df = reader.load()
+        elif t == "SQLITE" and datastore.path:
+            df = _read_sqlite_table(spark, datastore, table_name)
+        else:
+            raise ValueError(
+                f"datastore {datastore.datastore_id}: jdbc_url required "
+                "(or, for SQLITE, path=<.db file> for the stdlib driver-side read)"
+            )
     elif t == "GSHEET":
         df = _read_gsheet(spark, datastore, table_name)
     elif t == "EXCEL":
@@ -98,6 +104,65 @@ def read_source_table(
     if cols:
         df = df.select(*cols)
     return df.limit(limit) if limit else df
+
+
+def _read_sqlite_table(
+    spark: SparkSession, datastore: Datastore, table_name: str
+) -> DataFrame:
+    """SQLite extract without a JDBC driver jar: stdlib ``sqlite3``
+    driver-side read → ``createDataFrame``, with column types mapped
+    from the declared affinities (INT→long, REAL→double, else string).
+
+    The reference reads DB sources exactly this way — one eager
+    driver-side SELECT into pandas (betl/io/dbIO.py:5-13) — and a local
+    .db file is single-node by nature, so this is the honest
+    distribution shape; point ``jdbc_url`` at a real database (with
+    partitioning options) for cluster-scale extracts.
+    """
+    import os
+    import sqlite3
+
+    from pyspark.sql import types as T
+
+    db = datastore.path
+    if os.path.isdir(db):
+        filename = datastore.extra.get("filename")
+        if not filename:
+            raise ValueError(
+                f"datastore {datastore.datastore_id}: path is a directory; "
+                "set extra['filename'] to the .db file"
+            )
+        db = os.path.join(db, filename)
+    con = sqlite3.connect(db)
+    try:
+        known = [
+            r[0]
+            for r in con.execute(
+                "SELECT name FROM sqlite_master WHERE type IN ('table', 'view')"
+            ).fetchall()
+        ]
+        if table_name not in known:
+            raise KeyError(f"table {table_name!r} not in {db}; have {sorted(known)}")
+        info = con.execute(f"pragma table_info('{table_name}')").fetchall()
+        fields, casts = [], []
+        for _, name, decl, *_rest in info:
+            decl = (decl or "").upper()
+            if "INT" in decl:
+                fields.append(T.StructField(name, T.LongType()))
+                casts.append(lambda v: None if v is None else int(v))
+            elif any(k in decl for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DECIMAL")):
+                fields.append(T.StructField(name, T.DoubleType()))
+                casts.append(lambda v: None if v is None else float(v))
+            else:
+                fields.append(T.StructField(name, T.StringType()))
+                casts.append(lambda v: None if v is None else str(v))
+        rows = [
+            tuple(c(v) for c, v in zip(casts, r))
+            for r in con.execute(f'SELECT * FROM "{table_name}"')
+        ]
+    finally:
+        con.close()
+    return spark.createDataFrame(rows, schema=T.StructType(fields))
 
 
 def _read_gsheet(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:

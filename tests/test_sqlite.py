@@ -1,0 +1,66 @@
+"""SQLITE datastore: live stdlib-driver read path (no JDBC jar needed)
+through read_source_table and the DataFlow API (reference reads DB
+sources with one eager driver-side SELECT, betl/io/dbIO.py:5-13)."""
+
+import sqlite3
+
+import pytest
+
+from betl_spark.config import Conf
+from betl_spark.dataflow.core import DataFlow
+from betl_spark.io.datastore import Datastore
+from betl_spark.io.readers import read_source_table
+
+
+@pytest.fixture()
+def db_path(tmp_path):
+    p = str(tmp_path / "src.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE people (id INTEGER, name TEXT, score REAL)")
+    con.executemany(
+        "INSERT INTO people VALUES (?, ?, ?)",
+        [(1, "ada", 9.5), (2, "bob", None), (None, None, 1.25)],
+    )
+    con.execute("CREATE TABLE tiny (k TEXT)")
+    con.execute("INSERT INTO tiny VALUES ('x')")
+    con.commit()
+    con.close()
+    return p
+
+
+def test_sqlite_typed_read(spark, db_path):
+    ds = Datastore("DB", "SQLITE", is_src_sys=True, path=db_path)
+    df = read_source_table(spark, ds, "people")
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double",
+    ]
+    rows = sorted(map(tuple, df.collect()), key=lambda r: (r[0] is None, r[0]))
+    assert rows == [(1, "ada", 9.5), (2, "bob", None), (None, None, 1.25)]
+
+
+def test_sqlite_limit_cols_and_unknown_table(spark, db_path):
+    ds = Datastore("DB", "SQLITE", path=db_path)
+    df = read_source_table(spark, ds, "people", cols=["id", "name"], limit=2)
+    assert df.columns == ["id", "name"] and df.count() == 2
+    with pytest.raises(KeyError):
+        read_source_table(spark, ds, "nope")
+
+
+def test_sqlite_through_dataflow(spark, db_path, tmp_path):
+    ds = Datastore("DB", "SQLITE", is_src_sys=True, path=db_path)
+    conf = Conf(app_root=str(tmp_path), datastores={"DB": ds})
+    dfl = DataFlow(conf, "sqlite extract", spark=spark)
+    dfl.getDataFromSrc("people", "DB")
+    got = dfl.getDataFrames("people")
+    assert got.count() == 3
+    assert "audit_source_system" in got.columns
+
+
+def test_sqlite_dir_needs_filename(spark, tmp_path, db_path):
+    ds = Datastore("DB", "SQLITE", path=str(tmp_path))
+    with pytest.raises(ValueError, match="filename"):
+        read_source_table(spark, ds, "people")
+    ds2 = Datastore(
+        "DB", "SQLITE", path=str(tmp_path), extra={"filename": "src.db"}
+    )
+    assert read_source_table(spark, ds2, "tiny").count() == 1
