@@ -209,16 +209,27 @@ def run_stream_to_table(
     cluster: O(cores) on a real cluster, small (e.g. 8) for local runs
     over modest data. Results are partition-count-invariant.
     """
+    import os
+    import shutil
+    import tempfile
+
     spark = stream_df.sparkSession
     name = f"{table_prefix}_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # checkpoint + state store on tmpfs when available: the state commit
+    # per micro-batch is fsync-bound on disk, pure memcpy on /dev/shm.
+    # (A production stream checkpoints to durable storage by definition —
+    # this helper is the batch-parity/test bridge, so volatile is right.)
+    ckpt_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    ckpt = tempfile.mkdtemp(prefix="betl_ckpt_", dir=ckpt_root)
     try:
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -226,6 +237,7 @@ def run_stream_to_table(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 
