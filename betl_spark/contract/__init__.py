@@ -75,6 +75,8 @@ _PRIORITY = [
     "bigram_counts",
     "pack_sequences",
     "stratified_sample",
+    "quality_filter",
+    "delta_load_fact",
 ]
 
 QUERIES: dict = {}

@@ -751,6 +751,49 @@ FROM feats
 """
 
 
+# ---- Gopher-style rule filter ----
+def q_quality_filter(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    # deterministic augmentation: every 4th doc gets symbol noise so the
+    # symbol-ratio rule has real work (the synthetic corpus is clean)
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" ### ... #noise ... #")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return text.quality_filter(noisy, "doc_id", "text", min_tokens=60)
+
+
+QUALITY_FILTER_SQL = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN text || ' ### ... #noise ... #'
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len,
+         round(CAST(len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS symbol_ratio,
+         CAST(len(list_filter(string_split(text, ' '),
+              w -> list_contains(['the','and','of','to','in','is','that','with'], w))) AS INTEGER) AS stopword_hits
+  FROM noisy
+)
+SELECT doc_id, n_tokens, avg_token_len, symbol_ratio, stopword_hits,
+       (n_tokens >= 60 AND n_tokens <= 100000
+        AND avg_token_len >= 3.0 AND avg_token_len <= 10.0
+        AND symbol_ratio <= 0.1 AND stopword_hits >= 2) AS keep
+FROM t
+"""
+
+
 # ---- corpus: vocabulary / TF-IDF / bigrams / packing / stratified mix ----
 def q_vocab_topk(spark, sf_dir):
     from betl_spark.operators import corpus
@@ -886,6 +929,7 @@ QUERIES = {
     "multimodal_frame_sample": (q_multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
     "split_assign": (q_split_assign, SPLIT_ASSIGN_SQL),
     "hash_sample": (q_hash_sample, HASH_SAMPLE_SQL),
+    "quality_filter": (q_quality_filter, QUALITY_FILTER_SQL),
     "vocab_topk": (q_vocab_topk, VOCAB_TOPK_SQL),
     "tf_idf": (q_tf_idf, TF_IDF_SQL),
     "bigram_counts": (q_bigram_counts, BIGRAM_COUNTS_SQL),

@@ -216,6 +216,45 @@ SELECT sk_customer, nk_customer, c_mktsegment FROM new_rows
 """
 
 
+def q_delta_load_fact(spark, sf_dir):
+    """Incremental fact merge over two deterministic lineitem windows:
+    previous omits orderkey%3==0, the incoming batch is the orderkey%5
+    slice with restated quantities — %15 rows are brand-new (APPEND),
+    overlapping rows take incoming measures, everything else is
+    retained (absence from a batch is not deletion)."""
+    from betl_spark.defaults.delta import delta_load_fact
+
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 5000)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+    prev = li.filter(F.col("l_orderkey") % 3 != 0)
+    inc = li.filter(F.col("l_orderkey") % 5 == 0).withColumn(
+        "l_quantity", F.col("l_quantity") + 1
+    )
+    return delta_load_fact(prev, inc, ["l_orderkey", "l_linenumber"])
+
+
+DELTA_LOAD_FACT_SQL = """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+  FROM lineitem WHERE l_orderkey < 5000
+),
+prev AS (SELECT * FROM li WHERE l_orderkey % 3 != 0),
+inc AS (
+  SELECT l_orderkey, l_linenumber, l_quantity + 1 AS l_quantity, l_extendedprice
+  FROM li WHERE l_orderkey % 5 = 0
+)
+SELECT COALESCE(p.l_orderkey, i.l_orderkey) AS l_orderkey,
+       COALESCE(p.l_linenumber, i.l_linenumber) AS l_linenumber,
+       CASE WHEN i.l_orderkey IS NULL THEN p.l_quantity ELSE i.l_quantity END AS l_quantity,
+       CASE WHEN i.l_orderkey IS NULL THEN p.l_extendedprice ELSE i.l_extendedprice END AS l_extendedprice
+FROM prev p FULL OUTER JOIN inc i
+  ON p.l_orderkey = i.l_orderkey AND p.l_linenumber = i.l_linenumber
+"""
+
+
 def q_events_stream_enrich(spark, sf_dir):
     from betl_spark.streaming import stream_static_enrich
 
@@ -259,4 +298,5 @@ QUERIES = {
     "events_stream_stateful": (q_events_stream_stateful, EVENTS_STREAM_STATEFUL_SQL),
     "delta_classify": (q_delta_classify, DELTA_CLASSIFY_SQL),
     "delta_load_dimension": (q_delta_load_dimension, DELTA_LOAD_DIMENSION_SQL),
+    "delta_load_fact": (q_delta_load_fact, DELTA_LOAD_FACT_SQL),
 }

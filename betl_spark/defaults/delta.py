@@ -79,6 +79,36 @@ def apply_delta(
     return keep.select(previous.columns)
 
 
+def delta_load_fact(
+    prev_fact: DataFrame,
+    incoming: DataFrame,
+    nk_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental fact load: the second operation the reference stubs
+    with "Code not yet written" (stageLoad.py:437-438).
+
+    Facts are append-dominant, so per natural key:
+    - rows present only in the incoming batch APPEND;
+    - rows present in both take the incoming measures (late-arriving
+      restatement, type-1);
+    - rows absent from the incoming batch are RETAINED — an incremental
+      batch is a window of new activity, not a full snapshot, so
+      absence is not deletion (unlike the dimension's full-snapshot
+      contract, where absence still retains but for SK-integrity
+      reasons).
+
+    Scale shape: one NK-shuffled join of previous and incoming. At
+    100 TB the previous fact should be partitioned by a date/batch
+    column so the join (and the subsequent overwrite) touches only the
+    partitions the incoming window can affect — this function is the
+    per-partition merge a Delta/Iceberg MERGE INTO would run.
+    """
+    changes = classify_changes(prev_fact, incoming, nk_cols, compare_cols)
+    # DELETE here means "absent from this batch" → retained as-is
+    return changes.drop(CHANGE_COL).select(prev_fact.columns)
+
+
 def delta_load_dimension(
     prev_dim: DataFrame,
     incoming: DataFrame,

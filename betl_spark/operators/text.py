@@ -129,6 +129,54 @@ def doc_fingerprint(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_avg_token_len: float = 3.0,
+    max_avg_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1, public spec):
+    token-count bounds, mean-token-length bounds, symbol-to-token ratio
+    ('#' and '...'), and a minimum stopword-hit count as a coherence
+    proxy. Output (id, n_tokens, avg_token_len, symbol_ratio,
+    stopword_hits, keep) — features are kept in the output so the
+    filter is auditable, the standard shape for corpus curation where
+    you must explain every dropped document.
+
+    Pure column expressions (two regexp_counts + arithmetic): runs at
+    scan speed, no shuffle, composes with the rest of the curation
+    ladder in one stage."""
+    toks = tokens(text_col)
+    n_toks = F.size(toks)
+    avg_len = F.round(F.length(text_col).cast("double") / n_toks.cast("double"), 6)
+    n_symbols = F.regexp_count(F.col(text_col), F.lit("#")) + F.regexp_count(
+        F.col(text_col), F.lit(r"\.\.\.")
+    )
+    sym_ratio = F.round(n_symbols.cast("double") / n_toks.cast("double"), 6)
+    stop_hits = _stopword_count(text_col, LANG_STOPWORDS["en"])
+    keep = (
+        (n_toks >= min_tokens)
+        & (n_toks <= max_tokens)
+        & (avg_len >= min_avg_token_len)
+        & (avg_len <= max_avg_token_len)
+        & (sym_ratio <= max_symbol_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
 # PII patterns in the RE2 ∩ Java-regex dialect (portable to the oracle)
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",

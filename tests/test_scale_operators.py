@@ -341,3 +341,21 @@ def test_vocab_and_tfidf_shapes(docs):
     assert all(r["n_occurrences"] >= r["n_docs"] > 0 for r in top)
     ti = corpus.tf_idf(docs.limit(20), "doc_id", "text").collect()
     assert all(r["tfidf"] >= 0 for r in ti)
+
+
+def test_quality_filter_rules(spark):
+    good = "the cat sat on the mat and the dog ran to the hill with a very calm mood " * 4
+    df = spark.createDataFrame(
+        [
+            (1, good.strip()),
+            (2, "too short"),
+            (3, ("### " * 40 + good).strip()),  # symbol-heavy
+            (4, ("zz " * 80).strip()),          # no stopwords
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in text.quality_filter(df, "doc_id", "text").collect()}
+    assert out[1].keep is True
+    assert out[2].keep is False and out[2].n_tokens == 2
+    assert out[3].keep is False and out[3].symbol_ratio > 0.1
+    assert out[4].keep is False and out[4].stopword_hits == 0

@@ -141,3 +141,21 @@ def test_delta_classify_null_overwrite_lands(spark):
     rows = {r.nk: (r.change_op, r.v) for r in classify_changes(prev, inc, ["nk"], ["v"]).collect()}
     assert rows[1] == ("UPDATE", None)  # value->NULL really overwrites
     assert rows[2] == ("UNCHANGED", "b")
+
+
+def test_delta_load_fact_upsert_append_retain(spark):
+    from betl_spark.defaults.delta import delta_load_fact
+
+    prev = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (2, 1, 30.0)], "ok int, ln int, qty double"
+    )
+    inc = spark.createDataFrame(
+        [(1, 2, 99.0), (3, 1, 5.0)], "ok int, ln int, qty double"
+    )
+    out = sorted(map(tuple, delta_load_fact(prev, inc, ["ok", "ln"]).collect()))
+    assert out == [
+        (1, 1, 10.0),   # retained (absent from batch != deleted)
+        (1, 2, 99.0),   # restated measure
+        (2, 1, 30.0),   # retained
+        (3, 1, 5.0),    # appended
+    ]
