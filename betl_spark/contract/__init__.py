@@ -77,6 +77,7 @@ _PRIORITY = [
     "stratified_sample",
     "quality_filter",
     "delta_load_fact",
+    "dedup_simhash_near_dups",
 ]
 
 QUERIES: dict = {}

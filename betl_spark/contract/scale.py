@@ -175,6 +175,48 @@ FROM hashed
 """
 
 
+# ---- SimHash banded near-dup pairs ----
+def q_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(
+        _augmented_docs(spark, sf_dir), "doc_id", "text",
+        n_bits=SIMHASH_BITS, bands=4, max_hamming=3,
+    )
+
+
+SIMHASH_NEAR_DUPS_SQL = f"""
+WITH aug AS ({AUGMENTED_DOCS_SQL}),
+toks AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ts FROM aug
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(ts, t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range({SIMHASH_BITS}), j ->
+           CASE WHEN list_sum(list_transform(hs, h ->
+                  CASE WHEN (h >> CAST(j AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END)) AS BIGINT) AS simhash
+  FROM hashed
+),
+banded AS (
+  SELECT doc_id, simhash, b.range AS band,
+         (simhash >> (CAST(b.range AS INTEGER) * {SIMHASH_BITS // 4})) & {(1 << (SIMHASH_BITS // 4)) - 1} AS slice
+  FROM fp CROSS JOIN range(4) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+
 # ---- embedding cosine top-k (brute force) ----
 def q_similarity_topk(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
@@ -911,6 +953,7 @@ QUERIES = {
     "dedup_minhash_lsh_pairs": (q_minhash_lsh_pairs, MINHASH_LSH_PAIRS_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (q_simhash, SIMHASH_SQL),
+    "dedup_simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),

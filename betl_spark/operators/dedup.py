@@ -233,6 +233,66 @@ def hamming_distance(col_a, col_b) -> F.Column:
     return F.bit_count(F.col(col_a).bitwiseXOR(F.col(col_b)))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from banded SimHash: split each fingerprint into
+    ``bands`` contiguous bit slices and bucket-join on (band, slice) —
+    by pigeonhole, any pair within hamming distance < bands shares at
+    least one exact band, so recall is total for ``max_hamming`` <
+    ``bands``; candidates are then filtered by exact hamming distance.
+    Output (id_a, id_b, hamming), distinct, id_a < id_b.
+
+    Scale shape: same as MinHash-LSH — the self-join shuffles on the
+    (band, slice) bucket key, so pair work is per-bucket, never
+    corpus². One integer fingerprint per doc makes the banded table 4
+    longs/doc; at 100 TB the fingerprints (not the text) are all that
+    moves.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs bands > max_hamming "
+            f"(got {bands}) for total recall; raise bands or lower the cut"
+        )
+    bits_per = n_bits // bands
+    mask = (1 << bits_per) - 1
+    fp = simhash(df, id_col, text_col, n_bits)
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * bits_per).bitwiseAND(F.lit(mask)).alias(
+                    "slice"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(id_col, "simhash", F.explode(slices).alias("bs")).select(
+        id_col, "simhash", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("fp_a"), "band", "slice"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("fp_b"), "band", "slice"
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming_distance("fp_a", "fp_b").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -359,3 +359,23 @@ def test_quality_filter_rules(spark):
     assert out[2].keep is False and out[2].n_tokens == 2
     assert out[3].keep is False and out[3].symbol_ratio > 0.1
     assert out[4].keep is False and out[4].stopword_hits == 0
+
+
+def test_simhash_near_dups_finds_mutants(spark, docs):
+    import pytest
+
+    corpus = _with_mutants(docs, n=20)
+    tight = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(corpus, "doc_id", "text", 48, 4, 3).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_near_dups(corpus, "doc_id", "text", 48, 8, 6).collect()
+    }
+    assert sum(1 for (a, b) in tight if b == a + 1000) >= 8
+    assert sum(1 for (a, b) in loose if b == a + 1000) >= 15  # wider bands -> higher recall
+    assert set(tight) <= set(loose)
+    assert all(h <= 3 for h in tight.values())
+    with pytest.raises(ValueError, match="bands"):
+        dedup.simhash_near_dups(corpus, "doc_id", "text", 48, 4, max_hamming=4)
