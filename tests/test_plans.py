@@ -1,0 +1,117 @@
+"""Plan contracts: lock in the physical-plan properties the 100 TB
+design depends on, so a refactor that silently de-optimizes an operator
+(adds a shuffle, drops a broadcast, loses column pruning, reintroduces
+a Python UDF) fails CI — not a cluster bill.
+
+Each assertion matches `.explain` output, the same audit the SCALE.md
+notes were written from."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def n_exchanges(p: str) -> int:
+    # count plan NODES ("(4) Exchange" detail headers), not tree echoes
+    return len(re.findall(r"\(\d+\) Exchange", p))
+
+
+def test_text_operators_are_zero_shuffle_pruned_projections(spark):
+    from betl_spark.operators import text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (
+        text.lang_id(docs, "doc_id", "text"),
+        text.text_quality(docs, "doc_id", "text"),
+        text.quality_filter(docs, "doc_id", "text"),
+        text.doc_fingerprint(docs, "doc_id", "text"),
+    ):
+        p = plan(df)
+        assert n_exchanges(p) == 0, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        # column pruning reaches the scan: only (doc_id, text) read
+        m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+        assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+            "doc_id",
+            "text",
+        }, p
+
+
+def test_sampling_is_zero_shuffle(spark):
+    from betl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "source")
+    assert n_exchanges(plan(sampling.hash_sample(docs, "doc_id", 0.2))) == 0
+    assert (
+        n_exchanges(
+            plan(
+                sampling.stratified_hash_sample(
+                    docs, "doc_id", "source", {"src0": 0.5}
+                )
+            )
+        )
+        == 0
+    )
+    assert n_exchanges(plan(sampling.deterministic_split(docs, "doc_id"))) == 0
+
+
+def test_fact_fk_resolution_broadcasts_every_dimension(spark):
+    from betl_spark.defaults.load import assign_surrogate_keys, resolve_fact_fks, sk_nk_map
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet").select(
+        F.col("c_custkey").cast("string").alias("nk_customer")
+    )
+    dim = assign_surrogate_keys(customer, "sk_customer", ["nk_customer"])
+    m = sk_nk_map(dim, "sk_customer", ["nk_customer"])
+    fact = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", F.col("o_custkey").cast("string").alias("nk_customer")
+    )
+    p = plan(resolve_fact_fks(fact, {"fk_customer": m}))
+    assert "BroadcastHashJoin" in p, p
+    # the fact side itself is never exchanged for the FK join
+    assert "SortMergeJoin" not in p, p
+
+
+def test_lsh_candidate_join_shuffles_on_bucket_key_only(spark):
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(
+        similarity.embedding_near_dups(
+            emb, "vec_id", "embedding", 0.2, n_planes=4, dim=64
+        )
+    )
+    # bucketed path: an equi-join on the bucket, not a cartesian product
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # all-pairs fallback IS the cartesian baseline
+    p_all = plan(similarity.embedding_near_dups(emb, "vec_id", "embedding", 0.2))
+    assert "CartesianProduct" in p_all or "BroadcastNestedLoopJoin" in p_all, p_all
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    p = plan(
+        lineitem.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    )
+    assert re.search(r"PushedFilters: \[.*GreaterThan\(l_quantity", p), p
+
+
+def test_exact_dedup_never_moves_payload(spark):
+    from betl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup.exact_dedup(docs, ["text"], "doc_id"))
+    # exactly one exchange (the groupBy), preceded by partial_ agg
+    assert n_exchanges(p) == 1, p
+    assert "partial_" in p, p
