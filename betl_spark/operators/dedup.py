@@ -326,11 +326,84 @@ def ngram_jaccard_pairs(
     )
 
 
+def _edge_checksum(edges: DataFrame) -> tuple:
+    """Cheap convergence probe: (count, xor-free hash sum) of the edge
+    set — equal checksums across rounds mean the star contraction
+    reached its fixpoint."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) sum: full-range longs would overflow ANSI bigint
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def _cc_large_small_star(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public algorithm): provably O(log² n) rounds
+    (O(log n) in practice), vs O(diameter) for plain min-label
+    propagation, so whale components (celebrity documents duplicated
+    across half the corpus, boilerplate chains) don't turn into
+    hundred-round jobs.
+
+    large-star: every node points its LARGER neighbors at the minimum
+    of its neighborhood; small-star: every node and its smaller
+    neighbors contract onto that minimum. Each phase is one
+    groupBy(node) + join — the same shuffle shape as a round of
+    min-label, but the tree flattens geometrically.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev = _edge_checksum(e)
+    for _ in range(max_iter):
+        # ---- large star ----
+        nbrs = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = nbrs.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        e = (
+            nbrs.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # ---- small star (orient edges large→small first) ----
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        ).distinct()
+        mins = oriented.groupBy("src").agg(
+            F.least(F.min("dst"), F.first("src")).alias("m")
+        )
+        contracted = (
+            oriented.join(mins, "src")
+            .select(F.col("dst").alias("node"), F.col("m"))
+            .unionByName(mins.select(F.col("src").alias("node"), F.col("m")))
+            .filter(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        e = contracted.localCheckpoint(eager=True)
+        cur = _edge_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixpoint every edge is (node → its component root)
+    roots = e.select(F.col("dst").alias("node"), F.col("dst").alias("cluster_id")).distinct()
+    return (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("cluster_id"))
+        .unionByName(roots)
+        .distinct()
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: assigns every
     node the MINIMUM id reachable through the pair graph, i.e. a
@@ -347,12 +420,19 @@ def duplicate_clusters(
     Scale notes: each round is one shuffle join on node id, and
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     exponentially with rounds. The convergence test is a cheap count
-    on the changed-label set. For graphs with whale components, switch
-    the propagation to alternating large-star/small-star (same join
-    shape, provably O(log n) rounds).
+    on the changed-label set. ``algorithm="star"`` switches to
+    alternating large-star/small-star contraction
+    (``_cc_large_small_star``) — same shuffle shape per round but
+    O(log n) rounds instead of O(diameter), the right choice for
+    whale components; both algorithms produce identical output.
 
     Output: (node, cluster_id) for every node appearing in ``pairs``.
     """
+    if algorithm == "star":
+        undirected = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        return _cc_large_small_star(undirected, max_iter)
+    if algorithm != "min_label":
+        raise ValueError(f"algorithm must be 'min_label' or 'star', got {algorithm!r}")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))

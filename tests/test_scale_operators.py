@@ -379,3 +379,20 @@ def test_simhash_near_dups_finds_mutants(spark, docs):
     assert all(h <= 3 for h in tight.values())
     with pytest.raises(ValueError, match="bands"):
         dedup.simhash_near_dups(corpus, "doc_id", "text", 48, 4, max_hamming=4)
+
+
+def test_star_contraction_matches_min_label(spark):
+    # chain (worst case for min-label: diameter rounds), a triangle
+    # joined to it, plus a separate pair
+    edges = [(i, i + 1) for i in range(10, 30)] + [(10, 29), (3, 5), (5, 7), (100, 101)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    ml = sorted(map(tuple, dedup.duplicate_clusters(pairs).collect()))
+    star = sorted(map(tuple, dedup.duplicate_clusters(pairs, algorithm="star").collect()))
+    assert ml == star
+    by_cluster = {}
+    for node, cid in star:
+        by_cluster.setdefault(cid, set()).add(node)
+    assert set(by_cluster) == {10, 3, 100}  # min node labels each component
+    assert by_cluster[10] == set(range(10, 31))
+    with pytest.raises(ValueError):
+        dedup.duplicate_clusters(pairs, algorithm="bogus")
