@@ -78,6 +78,7 @@ _PRIORITY = [
     "quality_filter",
     "delta_load_fact",
     "dedup_simhash_near_dups",
+    "near_dup_removal",
 ]
 
 QUERIES: dict = {}

@@ -175,6 +175,46 @@ FROM hashed
 """
 
 
+# ---- end-to-end near-dup REMOVAL: LSH pairs → components → survivors ----
+def q_near_dup_removal(spark, sf_dir):
+    """The full dedup ladder as one flow: MinHash-LSH candidate pairs →
+    estimated-Jaccard filter → connected components → keep only each
+    cluster's canonical (minimum-id) document plus all unpaired docs.
+    This is the query a corpus curator actually runs; every stage is an
+    operator proven separately above."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.minhash_near_dups(
+        aug, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, min_est_jaccard=0.25
+    )
+    clusters = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        aug.join(clusters, aug.doc_id == clusters.node, "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
+        .select("doc_id", F.length("text").alias("n_chars"))
+    )
+
+
+NEAR_DUP_REMOVAL_SQL = f"""
+WITH RECURSIVE aug AS ({AUGMENTED_DOCS_SQL}),
+pairs AS (SELECT id_a, id_b FROM ({MINHASH_LSH_PAIRS_SQL})),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT a.doc_id, CAST(length(a.text) AS INTEGER) AS n_chars
+FROM aug a LEFT JOIN clusters c ON a.doc_id = c.node
+WHERE c.cluster_id IS NULL OR a.doc_id = c.cluster_id
+"""
+
+
 # ---- SimHash banded near-dup pairs ----
 def q_simhash_near_dups(spark, sf_dir):
     return dedup.simhash_near_dups(
@@ -954,6 +994,7 @@ QUERIES = {
     "dedup_ngram_jaccard": (q_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_simhash": (q_simhash, SIMHASH_SQL),
     "dedup_simhash_near_dups": (q_simhash_near_dups, SIMHASH_NEAR_DUPS_SQL),
+    "near_dup_removal": (q_near_dup_removal, NEAR_DUP_REMOVAL_SQL),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, DEDUP_EMBEDDING_COSINE_SQL),
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
