@@ -132,3 +132,62 @@ def test_union_mismatch_raises_for_any_extra_column(spark):
     dfl.createDataset("u2", _df(spark, [["y", "z"]], cols=("a", "extra")))
     with pytest.raises(ValueError, match="union column mismatch"):
         dfl.union(["u1", "u2"], "u")
+
+
+@PROP_SETTINGS
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=30, unique=True),
+    f1=st.sampled_from([0.1, 0.3, 0.6]),
+)
+def test_hash_sample_membership_is_pure_and_monotone(spark, keys, f1):
+    """Sampling is a pure function of the key: partitioning never changes
+    membership, and a smaller fraction's sample is a subset of a larger
+    one (nested thresholds over the same hash)."""
+    from betl_spark.operators import sampling
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    small = {r.k for r in sampling.hash_sample(df, "k", f1).collect()}
+    small_rep = {r.k for r in sampling.hash_sample(df.repartition(5), "k", f1).collect()}
+    big = {r.k for r in sampling.hash_sample(df, "k", min(1.0, f1 * 2)).collect()}
+    assert small == small_rep
+    assert small <= big
+
+
+@PROP_SETTINGS
+@given(
+    counts=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=25),
+)
+def test_pack_sequences_offset_rule_for_any_counts(spark, counts):
+    from betl_spark.operators import corpus
+
+    df = spark.createDataFrame(list(enumerate(counts)), "doc_id bigint, n_tokens int")
+    out = sorted(map(tuple, corpus.pack_sequences(df, "doc_id", "n_tokens", 1000, 3).collect()))
+    per_shard = {}
+    for doc_id, n_tokens, shard, chunk in out:
+        per_shard.setdefault(shard, []).append((doc_id, n_tokens, chunk))
+    for items in per_shard.values():
+        offset = 0
+        for _, n_tokens, chunk in sorted(items):
+            assert chunk == offset // 1000
+            offset += n_tokens
+
+
+@PROP_SETTINGS
+@given(
+    prev=st.lists(st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(0, 3))),
+                  max_size=8, unique_by=lambda t: t[0]),
+    inc=st.lists(st.tuples(st.integers(0, 8), st.one_of(st.none(), st.integers(0, 3))),
+                 max_size=8, unique_by=lambda t: t[0]),
+)
+def test_apply_delta_reproduces_incoming_exactly(spark, prev, inc):
+    """classify → apply must reproduce the incoming snapshot bit-for-bit,
+    including NULL attribute values (the coalesce bug this guards
+    against kept previous values on value→NULL updates)."""
+    from betl_spark.defaults.delta import apply_delta, classify_changes
+
+    pdf = spark.createDataFrame(prev or [(99, 0)], "nk int, v int")
+    idf = spark.createDataFrame(inc or [(98, 0)], "nk int, v int")
+    changes = classify_changes(pdf, idf, ["nk"], ["v"])
+    got = sorted(map(tuple, apply_delta(pdf, changes, ["nk"]).collect()))
+    want = sorted(map(tuple, idf.collect()))
+    assert got == want
