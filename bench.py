@@ -44,17 +44,24 @@ def main() -> None:
                 pass
 
     import gc
+    import traceback
 
     timings: dict[str, float] = {}
+    errors: list[str] = []
     for name, fn in sorted(QUERIES.items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+            del df
+        except Exception:
+            # one broken query must not cost the whole bench its JSON line
+            errors.append(name)
+            traceback.print_exc(file=sys.stderr)
         # drop the plan + any localCheckpoint blocks before the next
-        # query: 76 retained plans otherwise inflate later timings
+        # query: ~80 retained plans otherwise inflate later timings
         # (ContextCleaner frees executor blocks only after Python GC)
-        del df
         gc.collect()
 
     payload = {
@@ -65,6 +72,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    if errors:
+        payload["errors"] = errors
     # full per-query timings for the judge (the stdout line is size-capped)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:
