@@ -64,3 +64,24 @@ def test_sqlite_dir_needs_filename(spark, tmp_path, db_path):
         "DB", "SQLITE", path=str(tmp_path), extra={"filename": "src.db"}
     )
     assert read_source_table(spark, ds2, "tiny").count() == 1
+
+
+def test_sqlite_infer_then_bulk_extract(spark, db_path, tmp_path):
+    """Full admin->pipeline path now that SQLITE reads live: read_src
+    walks the catalog into the registry, bulk_extract pulls every
+    table through the stdlib driver into EXT staging."""
+    from betl_spark.admin import read_src
+    from betl_spark.defaults.extract import bulk_extract
+    from betl_spark.io.readers import read_staged
+    from betl_spark.pipeline import Pipeline
+    from betl_spark.schema.registry import SchemaRegistry
+
+    ds = Datastore("DB", "SQLITE", is_src_sys=True, path=db_path)
+    conf = Conf(app_root=str(tmp_path), datastores={"DB": ds})
+    reg = read_src(spark, conf, SchemaRegistry())
+    assert {t.name for t in reg.tables("EXT")} == {"people", "tiny"}
+    p = Pipeline(conf, registry=reg, spark=spark)
+    bulk_extract(p, "DB")
+    staged = read_staged(spark, conf.layer_path("EXT", "people"))
+    assert staged.count() == 3
+    assert "audit_source_system" in staged.columns
