@@ -79,6 +79,7 @@ _PRIORITY = [
     "delta_load_fact",
     "dedup_simhash_near_dups",
     "near_dup_removal",
+    "multimodal_audio_chunks",
 ]
 
 QUERIES: dict = {}

@@ -987,6 +987,33 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
 """
 
 
+# ---- multimodal: audio chunking plan ----
+def q_multimodal_audio_chunks(spark, sf_dir):
+    media = multimodal.attach_binary(
+        table(spark, sf_dir, "documents"), "doc_id", "text", media_type="audio"
+    )
+    return multimodal.audio_chunk_plan(media, chunk_ms=10_000)
+
+
+MULTIMODAL_AUDIO_CHUNKS_SQL = """
+WITH a AS (
+  SELECT doc_id AS media_id,
+         1 + CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) % 600000 AS duration_ms
+  FROM documents
+),
+s AS (
+  SELECT media_id, duration_ms,
+         unnest(generate_series(0, duration_ms - 1, 10000)) AS start_ms
+  FROM a
+)
+SELECT media_id, duration_ms,
+       CAST(start_ms // 10000 AS INTEGER) AS chunk_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       LEAST(start_ms + 10000, duration_ms) AS end_ms
+FROM s
+"""
+
+
 QUERIES = {
     "dedup_exact": (q_dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_signatures": (q_minhash_signatures, MINHASH_SIGNATURES_SQL),
@@ -1011,6 +1038,7 @@ QUERIES = {
     "multimodal_decode": (q_multimodal_decode, MULTIMODAL_DECODE_SQL),
     "multimodal_resize": (q_multimodal_resize, MULTIMODAL_RESIZE_SQL),
     "multimodal_frame_sample": (q_multimodal_frame_sample, MULTIMODAL_FRAME_SAMPLE_SQL),
+    "multimodal_audio_chunks": (q_multimodal_audio_chunks, MULTIMODAL_AUDIO_CHUNKS_SQL),
     "split_assign": (q_split_assign, SPLIT_ASSIGN_SQL),
     "hash_sample": (q_hash_sample, HASH_SAMPLE_SQL),
     "quality_filter": (q_quality_filter, QUALITY_FILTER_SQL),

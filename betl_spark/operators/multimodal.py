@@ -153,6 +153,43 @@ def resize_plan(
     return df.select("media_id", "content").mapInPandas(run, _RESIZE_SCHEMA)
 
 
+def audio_chunk_plan(df: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
+    """Segment audio rows into fixed-duration decode windows:
+    (media_id, duration_ms, chunk_idx, start_ms, end_ms), the work list
+    a batched resample/transcribe stage consumes. The last chunk is
+    clipped to the true duration.
+
+    Entirely metadata arithmetic — duration comes from the media row's
+    metadata (here the fake decoder's md5-derived duration, in
+    production a stored probe result), so the plan is whole-stage
+    codegen and NEVER deserializes payload bytes; only the decode stage
+    that consumes the plan touches content.
+    """
+    duration = (
+        F.lit(1)
+        + F.conv(F.substring(F.col("meta.checksum"), 13, 4), 16, 10).cast("long")
+        % 600_000
+    )
+    start = F.explode(
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("duration_ms") - 1,
+            F.lit(chunk_ms).cast("long"),
+        )
+    )
+    return (
+        df.select("media_id", duration.alias("duration_ms"))
+        .select("media_id", "duration_ms", start.alias("start_ms"))
+        .select(
+            "media_id",
+            "duration_ms",
+            (F.col("start_ms") / chunk_ms).cast("int").alias("chunk_idx"),
+            "start_ms",
+            F.least(F.col("start_ms") + chunk_ms, F.col("duration_ms")).alias("end_ms"),
+        )
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_nth: int = 30) -> DataFrame:
     """Plan frame sampling for video rows: one output row per sampled
     frame index (metadata only — the decode itself happens in

@@ -396,3 +396,20 @@ def test_star_contraction_matches_min_label(spark):
     assert by_cluster[10] == set(range(10, 31))
     with pytest.raises(ValueError):
         dedup.duplicate_clusters(pairs, algorithm="bogus")
+
+
+def test_audio_chunk_plan_covers_duration_exactly(docs):
+    media = multimodal.attach_binary(docs.limit(10), "doc_id", "text", media_type="audio")
+    rows = multimodal.audio_chunk_plan(media, chunk_ms=10_000).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media) == 10
+    for chunks in by_media.values():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        dur = chunks[0].duration_ms
+        assert chunks[0].start_ms == 0
+        assert chunks[-1].end_ms == dur  # last chunk clipped to duration
+        for i, c in enumerate(chunks):
+            assert c.chunk_idx == i and c.start_ms == i * 10_000
+            assert c.end_ms - c.start_ms <= 10_000
