@@ -80,6 +80,7 @@ _PRIORITY = [
     "dedup_simhash_near_dups",
     "near_dup_removal",
     "multimodal_audio_chunks",
+    "kmeans_update",
 ]
 
 QUERIES: dict = {}

@@ -554,6 +554,36 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- spherical k-means update step (IVF index training) ----
+def q_kmeans_update(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.centroid_update(emb, "vec_id", "embedding", IVF_CENTROID_IDS)
+
+
+KMEANS_UPDATE_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cell_id, embedding FROM embeddings
+  WHERE vec_id IN ({", ".join(str(i) for i in IVF_CENTROID_IDS)})
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_CELL_COS} DESC, c.cell_id
+         ) AS cell_rank
+  FROM embeddings e CROSS JOIN (SELECT cell_id, embedding FROM cent) c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM assign WHERE cell_rank = 1),
+expl AS (
+  SELECT cell_id, CAST(r.range AS INTEGER) AS pos,
+         CAST(embedding[CAST(r.range AS INTEGER) + 1] AS DOUBLE) AS val
+  FROM corpus CROSS JOIN range({EMB_DIM}) r
+)
+SELECT cell_id, pos, round(avg(val), 6) AS centroid_val
+FROM expl GROUP BY 1, 2
+"""
+
+
 # ---- token counting: whitespace + BPE-ish regex ----
 def q_token_count(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
@@ -1026,6 +1056,7 @@ QUERIES = {
     "similarity_topk": (q_similarity_topk, SIMILARITY_TOPK_SQL),
     "similarity_ann_lsh": (q_similarity_ann_lsh, SIMILARITY_ANN_LSH_SQL),
     "similarity_ann_ivf": (q_similarity_ann_ivf, SIMILARITY_ANN_IVF_SQL),
+    "kmeans_update": (q_kmeans_update, KMEANS_UPDATE_SQL),
     "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "salted_join_events": (q_salted_join_events, SALTED_JOIN_EVENTS_SQL),

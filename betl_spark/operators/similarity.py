@@ -274,6 +274,63 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
+    """Unit-normalize an embedding column (prerequisite for dot-product
+    ANN indexes): one HOF transform per row, no shuffle."""
+    normed = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+    )
+    return df.withColumn(out_col or vec_col, normed)
+
+
+def centroid_update(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+) -> DataFrame:
+    """One spherical k-means update step — the training loop behind the
+    IVF index (`ivf_topk` docstring: "swapping in trained centroids
+    changes recall, not the plan"): assign every row to its
+    nearest-by-cosine centroid (ONE broadcast argmax pass, no shuffle),
+    then recompute each cell's mean vector.
+
+    Output is LONG format (cell_id, pos, centroid_val) — scalar rows,
+    engine-agnostic to compare, and the natural shuffle shape: the
+    update aggregates (cell, dim) cells with map-side partial
+    averages, so the exchange carries |cells|·dim rows per partition,
+    never the corpus. Iterate: feed the result back as the next round's
+    centroids; each round is one scan + one bounded shuffle.
+    """
+    cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rows = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    aw = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "cell_id",
+            _cosine_pre(F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")).alias(
+                "cell_sim"
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(aw))
+        .filter(F.col("cell_rank") == 1)
+    )
+    return (
+        assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("cell_id", "pos")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     id_col: str,

@@ -413,3 +413,18 @@ def test_audio_chunk_plan_covers_duration_exactly(docs):
         for i, c in enumerate(chunks):
             assert c.chunk_idx == i and c.start_ms == i * 10_000
             assert c.end_ms - c.start_ms <= 10_000
+
+
+def test_normalize_and_centroid_update(emb):
+    import math
+
+    normed = similarity.normalize_vectors(emb.limit(50), "embedding")
+    for r in normed.select("embedding").collect():
+        assert math.isclose(sum(x * x for x in r.embedding), 1.0, rel_tol=1e-5)
+    cu = similarity.centroid_update(emb, "vec_id", "embedding", [100, 200, 300, 400]).collect()
+    cells = {r.cell_id for r in cu}
+    assert cells <= {100, 200, 300, 400}
+    per_cell = {}
+    for r in cu:
+        per_cell.setdefault(r.cell_id, set()).add(r.pos)
+    assert all(poss == set(range(64)) for poss in per_cell.values())  # every dim present
