@@ -30,12 +30,15 @@ from betl_spark.dataflow.ops_data import DataOps
 from betl_spark.dataflow.ops_io import IOOps
 from betl_spark.dataflow.ops_merge import MergeOps
 from betl_spark.dataflow.ops_row import RowOps
+from betl_spark.dataflow.ops_scale import ScaleOps
 from betl_spark.dataflow.ops_schema import SchemaOps
 from betl_spark.schema.registry import SchemaRegistry
 from betl_spark.session import build_spark
 
 
-class DataFlow(IOOps, RowOps, SchemaOps, DataOps, MergeOps, CustomOps, LoadPrepOps, MDMOps):
+class DataFlow(
+    IOOps, RowOps, SchemaOps, DataOps, MergeOps, CustomOps, LoadPrepOps, MDMOps, ScaleOps
+):
     def __init__(
         self,
         conf: Conf | None = None,
