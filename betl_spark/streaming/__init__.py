@@ -1,5 +1,6 @@
 from betl_spark.streaming.events import (
     event_stream,
+    run_stream_to_parquet,
     run_stream_to_table,
     sessionize,
     sliding_window_agg,
@@ -10,6 +11,7 @@ from betl_spark.streaming.events import (
 
 __all__ = [
     "event_stream",
+    "run_stream_to_parquet",
     "run_stream_to_table",
     "sessionize",
     "sliding_window_agg",

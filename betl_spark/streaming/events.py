@@ -241,6 +241,43 @@ def run_stream_to_table(
     return spark.table(name)
 
 
+def run_stream_to_parquet(
+    stream_df: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
+) -> None:
+    """Execute a streaming DataFrame (availableNow) into a PARQUET sink
+    with a durable checkpoint — the production shape: restart the same
+    query with the same checkpoint and it resumes exactly where it
+    stopped, reprocessing nothing (the file source + checkpoint give
+    end-to-end exactly-once into the file sink).
+
+    The memory-sink bridge (``run_stream_to_table``) is for tests and
+    batch-parity checks; this is what a deployed pipeline calls. Note
+    the file sink supports append mode only — aggregations need a
+    watermark so windows finalize and append.
+    """
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", output_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def stream_static_enrich(
     events: DataFrame,
     dim: DataFrame,
