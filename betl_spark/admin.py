@@ -99,15 +99,55 @@ def _infer_sqlite(db_path: str) -> dict[str, list[Column]]:
     return out
 
 
-def _infer_postgres(store: Datastore) -> dict[str, list[Column]]:
-    try:
-        import psycopg2  # noqa: F401
-    except ImportError as ex:  # pragma: no cover - driver not in container
-        raise NotImplementedError(
-            "POSTGRES schema inference needs psycopg2 (reference betl/admin.py:171-210); "
-            "not available in this environment"
-        ) from ex
-    raise NotImplementedError("wire information_schema.columns query here")
+# information_schema.columns data_type → declared type (reference walks
+# the same catalog, betl/admin.py:171-210)
+_PG_DECLARED = {
+    "integer": "INTEGER",
+    "smallint": "INTEGER",
+    "bigint": "BIGINT",
+    "real": "DOUBLE",
+    "double precision": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "bytea": "BINARY",
+}
+
+
+def _infer_postgres(spark: SparkSession, store: Datastore) -> dict[str, list[Column]]:
+    """Walk ``information_schema.columns`` over the same JDBC seam the
+    data reads use (reference betl/admin.py:171-210 does it via a
+    psycopg2 cursor; here the catalog query is just another JDBC scan,
+    so no second driver is needed). Unexercised in this sandbox — no
+    Postgres/JDBC jar — but it is the identical code path as
+    ``read_source_table``'s JDBC branch, which carries the same gate.
+    """
+    if not store.jdbc_url:
+        raise ValueError(
+            f"datastore {store.datastore_id}: jdbc_url required for POSTGRES inference"
+        )
+    query = (
+        "(SELECT table_name, column_name, data_type, ordinal_position, "
+        "numeric_precision, numeric_scale "
+        "FROM information_schema.columns WHERE table_schema = 'public') AS cols"
+    )
+    reader = spark.read.format("jdbc").option("url", store.jdbc_url).option(
+        "dbtable", query
+    )
+    for k, v in store.jdbc_properties.items():
+        reader = reader.option(k, v)
+    out: dict[str, list[Column]] = {}
+    for r in sorted(
+        reader.load().collect(), key=lambda r: (r["table_name"], r["ordinal_position"])
+    ):
+        dt = (r["data_type"] or "").lower()
+        if dt == "numeric" and r["numeric_precision"] is not None:
+            declared = f"NUMERIC({r['numeric_precision']},{r['numeric_scale'] or 0})"
+        elif dt.startswith("timestamp"):
+            declared = "TIMESTAMP"
+        else:
+            declared = _PG_DECLARED.get(dt, "TEXT")
+        out.setdefault(r["table_name"], []).append(Column(r["column_name"], declared))
+    return out
 
 
 def list_source_tables(store: Datastore) -> list[str]:
@@ -142,7 +182,7 @@ def read_src(
                 )
             continue
         if store.datastore_type == "POSTGRES":
-            for t, tcols in _infer_postgres(store).items():
+            for t, tcols in _infer_postgres(spark, store).items():
                 registry.add_table(
                     "EXT", Table(t, tcols, src_table_name=t), dataset=src_id
                 )
