@@ -81,6 +81,7 @@ _PRIORITY = [
     "near_dup_removal",
     "multimodal_audio_chunks",
     "kmeans_update",
+    "scd2_dimension",
 ]
 
 QUERIES: dict = {}

@@ -216,6 +216,76 @@ SELECT sk_customer, nk_customer, c_mktsegment FROM new_rows
 """
 
 
+def q_scd2_dimension(spark, sf_dir):
+    """Type-2 dimension update over two deterministic customer
+    snapshots (same windows as delta_load_dimension): batch 1 is the
+    %10-filtered snapshot, batch 2 the %13-filtered one with segments
+    rewritten on %7 — changed NKs close their batch-1 row and open a
+    fresh-SK version, re-arrivals open first versions, absentees
+    retire."""
+    from betl_spark.defaults.delta import scd2_apply
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    cust = table(spark, sf_dir, "customer")
+    prev_src = cust.filter(F.col("c_custkey") % 10 != 0).select(
+        F.col("c_custkey").cast("string").alias("nk_customer"), "c_mktsegment"
+    )
+    prev_dim = (
+        assign_surrogate_keys(prev_src, "sk_customer", ["nk_customer"])
+        .withColumn("valid_from", F.lit(1).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True))
+    )
+    incoming = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").cast("string").alias("nk_customer"),
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    return scd2_apply(prev_dim, incoming, "sk_customer", ["nk_customer"], batch_id=2)
+
+
+SCD2_DIMENSION_SQL = """
+WITH prev AS (
+  SELECT row_number() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) AS sk_customer,
+         CAST(c_custkey AS VARCHAR) AS nk_customer, c_mktsegment
+  FROM customer WHERE c_custkey % 10 != 0
+),
+inc AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS nk_customer,
+         CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED' ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 13 != 0
+),
+class AS (
+  SELECT COALESCE(p.nk_customer, i.nk_customer) AS nk_customer,
+         i.c_mktsegment AS inc_seg,
+         CASE WHEN p.nk_customer IS NULL THEN 'INSERT'
+              WHEN i.nk_customer IS NULL THEN 'DELETE'
+              WHEN p.c_mktsegment IS DISTINCT FROM i.c_mktsegment THEN 'UPDATE'
+              ELSE 'UNCHANGED' END AS op
+  FROM prev p FULL OUTER JOIN inc i USING (nk_customer)
+),
+closed AS (
+  SELECT p.sk_customer, p.nk_customer, p.c_mktsegment,
+         CAST(1 AS BIGINT) AS valid_from, CAST(2 AS BIGINT) AS valid_to, FALSE AS is_current
+  FROM prev p JOIN class c USING (nk_customer) WHERE c.op IN ('UPDATE', 'DELETE')
+),
+kept AS (
+  SELECT p.sk_customer, p.nk_customer, p.c_mktsegment,
+         CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM prev p JOIN class c USING (nk_customer) WHERE c.op = 'UNCHANGED'
+),
+new_rows AS (
+  SELECT (SELECT max(sk_customer) FROM prev)
+           + row_number() OVER (ORDER BY nk_customer) AS sk_customer,
+         nk_customer, inc_seg AS c_mktsegment,
+         CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+  FROM class WHERE op IN ('INSERT', 'UPDATE')
+)
+SELECT * FROM closed UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM new_rows
+"""
+
+
 def q_delta_load_fact(spark, sf_dir):
     """Incremental fact merge over two deterministic lineitem windows:
     previous omits orderkey%3==0, the incoming batch is the orderkey%5
@@ -299,4 +369,5 @@ QUERIES = {
     "delta_classify": (q_delta_classify, DELTA_CLASSIFY_SQL),
     "delta_load_dimension": (q_delta_load_dimension, DELTA_LOAD_DIMENSION_SQL),
     "delta_load_fact": (q_delta_load_fact, DELTA_LOAD_FACT_SQL),
+    "scd2_dimension": (q_scd2_dimension, SCD2_DIMENSION_SQL),
 }

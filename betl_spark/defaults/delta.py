@@ -79,6 +79,80 @@ def apply_delta(
     return keep.select(previous.columns)
 
 
+SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def scd2_apply(
+    prev_dim: DataFrame,
+    incoming: DataFrame,
+    sk_col: str,
+    nk_cols: list[str],
+    batch_id: int,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Type-2 (history-keeping) dimension update — beyond-reference:
+    the reference is type-1 only (its delta spec overwrites attributes
+    in place), but a Kimball engine without SCD2 is incomplete, so the
+    standard contract is provided on the same classify_changes core.
+
+    ``prev_dim`` carries the bookkeeping columns (valid_from BIGINT,
+    valid_to BIGINT nullable, is_current BOOLEAN); versions are dated
+    by ``batch_id`` — a caller-supplied monotonic batch number, not a
+    wall clock, so the whole dimension remains a pure function of its
+    inputs (reproducible by an independent engine, and by a re-run).
+
+    Per natural key of the CURRENT row set:
+    - attribute change → close the current row (valid_to = batch_id)
+      and open a new version with a fresh SK;
+    - new NK → open its first version;
+    - NK absent from the snapshot → close the current row (retired —
+      history is the point of SCD2, nothing is deleted);
+    - unchanged → untouched. Closed history rows pass through as-is.
+
+    Scale shape: one NK-shuffled classify join + one SK pass over only
+    the new-version slice — incremental cost is O(changes), exactly
+    like the type-1 load, and the output unions are narrow.
+    """
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    attr_cols = [
+        c
+        for c in prev_dim.columns
+        if c != sk_col and c not in nk_cols and c not in SCD2_COLS
+    ]
+    order = [sk_col, *nk_cols, *attr_cols, *SCD2_COLS]
+    history = prev_dim.filter(~F.col("is_current"))
+    current = prev_dim.filter(F.col("is_current"))
+    changes = classify_changes(
+        current.select(*nk_cols, *attr_cols), incoming, nk_cols, compare_cols
+    )
+    closing_nks = changes.filter(
+        F.col(CHANGE_COL).isin("UPDATE", "DELETE")
+    ).select(*nk_cols)
+    closed = (
+        current.join(closing_nks, on=list(nk_cols), how="left_semi")
+        .withColumn("valid_to", F.lit(batch_id).cast("long"))
+        .withColumn("is_current", F.lit(False))
+    )
+    kept = current.join(closing_nks, on=list(nk_cols), how="left_anti")
+    new_src = changes.filter(F.col(CHANGE_COL).isin("INSERT", "UPDATE")).drop(
+        CHANGE_COL
+    )
+    max_sk = prev_dim.agg(F.max(sk_col)).first()[0] or 0
+    new_versions = (
+        assign_surrogate_keys(new_src, sk_col, nk_cols, offset=max_sk)
+        .withColumn("valid_from", F.lit(batch_id).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True))
+    )
+    return (
+        history.select(order)
+        .unionByName(closed.select(order))
+        .unionByName(kept.select(order))
+        .unionByName(new_versions.select(order))
+    )
+
+
 def delta_load_fact(
     prev_fact: DataFrame,
     incoming: DataFrame,

@@ -195,3 +195,37 @@ def test_stream_to_parquet_is_incremental_exactly_once(spark, tmp_path):
         shutil.copy(f, src / "b.parquet")
     run_stream_to_parquet(stream, out, ckpt, state_partitions=4)
     assert spark.read.parquet(out).count() == n_total
+
+
+def test_scd2_chains_across_batches(spark):
+    from pyspark.sql import functions as F
+
+    from betl_spark.defaults.delta import scd2_apply
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    b1 = spark.createDataFrame([("a", "x"), ("b", "y")], "nk string, attr string")
+    dim = (
+        assign_surrogate_keys(b1, "sk", ["nk"])
+        .withColumn("valid_from", F.lit(1).cast("long"))
+        .withColumn("valid_to", F.lit(None).cast("long"))
+        .withColumn("is_current", F.lit(True))
+    )
+    # batch 2: a changes, b retires, c arrives
+    b2 = spark.createDataFrame([("a", "x2"), ("c", "z")], "nk string, attr string")
+    dim = scd2_apply(dim, b2, "sk", ["nk"], batch_id=2)
+    # batch 3: a changes again
+    b3 = spark.createDataFrame([("a", "x3"), ("c", "z")], "nk string, attr string")
+    dim = scd2_apply(dim, b3, "sk", ["nk"], batch_id=3)
+
+    rows = sorted(map(tuple, dim.select(
+        "sk", "nk", "attr", "valid_from", "valid_to", "is_current").collect()))
+    assert rows == [
+        (1, "a", "x", 1, 2, False),    # first version closed at batch 2
+        (2, "b", "y", 1, 2, False),    # retired
+        (3, "a", "x2", 2, 3, False),   # second version closed at batch 3
+        (4, "c", "z", 2, None, True),  # still current, untouched by batch 3
+        (5, "a", "x3", 3, None, True), # current version
+    ]
+    # exactly one current row per live NK; history never overlaps
+    cur = [r for r in rows if r[5]]
+    assert sorted(r[1] for r in cur) == ["a", "c"]
