@@ -82,6 +82,7 @@ _PRIORITY = [
     "multimodal_audio_chunks",
     "kmeans_update",
     "scd2_dimension",
+    "asof_join_events",
 ]
 
 QUERIES: dict = {}

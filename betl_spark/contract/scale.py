@@ -378,6 +378,49 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---- as-of (point-in-time) join ----
+def q_asof_join_events(spark, sf_dir):
+    """Each click gets the most recent prior purchase value for its
+    user — the union-window as-of join (operators/asof.py), checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    from betl_spark.operators import asof
+
+    # micro-truncated event time on both sides: DuckDB reads the
+    # TIMESTAMP(NANOS) parquet at micro precision, and the testdata has
+    # no same-microsecond collisions per user (verified), so micros are
+    # the common clock; integer DIV avoids double-precision loss
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.col("value").cast("double")).alias("purchase_value"))
+        .select("user_id", "ts", "purchase_value")
+    )
+    out = asof.asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["purchase_value"]
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_value_asof")
+
+
+ASOF_JOIN_EVENTS_SQL = """
+WITH clicks AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'
+),
+purch AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         MAX(CAST(value AS DOUBLE)) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts, p.purchase_value AS purchase_value_asof
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.t
+"""
+
+
 # ---- salted join (manual skew handling beyond AQE) ----
 EVENT_CATEGORIES = [
     ("click", "engagement"),
@@ -1060,6 +1103,7 @@ QUERIES = {
     "dedup_cluster_assign": (q_dedup_clusters, DEDUP_CLUSTERS_SQL),
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "salted_join_events": (q_salted_join_events, SALTED_JOIN_EVENTS_SQL),
+    "asof_join_events": (q_asof_join_events, ASOF_JOIN_EVENTS_SQL),
     "corpus_curation": (q_corpus_curation, CORPUS_CURATION_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),

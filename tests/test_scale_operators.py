@@ -428,3 +428,29 @@ def test_normalize_and_centroid_update(emb):
     for r in cu:
         per_cell.setdefault(r.cell_id, set()).add(r.pos)
     assert all(poss == set(range(64)) for poss in per_cell.values())  # every dim present
+
+
+def test_asof_join_semantics(spark):
+    from betl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 10, "a"), (2, "u", 20, "b"), (3, "u", 5, "c"), (4, "v", 10, "d")],
+        "eid int, k string, t long, payload string",
+    )
+    right = spark.createDataFrame(
+        [("u", 10, 1.0), ("u", 15, 2.0), ("v", 99, 9.0)],
+        "k string, t long, price double",
+    )
+    out = {
+        r.eid: r.price_asof
+        for r in asof_join(left, right, ["k"], "t", "t", ["price"]).collect()
+    }
+    assert out == {
+        1: 1.0,   # inclusive: right at t=10 matches left at t=10
+        2: 2.0,   # latest prior (t=15), not first
+        3: None,  # nothing at or before t=5
+        4: None,  # right exists for k only later
+    }
+    # every left row survives with its payload
+    full = asof_join(left, right, ["k"], "t", "t", ["price"])
+    assert full.count() == 4 and "payload" in full.columns
