@@ -83,6 +83,7 @@ _PRIORITY = [
     "kmeans_update",
     "scd2_dimension",
     "asof_join_events",
+    "interval_join_events",
 ]
 
 QUERIES: dict = {}

@@ -421,6 +421,37 @@ FROM clicks c ASOF LEFT JOIN purch p
 """
 
 
+# ---- range (interval) join ----
+def q_interval_join_events(spark, sf_dir):
+    """Events matched to per-type 'incident windows' (30 min from each
+    type's first event) — a pure range join with no equi key, run
+    through the bucketed formulation (operators/ranges.py) and checked
+    against DuckDB's plain inequality join."""
+    from betl_spark.operators.ranges import interval_join
+
+    ev = table(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    windows = (
+        ev.groupBy(F.col("event_type").alias("win_type"))
+        .agg(F.min("ts").alias("start_us"))
+        .withColumn("end_us", F.col("start_us") + F.lit(30 * 60 * 1_000_000))
+    )
+    points = ev.select("event_id", "ts")
+    out = interval_join(points, windows, "ts", "start_us", "end_us",
+                        bucket_width=5 * 60 * 1_000_000)
+    return out.select("event_id", "win_type", "ts")
+
+
+INTERVAL_JOIN_EVENTS_SQL = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts FROM events),
+iv AS (
+  SELECT event_type AS win_type, MIN(epoch_us(ts)) AS s
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, iv.win_type, e.ts
+FROM e JOIN iv ON e.ts >= iv.s AND e.ts < iv.s + 1800000000
+"""
+
+
 # ---- salted join (manual skew handling beyond AQE) ----
 EVENT_CATEGORIES = [
     ("click", "engagement"),
@@ -1104,6 +1135,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, PII_SCRUB_SQL),
     "salted_join_events": (q_salted_join_events, SALTED_JOIN_EVENTS_SQL),
     "asof_join_events": (q_asof_join_events, ASOF_JOIN_EVENTS_SQL),
+    "interval_join_events": (q_interval_join_events, INTERVAL_JOIN_EVENTS_SQL),
     "corpus_curation": (q_corpus_curation, CORPUS_CURATION_SQL),
     "token_count": (q_token_count, TOKEN_COUNT_SQL),
     "text_quality": (q_text_quality, TEXT_QUALITY_SQL),

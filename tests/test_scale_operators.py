@@ -454,3 +454,29 @@ def test_asof_join_semantics(spark):
     # every left row survives with its payload
     full = asof_join(left, right, ["k"], "t", "t", ["price"])
     assert full.count() == 4 and "payload" in full.columns
+
+
+def test_interval_join_matches_naive(spark):
+    from betl_spark.operators.ranges import interval_join
+
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 5, 10, 99, 100, 150, 999])],
+        "pid int, t long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 90, 200), (3, 500, 400), (4, 7, 7)],
+        "iid int, s long, e long",
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in interval_join(points, intervals, "t", "s", "e", bucket_width=64).collect()
+    )
+    naive = sorted(
+        (r.pid, r.iid)
+        for r in points.crossJoin(intervals)
+        .filter("t >= s AND t < e")
+        .collect()
+    )
+    assert got == naive
+    # half-open: t=100 not in [0,100); inverted (3) and empty (4) match nothing
+    assert (4, 1) not in got and all(i not in (3, 4) for _, i in got)
