@@ -115,3 +115,26 @@ def test_exact_dedup_never_moves_payload(spark):
     # exactly one exchange (the groupBy), preceded by partial_ agg
     assert n_exchanges(p) == 1, p
     assert "partial_" in p, p
+
+
+def test_temporal_joins_avoid_cross_products(spark):
+    from betl_spark.operators.asof import asof_join
+    from betl_spark.operators.ranges import interval_join
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.expr("ts DIV 1000")
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.groupBy("user_id", "ts").agg(F.max("value").alias("v"))
+    p = plan(asof_join(left, right, ["user_id"], "ts", "ts", ["v"]))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "Window" in p, p
+
+    points = ev.select("event_id", "ts")
+    iv = ev.groupBy("event_type").agg(F.min("ts").alias("s")).withColumn(
+        "e", F.col("s") + 1000000
+    )
+    p2 = plan(interval_join(points, iv, "ts", "s", "e", bucket_width=500000))
+    # the bucketed formulation is an equi-join on the slot
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
