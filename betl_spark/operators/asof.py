@@ -39,6 +39,9 @@ def asof_join(
     """Left as-of join: every left row, plus ``<value>_asof`` columns
     from the latest right row with ``right_ts <= left_ts`` per ``on``
     key (NULL when no prior right row exists)."""
+    reserved = {"__t", "__side"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"left columns collide with internals: {sorted(reserved)}")
     left_payload = [c for c in left.columns if c not in on]
     r_types = {c: right.schema[c].dataType for c in value_cols}
     l_types = {c: left.schema[c].dataType for c in left_payload}

@@ -35,6 +35,12 @@ def interval_join(
     interval columns. Zero-length or inverted intervals match nothing
     (filtered, not an error — the half-open contract makes them empty
     sets)."""
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(
+            f"points and intervals share column names {sorted(overlap)}; "
+            "rename one side — the joined output keeps both sides' columns"
+        )
     pb = points.withColumn("__bucket", F.expr(f"{point_ts} DIV {bucket_width}"))
     ib = (
         intervals.filter(F.col(end_col) > F.col(start_col))

@@ -297,10 +297,12 @@ def centroid_update(
 
     Output is LONG format (cell_id, pos, centroid_val) — scalar rows,
     engine-agnostic to compare, and the natural shuffle shape: the
-    update aggregates (cell, dim) cells with map-side partial
-    averages, so the exchange carries |cells|·dim rows per partition,
-    never the corpus. Iterate: feed the result back as the next round's
-    centroids; each round is one scan + one bounded shuffle.
+    argmax is a ``max_by`` aggregation (map-side combinable — the
+    |cells| candidate rows per vector collapse to one BEFORE the
+    exchange, no window sort), and the mean aggregates (cell, dim)
+    cells with map-side partial averages, so neither exchange ever
+    carries the corpus. Iterate: feed the result back as the next
+    round's centroids; each round is one scan + two bounded shuffles.
     """
     cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
         F.col(id_col).alias("cell_id"),
@@ -310,7 +312,8 @@ def centroid_update(
     rows = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    aw = Window.partitionBy(id_col).orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    # deterministic argmax: max over (sim, -cell_id) struct == highest
+    # similarity, lowest cell id on ties — same order the IVF window uses
     assigned = (
         rows.crossJoin(F.broadcast(cents))
         .select(
@@ -321,8 +324,13 @@ def centroid_update(
                 "cell_sim"
             ),
         )
-        .withColumn("cell_rank", F.row_number().over(aw))
-        .filter(F.col("cell_rank") == 1)
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id", F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb"))
+            ).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+        )
     )
     return (
         assigned.select("cell_id", F.posexplode(vec_col).alias("pos", "val"))

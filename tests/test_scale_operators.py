@@ -480,3 +480,17 @@ def test_interval_join_matches_naive(spark):
     assert got == naive
     # half-open: t=100 not in [0,100); inverted (3) and empty (4) match nothing
     assert (4, 1) not in got and all(i not in (3, 4) for _, i in got)
+
+
+def test_temporal_join_collision_guards(spark):
+    from betl_spark.operators.asof import asof_join
+    from betl_spark.operators.ranges import interval_join
+
+    l = spark.createDataFrame([(1, "u", 5, "x")], "eid int, k string, t long, __t string")
+    r = spark.createDataFrame([("u", 5, 1.0)], "k string, t long, price double")
+    with pytest.raises(ValueError, match="__t"):
+        asof_join(l, r, ["k"], "t", "t", ["price"])
+    pts = spark.createDataFrame([(1, 5)], "pid int, t long")
+    iv = spark.createDataFrame([(1, 0, 10)], "pid int, s long, e long")
+    with pytest.raises(ValueError, match="pid"):
+        interval_join(pts, iv, "t", "s", "e", 10)
