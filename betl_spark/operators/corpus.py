@@ -119,6 +119,8 @@ def pack_sequences(
     shard's running total is one window scan in one task — no
     driver-side loop.
     """
+    if budget <= 0:
+        raise ValueError(f"budget={budget} must be a positive token count")
     shard = hash_bucket(id_col, n_shards).alias("shard")
     w = (
         Window.partitionBy("shard")

@@ -95,6 +95,11 @@ def minhash_signatures(
 
     minhash_i(doc) = min over shingles s of md5(i ':' s) — seeded hashes
     from one md5 family, no random state.
+
+    Documents shorter than ``shingle_k`` chars have NO shingles and
+    therefore NO signature rows — they can't participate in near-dup
+    detection at this granularity (run ``exact_dedup`` first; it has no
+    length floor). This mirrors the oracle's behavior exactly.
     """
     spark = df.sparkSession
     shingled = df.select(
@@ -130,6 +135,11 @@ def lsh_candidate_pairs(
     The self-join happens per (band_idx, band_hash) bucket — the
     shuffle key — so work scales with bucket sizes, not corpus².
     """
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes}: a remainder would "
+            "silently drop the trailing hashes from every band"
+        )
     rows_per_band = n_hashes // bands
     banded = (
         signatures.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
@@ -205,6 +215,11 @@ def simhash(
     merge into one vote pool); NULL text is treated as '' so no
     document silently disappears from the output.
     """
+    if not 1 <= n_bits <= 60:
+        raise ValueError(
+            f"n_bits={n_bits} out of range: token hashes are 60-bit "
+            "(15 md5 hex chars), so bits above 60 would be constant zero"
+        )
     hashed = df.select(
         F.col(id_col),
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("__tok"),

@@ -75,6 +75,10 @@ def deterministic_split(
     """Assign 'val' / 'test' / 'train' purely from the key hash
     (buckets of 1%). A document's split never changes as the corpus
     grows — only new keys land in new buckets."""
+    if val_pct < 0 or test_pct < 0 or val_pct + test_pct > 100:
+        raise ValueError(
+            f"val_pct={val_pct} + test_pct={test_pct} must be within [0, 100]"
+        )
     b = hash_bucket(key_col, 100)
     return df.withColumn(
         split_col,

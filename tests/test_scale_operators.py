@@ -494,3 +494,22 @@ def test_temporal_join_collision_guards(spark):
     iv = spark.createDataFrame([(1, 0, 10)], "pid int, s long, e long")
     with pytest.raises(ValueError, match="pid"):
         interval_join(pts, iv, "t", "s", "e", 10)
+
+
+def test_operator_parameter_guards(spark):
+    from betl_spark.operators import corpus, sampling
+
+    df = spark.createDataFrame([(1, "text here")], "doc_id int, text string")
+    sigs = dedup.minhash_signatures(df, "doc_id", "text", 16, 5)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.lsh_candidate_pairs(sigs, "doc_id", n_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="60"):
+        dedup.simhash(df, "doc_id", "text", n_bits=64)
+    with pytest.raises(ValueError, match="100"):
+        sampling.deterministic_split(df.select("doc_id"), "doc_id", 60, 60)
+    counts = spark.createDataFrame([(1, 10)], "doc_id int, n int")
+    with pytest.raises(ValueError, match="positive"):
+        corpus.pack_sequences(counts, "doc_id", "n", budget=0)
+    # short docs have no minhash signature rows (documented floor)
+    short = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
+    assert dedup.minhash_signatures(short, "doc_id", "text", 4, 5).count() == 0
