@@ -1044,6 +1044,52 @@ FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5
 """
 
 
+def q_repetition_features(spark, sf_dir):
+    from betl_spark.operators import corpus
+
+    docs = table(spark, sf_dir, "documents")
+    # every 6th doc gets a repeated-boilerplate tail so the repetition
+    # signals have real spread (the synthetic corpus barely repeats)
+    noisy = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(F.col("text"), F.lit(" buy now buy now buy now buy now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus.repetition_features(noisy, "doc_id", "text")
+
+
+REPETITION_FEATURES_SQL = """
+WITH noisy AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text || ' buy now buy now buy now buy now'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM noisy),
+base AS (
+  SELECT doc_id, CAST(len(ts) AS INTEGER) AS n,
+         CAST(len(list_distinct(ts)) AS INTEGER) AS nd, ts
+  FROM toks
+),
+bg AS (
+  SELECT doc_id, unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS p
+  FROM base WHERE n >= 2
+),
+cnt AS (SELECT doc_id, p, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+top AS (SELECT doc_id, MAX(c) AS mc FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n AS n_tokens,
+       round(1.0 - CAST(b.nd AS DOUBLE) / b.n, 6) AS dup_token_fraction,
+       CASE WHEN b.n > 1
+            THEN round(CAST(COALESCE(t.mc, 0) AS DOUBLE) / (b.n - 1), 6)
+            ELSE 0.0 END AS top_bigram_fraction
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     from betl_spark.operators import corpus
 
@@ -1153,5 +1199,6 @@ QUERIES = {
     "tf_idf": (q_tf_idf, TF_IDF_SQL),
     "bigram_counts": (q_bigram_counts, BIGRAM_COUNTS_SQL),
     "pack_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "repetition_features": (q_repetition_features, REPETITION_FEATURES_SQL),
     "stratified_sample": (q_stratified_sample, STRATIFIED_SAMPLE_SQL),
 }

@@ -98,6 +98,56 @@ def bigram_counts(df: DataFrame, text_col: str, min_count: int = 1) -> DataFrame
     return out.filter(F.col("n") >= min_count) if min_count > 1 else out
 
 
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality features (the Gopher §A1.1 repetition
+    family, public spec): boilerplate and spam repeat themselves, so
+    the strongest cheap signals are the duplicate-token fraction and
+    the share of the document covered by its single most frequent
+    bigram. Output (id, n_tokens, dup_token_fraction,
+    top_bigram_fraction), 6dp-rounded doubles.
+
+    dup_token_fraction = 1 − |distinct tokens| / |tokens| is pure
+    codegen (array_distinct). The top-bigram count needs a per-doc
+    mode: explode → count per (doc, bigram) → max per doc — two
+    map-side-combinable aggregations shuffling on the doc id, never
+    the text. Single-token documents have no bigrams → fraction 0.
+    """
+    toks = F.split(F.col(text_col), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("__n"),
+        F.size(F.array_distinct(toks)).alias("__nd"),
+        bigrams.alias("__bg"),
+    )
+    top = (
+        base.select(id_col, F.explode("__bg").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("__mc"))
+    )
+    return base.join(top, id_col, "left").select(
+        F.col(id_col),
+        F.col("__n").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("__nd").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("dup_token_fraction"),
+        F.when(F.col("__n") > 1,
+               F.round(
+                   F.coalesce(F.col("__mc"), F.lit(0)).cast("double")
+                   / (F.col("__n") - 1).cast("double"),
+                   6,
+               ))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_fraction"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -513,3 +513,22 @@ def test_operator_parameter_guards(spark):
     # short docs have no minhash signature rows (documented floor)
     short = spark.createDataFrame([(1, "abc")], "doc_id int, text string")
     assert dedup.minhash_signatures(short, "doc_id", "text", 4, 5).count() == 0
+
+
+def test_repetition_features_flag_boilerplate(spark):
+    from betl_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "all work and no play makes jack a dull boy"),
+            (2, "spam spam spam spam spam spam"),
+            (3, "one"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in corpus.repetition_features(df, "doc_id", "text").collect()}
+    assert out[1].dup_token_fraction == 0.0
+    assert out[1].top_bigram_fraction < 0.2
+    assert out[2].dup_token_fraction > 0.8   # one distinct token of six
+    assert out[2].top_bigram_fraction == 1.0  # 'spam spam' covers all 5 bigrams
+    assert out[3].top_bigram_fraction == 0.0  # no bigrams
