@@ -1148,7 +1148,7 @@ def q_multimodal_audio_chunks(spark, sf_dir):
 MULTIMODAL_AUDIO_CHUNKS_SQL = """
 WITH a AS (
   SELECT doc_id AS media_id,
-         1 + CAST(('0x' || substr(md5(text), 13, 4)) AS BIGINT) % 600000 AS duration_ms
+         1 + CAST(('0x' || substr(md5(text), 13, 8)) AS BIGINT) % 600000 AS duration_ms
   FROM documents
 ),
 s AS (

@@ -144,24 +144,46 @@ def _read_sqlite_table(
         if table_name not in known:
             raise KeyError(f"table {table_name!r} not in {db}; have {sorted(known)}")
         info = con.execute(f"pragma table_info('{table_name}')").fetchall()
-        fields, casts = [], []
-        for _, name, decl, *_rest in info:
-            decl = (decl or "").upper()
-            if "INT" in decl:
-                fields.append(T.StructField(name, T.LongType()))
-                casts.append(lambda v: None if v is None else int(v))
-            elif any(k in decl for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DECIMAL")):
-                fields.append(T.StructField(name, T.DoubleType()))
-                casts.append(lambda v: None if v is None else float(v))
-            else:
-                fields.append(T.StructField(name, T.StringType()))
-                casts.append(lambda v: None if v is None else str(v))
-        rows = [
-            tuple(c(v) for c, v in zip(casts, r))
-            for r in con.execute(f'SELECT * FROM "{table_name}"')
-        ]
+        names = [row[1] for row in info]
+        decls = [(row[2] or "").upper() for row in info]
+        raw = list(con.execute(f'SELECT * FROM "{table_name}"'))
     finally:
         con.close()
+
+    # SQLite typing is flexible — a column declared INTEGER may legally
+    # hold REAL or TEXT values, so the Spark type comes from the VALUES
+    # (narrowest of long → double → string that fits every value), with
+    # the declared affinity only breaking the tie for all-NULL/empty
+    # columns. Forcing the affinity would silently truncate 1.5 → 1 or
+    # crash on 'abc'; the reference (pandas read_sql) preserves values.
+    def col_type(i: int) -> T.DataType:
+        seen = {type(r[i]) for r in raw if r[i] is not None}
+        if not seen:
+            decl = decls[i]
+            if "INT" in decl:
+                return T.LongType()
+            if any(k in decl for k in ("REAL", "FLOA", "DOUB", "NUMERIC", "DECIMAL")):
+                return T.DoubleType()
+            return T.StringType()
+        if seen <= {int, bool}:
+            return T.LongType()
+        if seen <= {int, bool, float}:
+            return T.DoubleType()
+        return T.StringType()
+
+    types = [col_type(i) for i in range(len(names))]
+    fields = [T.StructField(n, t) for n, t in zip(names, types)]
+
+    def conv(v, t):
+        if v is None:
+            return None
+        if isinstance(t, T.LongType):
+            return int(v)
+        if isinstance(t, T.DoubleType):
+            return float(v)
+        return v if isinstance(v, str) else str(v)
+
+    rows = [tuple(conv(v, t) for v, t in zip(r, types)) for r in raw]
     return spark.createDataFrame(rows, schema=T.StructType(fields))
 
 
@@ -219,14 +241,18 @@ def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> Da
             break
         trimmed.append([("" if v is None else str(v)) for v in r])
     # trim to max non-empty column (excelIO.py:26-33); data can be wider
-    # than the header row (the reference leaves those columns unnamed —
-    # here they get positional _c<i> names so the schema stays valid)
+    # than the header row, and header cells can be empty gaps (the
+    # reference leaves both unnamed — here they get positional _c<i>
+    # names so the schema stays valid and unambiguous)
     width = 0
     for r in [header] + trimmed:
         for i, v in enumerate(r):
             if v is not None and str(v) != "":
                 width = max(width, i + 1)
-    names = [str(h) for h in header[:width]]
+    names = [
+        str(h) if h is not None and str(h) != "" else f"_c{i}"
+        for i, h in enumerate(header[:width])
+    ]
     names += [f"_c{i}" for i in range(len(names), width)]
     return spark.createDataFrame(
         [

@@ -167,7 +167,7 @@ def audio_chunk_plan(df: DataFrame, chunk_ms: int = 10_000) -> DataFrame:
     """
     duration = (
         F.lit(1)
-        + F.conv(F.substring(F.col("meta.checksum"), 13, 4), 16, 10).cast("long")
+        + F.conv(F.substring(F.col("meta.checksum"), 13, 8), 16, 10).cast("long")
         % 600_000
     )
     start = F.explode(

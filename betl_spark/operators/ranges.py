@@ -35,6 +35,11 @@ def interval_join(
     interval columns. Zero-length or inverted intervals match nothing
     (filtered, not an error — the half-open contract makes them empty
     sets)."""
+    if bucket_width <= 0:
+        raise ValueError(
+            f"bucket_width={bucket_width} must be positive: DIV 0 yields NULL "
+            "buckets and would silently drop every match"
+        )
     overlap = set(points.columns) & set(intervals.columns)
     if overlap:
         raise ValueError(

@@ -276,11 +276,17 @@ def ivf_topk(
 
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
     """Unit-normalize an embedding column (prerequisite for dot-product
-    ANN indexes): one HOF transform per row, no shuffle."""
-    normed = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / _norm(F.col(vec_col))
+    ANN indexes): the norm is computed ONCE per row in its own column
+    before the element transform — embedding it in the lambda would
+    re-evaluate the O(dim) aggregate per element, O(dim²)/row (the
+    same precompute-the-norm rule as ``_cosine_pre``). No shuffle."""
+    tmp = "__nrm_normalize"
+    normed = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col(tmp))
+    return (
+        df.withColumn(tmp, _norm(F.col(vec_col)))
+        .withColumn(out_col or vec_col, normed)
+        .drop(tmp)
     )
-    return df.withColumn(out_col or vec_col, normed)
 
 
 def centroid_update(

@@ -56,15 +56,16 @@ def salted_join(
     event/row id) used to derive the deterministic salt. Output columns
     = the plain join's (salt dropped).
 
-    Only inner/left/left_semi are accepted: those are bit-identical to
-    the plain join because every big-side row carries exactly one salt.
-    With right/full joins an unmatched SMALL-side key would survive
-    once per salt replica (n_salt duplicate rows), so they're rejected
-    rather than silently wrong."""
+    Big-side-preserving joins (inner/left/semi/anti) are accepted: every
+    big-side row carries exactly ONE salt, so its match status equals
+    the plain join's. Right/full joins are rejected — an unmatched
+    SMALL-side key would survive once per salt replica (n_salt
+    duplicate rows) — rather than silently wrong."""
     normalized = how.lower().replace("_", "")
-    if normalized not in {"inner", "left", "leftouter", "leftsemi"}:
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "semi",
+                          "leftanti", "anti"}:
         raise ValueError(
-            f"salted_join supports inner/left/left_semi, not {how!r}: "
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
             "right/full joins would emit unmatched small-side keys once "
             "per salt replica"
         )

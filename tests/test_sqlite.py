@@ -85,3 +85,21 @@ def test_sqlite_infer_then_bulk_extract(spark, db_path, tmp_path):
     staged = read_staged(spark, conf.layer_path("EXT", "people"))
     assert staged.count() == 3
     assert "audit_source_system" in staged.columns
+
+
+def test_sqlite_flexible_typing_preserves_values(spark, tmp_path):
+    """SQLite legally stores any value in any column: a declared-INTEGER
+    column holding 1.5 and 'abc' must widen (double -> string), never
+    truncate 1.5 to 1 or crash (the reference's pandas read preserves
+    such values too)."""
+    p = str(tmp_path / "flex.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE flex (a INTEGER, b INTEGER)")
+    con.executemany("INSERT INTO flex VALUES (?, ?)", [(1, 1), (1.5, 2), ("abc", None)])
+    con.commit()
+    con.close()
+    df = read_source_table(spark, Datastore("DB", "SQLITE", path=p), "flex")
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types == {"a": "string", "b": "bigint"}  # a widened, b stays long
+    vals = sorted(((r.a, r.b) for r in df.collect()), key=str)
+    assert ("1.5", 2) in vals and ("abc", None) in vals  # nothing truncated
