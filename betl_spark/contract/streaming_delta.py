@@ -124,6 +124,22 @@ FROM events GROUP BY user_id
 """
 
 
+def q_events_stream_dedupe(spark, sf_dir):
+    """Streaming exact-dedup: every distinct (user, event_type) pair
+    emitted once across the whole stream — the batch oracle is plain
+    DISTINCT."""
+    from betl_spark.streaming import stream_dedupe
+
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    dd = stream_dedupe(stream, ["user_id", "event_type"], watermark="365 days")
+    return run_stream_to_table(dd, output_mode="append", state_partitions=STATE_PARTS)
+
+
+EVENTS_STREAM_DEDUPE_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 def q_delta_classify(spark, sf_dir):
     """Change capture between two deterministic snapshots of orders:
     previous drops orderkey%7==0 (→INSERT on re-arrival), incoming drops
@@ -366,6 +382,7 @@ QUERIES = {
     "events_stream_sliding": (q_events_stream_sliding, EVENTS_STREAM_SLIDING_SQL),
     "events_stream_session": (q_events_stream_session, EVENTS_STREAM_SESSION_SQL),
     "events_stream_stateful": (q_events_stream_stateful, EVENTS_STREAM_STATEFUL_SQL),
+    "events_stream_dedupe": (q_events_stream_dedupe, EVENTS_STREAM_DEDUPE_SQL),
     "delta_classify": (q_delta_classify, DELTA_CLASSIFY_SQL),
     "delta_load_dimension": (q_delta_load_dimension, DELTA_LOAD_DIMENSION_SQL),
     "delta_load_fact": (q_delta_load_fact, DELTA_LOAD_FACT_SQL),

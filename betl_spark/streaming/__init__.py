@@ -5,6 +5,7 @@ from betl_spark.streaming.events import (
     sessionize,
     sliding_window_agg,
     stateful_running_totals,
+    stream_dedupe,
     stream_static_enrich,
     tumbling_window_agg,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "sessionize",
     "sliding_window_agg",
     "stateful_running_totals",
+    "stream_dedupe",
     "stream_static_enrich",
     "tumbling_window_agg",
 ]

@@ -241,6 +241,27 @@ def run_stream_to_table(
     return spark.table(name)
 
 
+def stream_dedupe(
+    events: DataFrame, key_cols: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming deduplication: emit each distinct key ONCE across the
+    whole stream (`dropDuplicates` keyed state; the watermark bounds
+    how long a key is remembered, so state stays finite on perpetual
+    streams — re-arrivals beyond the watermark re-emit, the standard
+    trade-off). Output is the key columns only: which non-key values
+    the first-seen row carried is arrival-order dependent and has no
+    place in a deterministic result.
+
+    This is the streaming face of exact dedup: the same hash-keyed
+    state sharding as the batch groupBy, maintained incrementally.
+    """
+    return (
+        events.withWatermark("event_time", watermark)
+        .dropDuplicates(key_cols)
+        .select(*key_cols)
+    )
+
+
 def run_stream_to_parquet(
     stream_df: DataFrame,
     output_path: str,

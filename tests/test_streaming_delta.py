@@ -229,3 +229,31 @@ def test_scd2_chains_across_batches(spark):
     # exactly one current row per live NK; history never overlaps
     cur = [r for r in rows if r[5]]
     assert sorted(r[1] for r in cur) == ["a", "c"]
+
+
+def test_stream_dedupe_suppresses_across_batches(spark, tmp_path):
+    """Keys seen in an earlier micro-batch are NOT re-emitted when the
+    same keys arrive in later files — the keyed state persists across
+    batches via the checkpoint."""
+    import shutil
+
+    from betl_spark.streaming import event_stream, run_stream_to_parquet, stream_dedupe
+
+    src = tmp_path / "src"
+    src.mkdir()
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    events.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+    for f in (tmp_path / "w").glob("*.parquet"):
+        shutil.copy(f, src / "a.parquet")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = event_stream(spark, str(src))
+    dd = stream_dedupe(stream, ["user_id", "event_type"], watermark="365 days")
+    run_stream_to_parquet(dd, out, ckpt, output_mode="append", state_partitions=4)
+    n1 = spark.read.parquet(out).count()
+    n_distinct = events.select("user_id", "event_type").distinct().count()
+    assert n1 == n_distinct
+    # replay the SAME rows as a new file: all duplicates, nothing emitted
+    for f in (tmp_path / "w").glob("*.parquet"):
+        shutil.copy(f, src / "b.parquet")
+    run_stream_to_parquet(dd, out, ckpt, output_mode="append", state_partitions=4)
+    assert spark.read.parquet(out).count() == n_distinct
