@@ -39,7 +39,11 @@ def asof_join(
     """Left as-of join: every left row, plus ``<value>_asof`` columns
     from the latest right row with ``right_ts <= left_ts`` per ``on``
     key (NULL when no prior right row exists)."""
-    reserved = {"__t", "__side"} & set(left.columns)
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"value_cols not on right side: {missing}")
+    internals = {"__t", "__side"} | {f"__r_{c}" for c in value_cols}
+    reserved = internals & set(left.columns)
     if reserved:
         raise ValueError(f"left columns collide with internals: {sorted(reserved)}")
     left_payload = [c for c in left.columns if c not in on]

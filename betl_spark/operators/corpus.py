@@ -31,7 +31,13 @@ def token_frequencies(
 ) -> DataFrame:
     """Corpus token frequencies (vocabulary building): (token, n_docs,
     n_occurrences), optionally the top_k by occurrences with a total
-    (n desc, token asc) order so the cut is deterministic."""
+    (n desc, token asc) order so the cut is deterministic.
+
+    The top_k cut is orderBy+limit, not a global window: Catalyst plans
+    it as TakeOrderedAndProject — per-partition top-k heaps then a
+    driver merge of k·partitions rows — where row_number over an
+    unpartitioned Window funnels the whole vocabulary through one
+    sort task. Same deterministic result, parallel plan."""
     toks = df.select(
         F.col(id_col).alias("__doc"),
         F.explode(F.split(F.col(text_col), " ")).alias("token"),
@@ -42,12 +48,7 @@ def token_frequencies(
     )
     if top_k is None:
         return counts
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= top_k)
-        .drop("rank")
-    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
 
 
 def tf_idf(

@@ -279,12 +279,22 @@ def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -
     ANN indexes): the norm is computed ONCE per row in its own column
     before the element transform — embedding it in the lambda would
     re-evaluate the O(dim) aggregate per element, O(dim²)/row (the
-    same precompute-the-norm rule as ``_cosine_pre``). No shuffle."""
+    same precompute-the-norm rule as ``_cosine_pre``). No shuffle.
+
+    Zero vectors (norm 0) pass through unchanged rather than dividing
+    by zero — division would yield NULL elements (or raise under ANSI
+    mode) and silently poison downstream dot products; an unchanged
+    zero vector keeps cosine against it at 0, the right answer."""
     tmp = "__nrm_normalize"
     normed = F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col(tmp))
     return (
         df.withColumn(tmp, _norm(F.col(vec_col)))
-        .withColumn(out_col or vec_col, normed)
+        .withColumn(
+            out_col or vec_col,
+            F.when(F.col(tmp) > 0, normed).otherwise(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ),
+        )
         .drop(tmp)
     )
 

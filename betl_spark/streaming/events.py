@@ -244,20 +244,39 @@ def run_stream_to_table(
 def stream_dedupe(
     events: DataFrame, key_cols: list[str], watermark: str = "1 hour"
 ) -> DataFrame:
-    """Streaming deduplication: emit each distinct key ONCE across the
-    whole stream (`dropDuplicates` keyed state; the watermark bounds
-    how long a key is remembered, so state stays finite on perpetual
-    streams — re-arrivals beyond the watermark re-emit, the standard
-    trade-off). Output is the key columns only: which non-key values
-    the first-seen row carried is arrival-order dependent and has no
-    place in a deterministic result.
+    """Streaming deduplication via ``dropDuplicatesWithinWatermark``
+    (Spark 3.5+): a key is emitted on first arrival, and any duplicate
+    arriving within the watermark delay of that first event is dropped.
 
-    This is the streaming face of exact dedup: the same hash-keyed
-    state sharding as the batch groupBy, maintained incrementally.
+    Actual state-retention semantics (what the engine guarantees):
+
+    - State for a key is evicted once the event-time watermark passes
+      `first_seen_event_time + watermark`, so state is FINITE on a
+      perpetual stream — bounded by (keys active within one watermark
+      window), not by total distinct keys ever seen. This is the
+      correct primitive here: plain ``dropDuplicates(keys)`` without
+      the event-time column in the keys never evicts its state (Spark
+      only cleans dedup state when the watermark column is part of the
+      key set), which would grow without bound.
+    - A duplicate arriving LATER than the watermark delay after its
+      first occurrence may re-emit (state already evicted) — the
+      standard bounded-memory trade-off, now true of the actual plan.
+    - Input rows older than the current watermark are dropped by the
+      operator without emitting; a key that only ever arrives late may
+      therefore be absent versus a batch DISTINCT. With a watermark
+      chosen ≥ the stream's event-time span (as the batch-parity
+      contract query does), neither divergence can occur and the
+      output is exactly the batch DISTINCT of the keys.
+
+    Output is the key columns only: which non-key values the
+    first-seen row carried is arrival-order dependent and has no place
+    in a deterministic result. This is the streaming face of exact
+    dedup: the same hash-keyed state sharding as the batch groupBy,
+    maintained incrementally.
     """
     return (
         events.withWatermark("event_time", watermark)
-        .dropDuplicates(key_cols)
+        .dropDuplicatesWithinWatermark(key_cols)
         .select(*key_cols)
     )
 

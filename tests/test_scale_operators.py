@@ -430,6 +430,19 @@ def test_normalize_and_centroid_update(emb):
     assert all(poss == set(range(64)) for poss in per_cell.values())  # every dim present
 
 
+def test_normalize_zero_vector_passthrough(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r.vec_id: r.embedding
+        for r in similarity.normalize_vectors(df, "embedding").collect()
+    }
+    assert rows[1] == [0.0, 0.0, 0.0]  # unchanged, not NULLs
+    assert rows[2] == [0.6, 0.8, 0.0]
+
+
 def test_asof_join_semantics(spark):
     from betl_spark.operators.asof import asof_join
 
@@ -490,6 +503,12 @@ def test_temporal_join_collision_guards(spark):
     r = spark.createDataFrame([("u", 5, 1.0)], "k string, t long, price double")
     with pytest.raises(ValueError, match="__t"):
         asof_join(l, r, ["k"], "t", "t", ["price"])
+    l2 = spark.createDataFrame([(1, "u", 5, "x")], "eid int, k string, t long, __r_price string")
+    with pytest.raises(ValueError, match="__r_price"):
+        asof_join(l2, r, ["k"], "t", "t", ["price"])
+    l3 = spark.createDataFrame([(1, "u", 5)], "eid int, k string, t long")
+    with pytest.raises(ValueError, match="not on right"):
+        asof_join(l3, r, ["k"], "t", "t", ["no_such_col"])
     pts = spark.createDataFrame([(1, 5)], "pid int, t long")
     iv = spark.createDataFrame([(1, 0, 10)], "pid int, s long, e long")
     with pytest.raises(ValueError, match="pid"):
