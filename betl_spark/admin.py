@@ -151,7 +151,13 @@ def _infer_postgres(spark: SparkSession, store: Datastore) -> dict[str, list[Col
 
 
 def list_source_tables(store: Datastore) -> list[str]:
-    """Enumerate tables of a file-backed source datastore."""
+    """Enumerate tables of a file-backed source datastore. For EXCEL
+    the 'tables' are the workbook's worksheets (reference
+    betl/admin.py:285-336 walks every worksheet)."""
+    if store.datastore_type == "EXCEL" and store.workbook:
+        from betl_spark.io.xlsx import worksheet_names
+
+        return worksheet_names(store.workbook)
     if store.path is None:
         return []
     suffix = ".parquet" if store.datastore_type == "PARQUET" else store.file_ext
@@ -202,11 +208,28 @@ def read_src(
 
 
 def _first_row_columns(store: Datastore, worksheet: str) -> list[str]:
-    """GSHEET/EXCEL header inference (reference betl/admin.py:285-336).
-    The fetch libraries are not in this container; the registry/typing
-    path is identical to CSV once the header list exists."""
+    """GSHEET/EXCEL header inference (reference betl/admin.py:285-336;
+    non-DB sources default every column to a TEXT Attribute, reference
+    betl/admin.py:272-274).
+
+    EXCEL is live: the stdlib SpreadsheetML parser (io/xlsx.py) reads
+    the worksheet and the scan's own header rules (stop-at-empty-row,
+    trailing-col trim, positional names for gaps) produce the columns,
+    so inferred schema and scan always agree. GSHEET uses injected
+    ``extra['rows']`` when present (the test seam) and otherwise stays
+    environment-gated — gspread + live creds are not in this container.
+    """
+    if store.datastore_type == "EXCEL" and store.workbook:
+        from betl_spark.io.readers import excel_table
+        from betl_spark.io.xlsx import read_worksheet_rows
+
+        names, _, _ = excel_table(read_worksheet_rows(store.workbook, worksheet), worksheet)
+        return names
+    if store.datastore_type == "GSHEET" and store.extra.get("rows") is not None:
+        header = store.extra["rows"][0]
+        return [str(h) for h in header]
     raise NotImplementedError(
-        f"{store.datastore_type} header fetch needs gspread/openpyxl "
+        f"{store.datastore_type} header fetch needs gspread "
         "(reference betl/admin.py:285-336); not available in this environment"
     )
 

@@ -122,26 +122,47 @@ HAVING CAST(sum(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) AS DOUBLE) 
 """
 
 
-# ---- exact n-gram Jaccard (brute force on the augmented scope) ----
+# ---- exact n-gram Jaccard, verifying LSH candidates (the scale path) ----
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard scored ONLY on LSH candidate pairs — the 100 TB
+    formulation (generate candidates by banded bucket join, verify the
+    candidates exactly). The brute-force no-``pairs`` path of
+    ``ngram_jaccard_pairs`` stays available for small-scope validation
+    but is deliberately NOT what the contract exercises."""
+    docs = _augmented_docs(spark, sf_dir)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", N_HASHES, SHINGLE_K)
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id", N_HASHES, BANDS)
     return dedup.ngram_jaccard_pairs(
-        _augmented_docs(spark, sf_dir), "doc_id", "text", SHINGLE_K, threshold=0.5
+        docs, "doc_id", "text", SHINGLE_K, threshold=0.5, pairs=cand
     )
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH aug AS ({AUGMENTED_DOCS_SQL}),
-sh AS (
+WITH {MINHASH_SIG_CTE},
+banded AS (
+  SELECT doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER) AS band,
+         md5(string_agg(CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
+             ORDER BY CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+shs AS (
   SELECT doc_id,
          list_distinct(list_transform(
            range(0, length(text) - {SHINGLE_K - 1}),
            i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS s
   FROM aug
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+SELECT c.id_a, c.id_b,
        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM cand c
+JOIN shs a ON a.doc_id = c.id_a
+JOIN shs b ON b.doc_id = c.id_b
 WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
 """

@@ -105,19 +105,24 @@ class SchemaOps:
         columns: dict[str, Any],
         targetDataset: str | None = None,
         desc: str = "",
-        vectorized: bool = False,
+        vectorized: bool = True,
+        row_compat: bool = False,
     ) -> DataFrame:
         """Add columns from a dict of col → scalar | Spark Column |
         callable(row) (reference betl/dataflow/dfl_changeSchema.py:66-87).
 
         Callables must return str (or None). Prefer passing a Spark
         Column expression — it stays in whole-stage codegen. When a
-        callable is unavoidable, ``vectorized=True`` is the documented
-        fast path: the rows arrive as Arrow batches and the callable is
-        applied to pandas Series rows (``pdf.apply(f, axis=1)`` — the
-        reference's own shape), ~10-100× less per-row overhead than the
-        default row-at-a-time Python UDF, which is kept only for exact
-        Row-object compatibility.
+        callable is unavoidable, the DEFAULT is the Arrow path: rows
+        arrive as Arrow batches and the callable is applied to pandas
+        Series rows (``pdf.apply(f, axis=1)`` — the reference's own
+        shape, betl/dataflow/dfl_changeSchema.py:76-78), ~10-100× less
+        per-row overhead than a row-at-a-time Python UDF. Series rows
+        support both ``row.col`` and ``row['col']`` access, so most
+        callables run unchanged; pass ``row_compat=True`` only if the
+        callable needs a genuine ``pyspark.sql.Row`` (e.g. it calls
+        ``row.asDict()``) — that opts into the slow per-row UDF and
+        should never be on a 100 TB hot path.
         """
         with self.journal.step("addColumns", desc or f"addColumns {dataset}"):
             df = self._get(dataset)
@@ -125,7 +130,7 @@ class SchemaOps:
                 if isinstance(value, SparkCol):
                     df = df.withColumn(name, value)
                 elif callable(value):
-                    if vectorized:
+                    if vectorized and not row_compat:
                         def _apply(pdf, _f=value):
                             return pdf.apply(_f, axis=1)
 

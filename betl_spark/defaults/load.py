@@ -52,14 +52,20 @@ def assign_surrogate_keys(
     ColumnClass.py:29-31). ``order_cols`` must be a unique key or
     numbering within ties is undefined — same caveat as any ORDER BY.
 
-    Entirely JVM-side, no single-reducer stage:
+    Entirely JVM-side, ONE shuffle total, no single-reducer stage:
 
     1. range-partition + sort by the key (the distributed ORDER BY
-       machinery) and stamp ``spark_partition_id``;
+       machinery) and stamp ``monotonically_increasing_id()`` — whose
+       low 33 bits are by contract the 0-based row index WITHIN the
+       partition (consecutive, in partition row order — i.e. the sort
+       order) and whose high bits are the partition id;
     2. one lightweight count-per-partition job (map-side combine: only
        n_partitions rows cross the wire);
-    3. number each slice with ``row_number() OVER (PARTITION BY pid
-       ORDER BY key)`` plus that partition's cumulative offset.
+    3. the SK is then a pure PROJECTION: cumulative partition offset +
+       local index + 1. No window at all — a ``row_number() OVER
+       (PARTITION BY pid)`` here would force a second full shuffle,
+       because Catalyst can't see that the data is already grouped by
+       its own partition id.
 
     Range partitions are ordered, so the result is bit-identical to
     ``row_number() OVER (ORDER BY key)`` — which is exactly what the
@@ -69,28 +75,30 @@ def assign_surrogate_keys(
     through Python workers. Both lose badly at 100M+ rows.)
     """
     n_part = max(df.rdd.getNumPartitions(), 1)
+    mid_pid = F.shiftrightunsigned(F.col("__mid"), 33).cast("int")
+    mid_local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
     ranged = (
         df.repartitionByRange(n_part, *order_cols)
         .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
         .persist()
     )
-    counts = {r["__pid"]: r["n"] for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {
+        r["p"]: r["n"]
+        for r in ranged.groupBy(mid_pid.alias("p")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     offsets, acc = {}, offset
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
     offset_expr = F.element_at(
         F.create_map(*[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]),
-        F.col("__pid"),
+        mid_pid,
     ) if offsets else F.lit(offset)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
     out = ranged.withColumn(
         sk_col,
-        (offset_expr.cast("long") + F.row_number().over(w).cast("long")),
-    ).drop("__pid")
+        (offset_expr.cast("long") + mid_local + F.lit(1).cast("long")),
+    ).drop("__mid")
     return out.select(sk_col, *df.columns)
 
 

@@ -231,19 +231,36 @@ def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> Da
         from betl_spark.io.xlsx import read_worksheet_rows
 
         rows = read_worksheet_rows(datastore.workbook, worksheet)
+    names, trimmed, width = excel_table(rows, worksheet)
+    return spark.createDataFrame(
+        [
+            [("" if v is None else str(v)) for v in r[:width]] + [""] * (width - len(r))
+            for r in trimmed
+        ],
+        schema=all_string_schema(names),
+    )
+
+
+def excel_table(
+    rows: list[list], worksheet: str = "?"
+) -> tuple[list[str], list[list[str]], int]:
+    """Worksheet rows → (column names, trimmed data rows, width) under
+    the reference's scan rules — shared by the EXCEL scan and by
+    ``readsrc`` schema inference so both always agree on the header.
+
+    Rules (reference betl/io/excelIO.py:4-35): stop at the first
+    fully-empty row; trim to the max non-empty column; data can be
+    wider than the header row, and header cells can be empty gaps (the
+    reference leaves both unnamed — here they get positional _c<i>
+    names so the schema stays valid and unambiguous)."""
     if not rows:
         raise ValueError(f"worksheet {worksheet!r} is empty (no header row)")
     header, *data = rows
-    # stop at first fully-empty row (excelIO.py:18-24)
     trimmed: list[list[str]] = []
     for r in data:
         if all(v is None or str(v) == "" for v in r):
             break
         trimmed.append([("" if v is None else str(v)) for v in r])
-    # trim to max non-empty column (excelIO.py:26-33); data can be wider
-    # than the header row, and header cells can be empty gaps (the
-    # reference leaves both unnamed — here they get positional _c<i>
-    # names so the schema stays valid and unambiguous)
     width = 0
     for r in [header] + trimmed:
         for i, v in enumerate(r):
@@ -254,10 +271,4 @@ def _read_excel(spark: SparkSession, datastore: Datastore, worksheet: str) -> Da
         for i, h in enumerate(header[:width])
     ]
     names += [f"_c{i}" for i in range(len(names), width)]
-    return spark.createDataFrame(
-        [
-            [("" if v is None else str(v)) for v in r[:width]] + [""] * (width - len(r))
-            for r in trimmed
-        ],
-        schema=all_string_schema(names),
-    )
+    return names, trimmed, width

@@ -75,6 +75,15 @@ def _cell_value(c: ET.Element, shared: list[str]) -> str | None:
     return v.text  # numbers/bools/cached formula results as stored text
 
 
+def worksheet_names(path: str) -> list[str]:
+    """Worksheet titles in workbook order — the EXCEL analogue of
+    listing a source system's tables (reference betl/admin.py:285-336
+    walks every worksheet of the schema workbook)."""
+    with zipfile.ZipFile(path) as z:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        return [sh.get("name") or "" for sh in wb.iter(f"{_NS}sheet")]
+
+
 def read_worksheet_rows(path: str, worksheet: str) -> list[list[str | None]]:
     """All rows of one worksheet as dense lists (row-major, 0-based
     columns, ``None`` for empty cells). Row gaps in the XML are

@@ -101,14 +101,18 @@ def minhash_signatures(
     detection at this granularity (run ``exact_dedup`` first; it has no
     length floor). This mirrors the oracle's behavior exactly.
     """
-    spark = df.sparkSession
     shingled = df.select(
         F.col(id_col),
         F.explode(char_shingles(text_col, shingle_k)).alias("shingle"),
     )
-    seeds = spark.range(n_hashes).select(F.col("id").alias("h_idx"))
+    # one h_idx row per hash via explode of a literal array — join-free
+    # (a broadcast crossJoin with a seeds table plans as a
+    # BroadcastNestedLoopJoin node; this is a plain Generate)
+    hashes = F.explode(
+        F.array(*[F.lit(i).cast("long") for i in range(n_hashes)])
+    ).alias("h_idx")
     return (
-        shingled.crossJoin(F.broadcast(seeds))
+        shingled.select(id_col, "shingle", hashes)
         .select(
             id_col,
             "h_idx",

@@ -135,3 +135,71 @@ def test_gsheet_inference_is_gated(spark, tmp_path):
     )
     with pytest.raises(NotImplementedError, match="gspread"):
         read_src(spark, conf, SchemaRegistry(), tables_per_src={"GS": ["sheet1"]})
+
+
+def test_gsheet_inference_from_injected_rows(spark, tmp_path):
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["GS"] = Datastore(
+        "GS",
+        "GSHEET",
+        is_src_sys=True,
+        extra={"rows": [["colA", "colB"], ["1", "x"]]},
+    )
+    reg = read_src(spark, conf, SchemaRegistry(), tables_per_src={"GS": ["sheet1"]})
+    t = reg.get_table("EXT", "sheet1")
+    inferred = {c.name: c.data_type for c in t.columns if not c.name.startswith("audit_")}
+    assert inferred == {"colA": "TEXT", "colB": "TEXT"}
+
+
+def _write_xlsx(path):
+    """Two-worksheet SpreadsheetML workbook, including a header gap
+    (B1 empty while B2 holds data) to prove inference uses the scan's
+    positional-name rule."""
+    import zipfile
+
+    wb = """<?xml version="1.0"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="mapping" sheetId="1" r:id="rId1"/>
+         <sheet name="other" sheetId="2" r:id="rId2"/></sheets>
+</workbook>"""
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+    s1 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+ <row r="1"><c r="A1" t="inlineStr"><is><t>name</t></is></c></row>
+ <row r="2"><c r="A2" t="inlineStr"><is><t>ann</t></is></c><c r="B2"><v>33</v></c></row>
+</sheetData></worksheet>"""
+    s2 = """<?xml version="1.0"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+ <row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>
+ <row r="2"><c r="A2"><v>7</v></c></row>
+</sheetData></worksheet>"""
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/worksheets/sheet1.xml", s1)
+        z.writestr("xl/worksheets/sheet2.xml", s2)
+
+
+def test_excel_inference_end_to_end(spark, tmp_path):
+    """EXT schemas inferred from a real .xlsx through readsrc — no
+    tables_per_src: the worksheet list itself comes from the workbook
+    (reference betl/admin.py:285-336; TEXT-Attribute default for non-DB
+    sources, betl/admin.py:272-274)."""
+    p = tmp_path / "config.xlsx"
+    _write_xlsx(p)
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["XL"] = Datastore("XL", "EXCEL", is_src_sys=True, workbook=str(p))
+    reg = admin(spark, conf, read_src_schemas=True, refresh_schema_desc_files=True)
+    t = reg.get_table("EXT", "mapping")
+    inferred = {c.name: c.data_type for c in t.columns if not c.name.startswith("audit_")}
+    # B1 is an empty header cell over real data -> positional _c1, TEXT
+    assert inferred == {"name": "TEXT", "_c1": "TEXT"}
+    t2 = reg.get_table("EXT", "other")
+    assert [c.name for c in t2.columns if not c.name.startswith("audit_")] == ["k"]
+    # the persisted schema desc round-trips the inferred tables
+    assert load_schema_desc(conf).get_table("EXT", "mapping") is not None

@@ -72,9 +72,21 @@ def test_pivot_cols_to_rows(dfl):
 def test_add_columns_callable_vectorized_matches_row_path(dfl):
     dfl.createDataset("d", {"a": ["1", "2"], "b": ["x", "y"]})
     dfl.duplicateDataset("d", ["d2"])
-    slow = dfl.addColumns("d", {"fn": lambda row: row.a + row.b})
-    fast = dfl.addColumns("d2", {"fn": lambda row: row.a + row.b}, vectorized=True)
+    # row_compat=True is the Row-object UDF; the default is the Arrow path
+    slow = dfl.addColumns("d", {"fn": lambda row: row.a + row.b}, row_compat=True)
+    fast = dfl.addColumns("d2", {"fn": lambda row: row.a + row.b})
     assert rows(slow) == rows(fast) == [("1", "x", "1x"), ("2", "y", "2y")]
+
+
+def test_add_columns_row_compat_gets_real_row_object(dfl):
+    """A callable that genuinely needs pyspark Row API (asDict) works
+    under row_compat=True; reference semantics
+    (betl/dataflow/dfl_changeSchema.py:76-78) hold on both paths."""
+    dfl.createDataset("d", {"a": ["1", "2"]})
+    out = dfl.addColumns(
+        "d", {"fn": lambda row: str(sorted(row.asDict())) }, row_compat=True
+    )
+    assert [r.fn for r in out.collect()] == ["['a']", "['a']"]
 
 
 def test_positional_column_guards(dfl):

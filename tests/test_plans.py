@@ -117,6 +117,42 @@ def test_exact_dedup_never_moves_payload(spark):
     assert "partial_" in p, p
 
 
+def test_ngram_jaccard_contract_query_has_no_cross_product(spark):
+    """The contract query must exercise the candidates-then-verify
+    formulation: LSH bucket equi-joins end-to-end, never the quadratic
+    all-pairs fallback."""
+    from betl_spark.contract.scale import q_ngram_jaccard
+
+    p = plan(q_ngram_jaccard(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_sk_engine_has_no_single_partition_exchange(spark):
+    """The hardest-won plan property of the SK engine: surrogate keys
+    are assigned with a range-partition + per-partition numbering —
+    never a global window that funnels the dimension through one
+    reducer (an Exchange SinglePartition node)."""
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    # sf0.001 reads as one partition, where repartitionByRange(1) is
+    # legitimately a SinglePartition exchange — pre-split to 8 so the
+    # plan shows the real multi-partition shape a cluster would run
+    customer = (
+        spark.read.parquet(f"{SF}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("string").alias("nk_customer"),
+            F.col("c_name").alias("attr_name"),
+        )
+        .repartition(8)
+    )
+    p = plan(assign_surrogate_keys(customer, "sk_customer", ["nk_customer"]))
+    assert "SinglePartition" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    # the SK is a projection over the cached ranged data — re-windowing
+    # by partition id would add a second full Exchange after the cache
+    assert "Window" not in p, p
+
+
 def test_temporal_joins_avoid_cross_products(spark):
     from betl_spark.operators.asof import asof_join
     from betl_spark.operators.ranges import interval_join
