@@ -45,8 +45,12 @@ def q_star_schema_pipeline(spark, sf_dir):
         "BSE",
         "ft_orders",
         [
-            ("fk_customer", "INTEGER", "Foreign key", "dm_customer"),
-            ("o_orderkey", "INTEGER", "Attribute"),
+            # BIGINT, not INTEGER: at 100 TB both the surrogate range
+            # and source order keys exceed int32 (a 10x key-shifted
+            # rehearsal decade overflowed the INT cast here — see
+            # SCALE.md "sf1 rehearsal")
+            ("fk_customer", "BIGINT", "Foreign key", "dm_customer"),
+            ("o_orderkey", "BIGINT", "Attribute"),
             ("o_totalprice", "NUMERIC", "Attribute"),
         ],
     )

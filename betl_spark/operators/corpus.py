@@ -51,6 +51,59 @@ def token_frequencies(
     return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(top_k)
 
 
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    thresholds: tuple[float, ...] = (0.5, 0.75, 0.9),
+    max_vocab: int = 10000,
+) -> DataFrame:
+    """Zipf coverage curve: for each threshold t, the smallest number
+    of top-frequency tokens whose occurrences cover ≥ t of all token
+    occurrences — the standard vocabulary-sizing question for tokenizer
+    design. Output (coverage_threshold, tokens_needed); a threshold
+    unreachable within ``max_vocab`` tokens yields no row (raise
+    ``max_vocab`` to resolve it).
+
+    Scale shape: the corpus-wide work is one token groupBy (map-side
+    combinable). The cumulative sum — inherently sequential — runs
+    over the TakeOrdered top-``max_vocab`` cut only, a bounded set, so
+    the single-task window is O(max_vocab) regardless of corpus size
+    (a cumsum over the full open vocabulary would serialize billions
+    of rows through one sort task). The grand total comes from a
+    scalar aggregate broadcast back, never a global window.
+    """
+    counts = token_frequencies(df, id_col, text_col)
+    total = counts.agg(F.sum("n_occurrences").alias("__total"))
+    top = token_frequencies(df, id_col, text_col, top_k=max_vocab)
+    w = (
+        Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        top.withColumn("__cum", F.sum("n_occurrences").over(w))
+        .withColumn(
+            "__rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    th = F.explode(
+        F.array(*[F.lit(float(t)) for t in thresholds])
+    ).alias("coverage_threshold")
+    return (
+        ranked.select(th, "__rank", "__cum", "__total")
+        .filter(
+            F.col("__cum").cast("double")
+            >= F.col("coverage_threshold") * F.col("__total").cast("double")
+        )
+        .groupBy("coverage_threshold")
+        .agg(F.min("__rank").alias("tokens_needed"))
+    )
+
+
 def tf_idf(
     df: DataFrame, id_col: str, text_col: str, min_doc_freq: int = 1
 ) -> DataFrame:

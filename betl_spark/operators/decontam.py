@@ -1,0 +1,85 @@
+"""Benchmark decontamination: flag training documents that share word
+n-grams with an evaluation/benchmark set.
+
+The standard pre-training hygiene step (word-level n-gram overlap, the
+GPT-3/PaLM decontamination recipe): any training doc containing an
+n-gram that also appears in a held-out benchmark is flagged, with its
+overlap fraction, so the curation pipeline can drop or audit it.
+
+Scale shape:
+- n-gram construction is per-row column work (split → slice/join over
+  the token array) — zero shuffle. The windowed alternative
+  (posexplode + lead(n)) is full codegen but shuffles every TOKEN on
+  the doc key; at corpus scale the interpreted-HOF cost per row is
+  orders of magnitude below that exchange, so the HOF wins.
+- the benchmark side is tiny by definition (eval sets are thousands of
+  docs, not billions) → its distinct n-gram hashes BROADCAST; the
+  corpus-side join is map-side, no corpus shuffle for matching.
+- only (doc_id, ngram_hash) pairs ever move — 16 bytes/gram, never the
+  text — and the per-doc rollup is a map-side-combinable count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """Distinct word n-grams of a space-tokenized text column (array of
+    'w1 w2 ... wn' strings; empty when the doc has fewer than n
+    tokens — the guard keeps sequence() from throwing on short docs)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN array_distinct(transform("
+        f"sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Contaminated-doc report: (id, n_hits, n_ngrams,
+    contamination_frac) for every corpus doc sharing ≥1 distinct word
+    n-gram with the benchmark set; frac rounded to 6dp.
+
+    Joins on xxhash64 of the n-gram (8-byte keys instead of strings);
+    a hash collision could at worst over-flag one doc — acceptable for
+    a flagging report, and the benchmark side is small enough that
+    collisions are ~2^-64 · |grams|² improbable.
+    """
+    grams = F.explode(word_ngrams(text_col, n)).alias("gram")
+    bench_hashes = (
+        benchmark.select(grams)
+        .select(F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+    )
+    doc_grams = corpus.select(
+        F.col(id_col), word_ngrams(text_col, n).alias("grams")
+    ).select(
+        F.col(id_col),
+        F.size("grams").alias("n_ngrams"),
+        F.explode("grams").alias("gram"),
+    )
+    hits = (
+        doc_grams.select(id_col, "n_ngrams", F.xxhash64("gram").alias("gram_hash"))
+        .join(F.broadcast(bench_hashes), "gram_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.first("n_ngrams").alias("n_ngrams"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_hits",
+        "n_ngrams",
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_ngrams").cast("double"), 6
+        ).alias("contamination_frac"),
+    )

@@ -345,6 +345,44 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT for pairs: |A∩B| / min(|A|, |B|)
+    (Broder's containment, symmetrized by the smaller set). Catches
+    near-SUBSET relations Jaccard misses — a document quoted inside a
+    10× larger one has Jaccard ≈ 0.1 but containment ≈ 1.0, and
+    quote/wrapper duplication is a major corpus-dedup class.
+
+    Same scale contract as ``ngram_jaccard_pairs``: pass ``pairs``
+    (LSH candidates) for the linear path; the no-``pairs`` brute force
+    is for small scopes only. Output (id_a, id_b, containment ≥
+    threshold, 6dp). Pairs where either side has no shingles (text
+    shorter than ``shingle_k``) are excluded — containment against an
+    empty set is undefined, not 1.
+    """
+    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    if pairs is not None:
+        joined = pairs.join(a, "id_a").join(b, "id_b")
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    cont = F.round(inter.cast("double") / smaller.cast("double"), 6)
+    return (
+        joined.filter(smaller > 0)
+        .select("id_a", "id_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def _edge_checksum(edges: DataFrame) -> tuple:
     """Cheap convergence probe: (count, xor-free hash sum) of the edge
     set — equal checksums across rounds mean the star contraction

@@ -88,21 +88,34 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     filter-lambda per token per language — the slowest query in the
     round-1 bench at 7.5s/sf0.1; this shape runs in the text_quality
     ballpark.)"""
-    hit_cols = [
-        _stopword_count(text_col, LANG_STOPWORDS[lang]).alias(f"hits_{lang}")
-        for lang in sorted(LANG_STOPWORDS)
-    ]
-    scored = df.select(F.col(id_col), *hit_cols)
-    langs = sorted(LANG_STOPWORDS)
-    best_hits = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
-    pred = F.lit("und")
-    # reverse order so earlier (alphabetical) languages win ties
-    for lang in reversed(langs):
-        pred = F.when(
-            (F.col(f"hits_{lang}") == best_hits) & (best_hits > 0), F.lit(lang)
-        ).otherwise(pred)
-    return scored.select(
-        id_col, pred.alias("lang_pred"), best_hits.cast("long").alias("lang_hits")
+    # Each profile's regexp_count appears EXACTLY ONCE, inside one
+    # array of (-hits, lang) structs; the argmax is array_sort + take
+    # first (neg-hits asc = hits desc, then lang asc = alphabetical
+    # tiebreak). The former per-when/greatest formulation referenced
+    # every hit column ~5x — harmless as a standalone projection, but
+    # when a downstream filter (e.g. lang_pred != 'und') is pushed
+    # into the scan, Catalyst inlines the aliases and the predicate
+    # re-evaluates each regexp ~25x per row (measured 34s -> 9s on the
+    # curation pipeline at a 10x rehearsal decade). Keeping each
+    # regexp single-referenced makes the operator safe to compose
+    # under predicate pushdown.
+    pairs = F.array(
+        *[
+            F.struct(
+                (-_stopword_count(text_col, LANG_STOPWORDS[lang]))
+                .cast("long")
+                .alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(LANG_STOPWORDS)
+        ]
+    )
+    best = F.element_at(F.array_sort(pairs), 1)
+    pred = F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select(
+        F.col(id_col),
+        pred.alias("lang_pred"),
+        (-best["neg_hits"]).cast("long").alias("lang_hits"),
     )
 
 
