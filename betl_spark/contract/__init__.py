@@ -20,6 +20,7 @@ from betl_spark.contract.operators import QUERIES as _OPERATORS
 from betl_spark.contract.scale import QUERIES as _SCALE
 from betl_spark.contract.streaming_delta import QUERIES as _STREAMING
 from betl_spark.contract.pipeline_e2e import QUERIES as _PIPELINE
+from betl_spark.contract.round3 import QUERIES as _ROUND3
 
 _ALL = {
     **_TPCH,
@@ -27,6 +28,7 @@ _ALL = {
     **_SCALE,
     **_STREAMING,
     **_PIPELINE,
+    **_ROUND3,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
@@ -41,6 +43,12 @@ _PRIORITY = [
     # -- never oracle-checked (landed after the round-2 gate) --
     "events_stream_dedupe",
     "repetition_features",
+    # -- new round-3 queries (first oracle check this round) --
+    "sessionize_events",
+    "decontaminate_docs",
+    "doc_length_quantiles",
+    "vocab_coverage",
+    "dedup_containment",
     # -- round-1-only greens, rotated back into the checked window --
     "filter_ops",
     "join_keepcols",
