@@ -32,65 +32,65 @@ _ALL = {
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
-# dict order is the verification schedule. Round 1 checked the natural
-# tpch→operators→scale prefix; round 2 checked the 50 entries that round
-# 1 never reached (all green, CORRECTNESS_r02.json). Round 3 leads with
-# the only two queries that have never had an oracle row (added after the
-# round-2 gate ran), then new round-3 queries, then rotates the 41
-# round-1-only greens back through so every query's green row is at most
-# one round old. Queries past slot 50 stay runnable + benched.
+# dict order is the verification schedule, rotated each round so no
+# query's green row goes stale. Round 5 leads with the eight queries the
+# events nanos->micros testdata drift broke in r4 (now fixed), then
+# everything whose last oracle row dates from round 2. Queries past slot
+# 50 stay runnable + benched.
 _PRIORITY = [
-    # -- never oracle-checked (landed after the round-2 gate) --
-    "events_stream_dedupe",
-    "repetition_features",
-    # -- new round-3 queries (first oracle check this round) --
+    # -- broken in r4 (events ts nanos->micros drift), fixed this round --
     "sessionize_events",
-    "decontaminate_docs",
-    "doc_length_quantiles",
-    "vocab_coverage",
-    "dedup_containment",
-    # -- round-1-only greens, rotated back into the checked window --
-    "filter_ops",
-    "join_keepcols",
-    "sk_dimension",
-    "date_dimension",
-    "audit_dimension",
-    "clean_values",
-    "derive_columns",
-    "unpivot_part",
-    "collapse_nk",
-    "set_nulls",
-    "apply_function_columns",
-    "union_dedupe",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "mdm_map_master_data",
-    "mdm_group_count",
-    "fact_fk_resolution",
     "events_tumbling_window",
-    "cube_revenue",
-    "rollup_revenue",
-    "top_customers",
-    "window_top_orders_per_segment",
-    "setop_intersect_nations",
-    "setop_except_customers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_brand_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
+    "asof_join_events",
+    "interval_join_events",
+    "events_stream_tumbling",
+    "events_stream_sliding",
+    "events_stream_session",
+    "events_stream_enrich",
+    # -- r2-stale stateful stream + reworked-this-round vocab ranking --
+    "events_stream_stateful",
+    "vocab_coverage",
+    # -- greens last verified in round 2, rotated back into the window --
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "anti_join",
+    "dedup_simhash",
+    "dedup_simhash_near_dups",
+    "near_dup_removal",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "kmeans_update",
+    "dedup_cluster_assign",
+    "pii_scrub",
+    "salted_join_events",
+    "corpus_curation",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_binary",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "split_assign",
+    "hash_sample",
+    "quality_filter",
+    "vocab_topk",
+    "tf_idf",
+    "bigram_counts",
+    "pack_sequences",
+    "stratified_sample",
+    "delta_classify",
+    "delta_load_dimension",
+    "delta_load_fact",
+    "scd2_dimension",
+    "star_schema_pipeline",
 ]
 
 QUERIES: dict = {}

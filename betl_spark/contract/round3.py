@@ -58,7 +58,7 @@ WITH ordered AS (
                            ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM flagged
 )
-SELECT user_id, session_seq,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts_s) AS session_start,
        MAX(ts_s) AS session_end,
        COUNT(*) AS n_events,

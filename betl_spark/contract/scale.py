@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from betl_spark.contract.common import table
+from betl_spark.contract.common import table, ts_micros
 from betl_spark.operators import dedup, multimodal, similarity, text
 
 MUTANT_OFFSET = 100000
@@ -406,11 +406,13 @@ def q_asof_join_events(spark, sf_dir):
     against DuckDB's native ASOF LEFT JOIN."""
     from betl_spark.operators import asof
 
-    # micro-truncated event time on both sides: DuckDB reads the
-    # TIMESTAMP(NANOS) parquet at micro precision, and the testdata has
-    # no same-microsecond collisions per user (verified), so micros are
-    # the common clock; integer DIV avoids double-precision loss
-    ev = table(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    # epoch-micros event time on both sides: DuckDB evaluates at micro
+    # precision and the testdata has no same-microsecond collisions per
+    # user (verified), so micros are the common clock. ts_micros() is
+    # type-adaptive — the parquet physical type has shifted across
+    # driver rounds (nanos -> micros).
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", ts_micros(ev))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
@@ -450,7 +452,8 @@ def q_interval_join_events(spark, sf_dir):
     against DuckDB's plain inequality join."""
     from betl_spark.operators.ranges import interval_join
 
-    ev = table(spark, sf_dir, "events").withColumn("ts", F.expr("ts DIV 1000"))
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("ts", ts_micros(ev))
     windows = (
         ev.groupBy(F.col("event_type").alias("win_type"))
         .agg(F.min("ts").alias("start_us"))

@@ -73,7 +73,7 @@ Scale notes (the plans Catalyst produces for these):
 
 from __future__ import annotations
 
-from betl_spark.contract.common import REVENUE, dataflow, dec
+from betl_spark.contract.common import REVENUE, dataflow, dec, table, ts_micros_sql
 
 Q1_PRICING_SUMMARY = f"""
 SELECT
@@ -532,18 +532,27 @@ SELECT
 FROM events
 GROUP BY 1, 2
 """
-# Spark reads events.ts as long nanos-since-epoch (nanosAsLong); integer
-# DIV keeps the bucketing exact (no double rounding), and agrees with
-# DuckDB's floor(epoch/300) on the native nanos timestamp
-EVENTS_TUMBLING_WINDOW_SPARK = """
+# Spark-side variant is a template: {ts_us} is filled at run time from
+# the bound events schema (ts_micros_sql) because the testdata's
+# physical type for ts has shifted across driver rounds (long nanos ->
+# timestamp micros). Integer DIV on epoch-micros keeps the 300s
+# bucketing exact (no double rounding) and agrees with DuckDB's
+# floor(epoch/300) on the native timestamp.
+EVENTS_TUMBLING_WINDOW_SPARK_TMPL = """
 SELECT
-  CAST((ts DIV 300000000000) * 300 AS BIGINT) AS window_start,
+  CAST(({ts_us} DIV 300000000) * 300 AS BIGINT) AS window_start,
   event_type,
   COUNT(*) AS n_events,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
+
+
+def q_events_tumbling_window(spark, sf_dir):
+    dfl = dataflow(spark, sf_dir, ["events"])
+    frag = ts_micros_sql(table(spark, sf_dir, "events"))
+    return dfl.customSQL(EVENTS_TUMBLING_WINDOW_SPARK_TMPL.format(ts_us=frag))
 
 
 def _sql_query(sql: str, tables: list[str], spark_sql: str | None = None):
@@ -621,7 +630,5 @@ QUERIES = {
     "cube_revenue": _sql_query(CUBE_REVENUE, ["lineitem"]),
     "rollup_revenue": _sql_query(ROLLUP_REVENUE, ["lineitem"]),
     "top_customers": _sql_query(TOP_CUSTOMERS, ["customer", "orders"]),
-    "events_tumbling_window": _sql_query(
-        EVENTS_TUMBLING_WINDOW, ["events"], spark_sql=EVENTS_TUMBLING_WINDOW_SPARK
-    ),
+    "events_tumbling_window": (q_events_tumbling_window, EVENTS_TUMBLING_WINDOW),
 }

@@ -66,30 +66,26 @@ def vocab_coverage(
     ``max_vocab`` to resolve it).
 
     Scale shape: the corpus-wide work is one token groupBy (map-side
-    combinable). The cumulative sum — inherently sequential — runs
-    over the TakeOrdered top-``max_vocab`` cut only, a bounded set, so
-    the single-task window is O(max_vocab) regardless of corpus size
-    (a cumsum over the full open vocabulary would serialize billions
-    of rows through one sort task). The grand total comes from a
-    scalar aggregate broadcast back, never a global window.
+    combinable); the rank + cumulative sum run through the banded
+    two-pass ``ranked_running_sum`` — range-partitioned bands, per-band
+    parallel windows, driver prefix-sum of O(bands) offsets — so there
+    is NO partition-less Window anywhere in the plan, even if
+    ``max_vocab`` is raised to cover a web-scale (10⁸-token) open
+    vocabulary. The grand total comes from a scalar aggregate broadcast
+    back, never a global window.
     """
+    from betl_spark.operators.stats import ranked_running_sum
+
     counts = token_frequencies(df, id_col, text_col)
     total = counts.agg(F.sum("n_occurrences").alias("__total"))
     top = token_frequencies(df, id_col, text_col, top_k=max_vocab)
-    w = (
-        Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = (
-        top.withColumn("__cum", F.sum("n_occurrences").over(w))
-        .withColumn(
-            "__rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-            ),
-        )
-        .crossJoin(F.broadcast(total))
-    )
+    ranked = ranked_running_sum(
+        top,
+        [F.desc("n_occurrences"), F.asc("token")],
+        "n_occurrences",
+        rank_col="__rank",
+        cum_col="__cum",
+    ).crossJoin(F.broadcast(total))
     th = F.explode(
         F.array(*[F.lit(float(t)) for t in thresholds])
     ).alias("coverage_threshold")

@@ -45,3 +45,82 @@ def grouped_quantiles(
 def _qname(q: float) -> str:
     pct = q * 100
     return f"p{pct:g}".replace(".", "_")
+
+
+def ranked_running_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    rank_col: str = "rank",
+    cum_col: str = "cum",
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Global rank + running sum of ``value_col`` in ``order_cols``
+    order, with NO partition-less Window — the banded two-pass pattern
+    (same machinery as the SK engine, defaults/load.py:44):
+
+    1. range-partition by the order key: bands are ordered, rows sort
+       within bands in parallel;
+    2. per-band rank/cumsum via a Window PARTITIONED by band (parallel —
+       each band is one window group);
+    3. one tiny per-band (count, sum) aggregate — ``n_bands`` rows —
+       collected, prefix-summed on the driver, broadcast back as a
+       literal-map projection. The collect is O(bands), never O(rows).
+
+    A plain ``Window.orderBy(...)`` computes the same thing through ONE
+    task sorting every row — fine at 10⁴ rows, fatal at 10⁸ (a
+    web-scale vocabulary). ``order_cols`` must be a total order (unique
+    key) for deterministic ranks; ``value_col`` must be integral/long
+    (driver prefix sums are exact Python ints).
+    """
+    spark = df.sparkSession
+    if n_bands is None:
+        n_bands = spark.sparkContext.defaultParallelism
+    banded = (
+        df.repartitionByRange(n_bands, *order_cols)
+        .withColumn("__band", F.spark_partition_id())
+        .persist()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__band").orderBy(*order_cols)
+    local = banded.withColumn("__rn_l", F.row_number().over(w)).withColumn(
+        "__cum_l",
+        F.sum(value_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stats = {
+        r["b"]: (r["n"], r["s"])
+        for r in banded.groupBy(F.col("__band").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+        .collect()
+    }
+    rn_off: dict[int, int] = {}
+    cum_off: dict[int, int] = {}
+    acc_n, acc_s = 0, 0
+    for b in sorted(stats):
+        rn_off[b], cum_off[b] = acc_n, acc_s
+        acc_n += stats[b][0]
+        acc_s += int(stats[b][1])
+
+    def _lit_map(d: dict[int, int]):
+        return F.create_map(*[F.lit(x) for b in sorted(d) for x in (b, d[b])])
+
+    if not stats:  # empty input: rank/cum columns still present
+        return (
+            df.withColumn(rank_col, F.lit(None).cast("int"))
+            .withColumn(cum_col, F.lit(None).cast("long"))
+        )
+    return (
+        local.withColumn(
+            rank_col,
+            (F.element_at(_lit_map(rn_off), F.col("__band")) + F.col("__rn_l")).cast("int"),
+        )
+        .withColumn(
+            cum_col,
+            F.element_at(_lit_map(cum_off), F.col("__band")).cast("long")
+            + F.col("__cum_l").cast("long"),
+        )
+        .drop("__band", "__rn_l", "__cum_l")
+    )

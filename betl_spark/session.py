@@ -55,8 +55,11 @@ def build_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # parquet scans: prune + push down aggressively
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata events.ts is parquet TIMESTAMP(NANOS), which the
-        # vectorized reader rejects; read as long nanos-since-epoch
+        # drift guard: if events.ts ever reverts to parquet
+        # TIMESTAMP(NANOS) (it was through round 3), read it as long
+        # nanos instead of erroring; harmless for the current
+        # TIMESTAMP(MICROS) data. Call sites adapt via
+        # contract.common.ts_micros / streaming.events._event_time_col.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
     )

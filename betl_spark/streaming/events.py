@@ -16,9 +16,12 @@ Testing/verification model: streams are executed with
 compared against the batch-equivalent aggregation — the contract query
 ``events_stream_tumbling`` does exactly that against the DuckDB oracle.
 
-The testdata's ``events.ts`` is parquet TIMESTAMP(NANOS) read as long
-nanos (see session.py); ``event_stream`` normalizes it to a real
-timestamp column once, at the source.
+The testdata's physical type for ``events.ts`` has shifted across
+driver rounds (TIMESTAMP(NANOS) read as long nanos through round 3,
+TIMESTAMP(MICROS) read as timestamp_ntz since round 4), so
+``event_stream`` probes the actual footer schema (a metadata-only batch
+read) and normalizes to one ``event_time`` TIMESTAMP column at the
+source — every downstream operator sees a single stable clock.
 """
 
 from __future__ import annotations
@@ -27,16 +30,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+# Fallback when the source path can't be probed (e.g. the directory is
+# still empty when the stream starts) — matches the current testdata.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch (nanosAsLong)
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def _event_time_col(ts_type: T.DataType):
+    """Normalize any physical reading of ``ts`` to TIMESTAMP.
+
+    Long input is epoch **nanos** (the nanosAsLong reading of
+    TIMESTAMP(NANOS) parquet); timestamp/ntz input is used directly
+    (session tz is UTC, so the NTZ cast is instant-preserving).
+    """
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        return F.col("ts").cast("timestamp")
+    return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
 
 
 def event_stream(
@@ -47,22 +64,26 @@ def event_stream(
     ``path`` points at a parquet dir of events rows (new files appearing
     there are consumed incrementally) or a single parquet file (driven
     via its parent dir + glob — the file source requires a directory).
-    Returns a streaming DataFrame with ``event_time`` TIMESTAMP
-    (microsecond truncation of the nano timestamps).
+    Returns a streaming DataFrame with ``event_time`` TIMESTAMP,
+    whatever physical type ``ts`` was written with.
     """
     import os
 
+    # drift guard: makes TIMESTAMP(NANOS) parquet readable (as long
+    # nanos); no effect on the current TIMESTAMP(MICROS) data
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    try:
+        schema = spark.read.parquet(path).schema
+    except Exception:
+        schema = EVENT_SCHEMA
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if os.path.isfile(path):
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
     df = reader.parquet(path)
-    return df.withColumn(
-        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    return df.withColumn("event_time", _event_time_col(schema["ts"].dataType))
 
 
 def tumbling_window_agg(

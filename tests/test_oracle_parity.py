@@ -4,6 +4,7 @@ of the driver's CORRECTNESS gate (row count + schema + sorted value
 compare)."""
 
 import datetime
+import decimal
 import math
 import os
 
@@ -30,6 +31,11 @@ def normalize(colnames, rows):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
 
     def norm_val(v):
+        # DuckDB returns DECIMAL/HUGEINT-typed aggregates as
+        # decimal.Decimal / int; canonicalize to the float/int repr the
+        # Spark side produces so only VALUE differences fail the test
+        if isinstance(v, decimal.Decimal):
+            v = int(v) if v == v.to_integral_value() and v.as_tuple().exponent >= 0 else float(v)
         if isinstance(v, float):
             return f"{v!r}"
         if isinstance(v, datetime.datetime):

@@ -158,9 +158,10 @@ def test_temporal_joins_avoid_cross_products(spark):
     from betl_spark.operators.ranges import interval_join
     from pyspark.sql import functions as F
 
-    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
-        "ts", F.expr("ts DIV 1000")
-    )
+    from betl_spark.contract.common import ts_micros
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev = ev.withColumn("ts", ts_micros(ev))
     left = ev.select("event_id", "user_id", "ts")
     right = ev.groupBy("user_id", "ts").agg(F.max("value").alias("v"))
     p = plan(asof_join(left, right, ["user_id"], "ts", "ts", ["v"]))

@@ -17,13 +17,14 @@ EVENTS = f"{SF}/events.parquet"
 
 
 def test_stream_tumbling_equals_batch(spark):
+    from betl_spark.contract.common import ts_micros
+
     stream = event_stream(spark, EVENTS)
     out = run_stream_to_table(tumbling_window_agg(stream), output_mode="complete")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(EVENTS)
     batch = (
-        spark.read.parquet(EVENTS)
-        .groupBy(
-            ((F.col("ts") / F.lit(300_000_000_000)).cast("long") * 300).alias(
+        ev.groupBy(
+            ((ts_micros(ev) / F.lit(300_000_000)).cast("long") * 300).alias(
                 "window_start"
             ),
             "event_type",
@@ -43,7 +44,6 @@ def test_sliding_windows_double_count(spark):
     out = run_stream_to_table(
         sliding_window_agg(stream, "10 minutes", "5 minutes"), output_mode="complete"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     n_events = spark.read.parquet(EVENTS).count()
     # every event lands in exactly window/slide = 2 windows
     assert out.agg(F.sum("n_events")).head()[0] == 2 * n_events
@@ -63,7 +63,6 @@ def test_stateful_running_totals(spark):
     out = run_stream_to_table(
         stateful_running_totals(stream), output_mode="update", table_prefix="state_out"
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
         spark.read.parquet(EVENTS)
         .groupBy("user_id")
