@@ -175,3 +175,25 @@ def test_temporal_joins_avoid_cross_products(spark):
     p2 = plan(interval_join(points, iv, "ts", "s", "e", bucket_width=500000))
     # the bucketed formulation is an equi-join on the slot
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2, p2
+
+
+def test_vocab_coverage_has_no_single_partition_window(spark):
+    """The vocabulary rank/cumsum must run through the banded two-pass
+    pattern (ranked_running_sum): a partition-less Window here funnels
+    the whole vocabulary through ONE sort task — bounded by max_vocab
+    today, fatal on an uncapped 10^8-token open vocabulary."""
+    from betl_spark.operators.corpus import vocab_coverage
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(vocab_coverage(docs, "doc_id", "text"))
+    # every Window node must be keyed by the band column, never global
+    windows = list(re.finditer(r"\(\d+\) Window", p))
+    assert windows, p
+    for m in windows:
+        tail = p[m.start() : m.start() + 500]
+        assert "windowspecdefinition(__band" in tail, tail
+    # the only SinglePartition exchange allowed is the scalar grand-total
+    # aggregate's final one-row reduce (Input is the 1-column sum buffer)
+    for m in re.finditer(r"\(\d+\) Exchange\n\s*Input \[(\d+)\][^\n]*\n\s*Arguments: ([^,\n]+)", p):
+        if m.group(2).strip() == "SinglePartition":
+            assert m.group(1) == "1", m.group(0)
