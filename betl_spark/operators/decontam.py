@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from betl_spark.operators.util import ensure_parallelism
+
 
 def word_ngrams(text_col: str, n: int) -> F.Column:
     """Distinct word n-grams of a space-tokenized text column (array of
@@ -53,6 +55,10 @@ def ngram_contamination(
     a flagging report, and the benchmark side is small enough that
     collisions are ~2^-64 · |grams|² improbable.
     """
+    # n-gram construction is the CPU-heavy map work: don't let a single
+    # small input split serialize it on one core (no-op at scale)
+    corpus = ensure_parallelism(corpus)
+    benchmark = ensure_parallelism(benchmark)
     grams = F.explode(word_ngrams(text_col, n)).alias("gram")
     bench_hashes = (
         benchmark.select(grams)

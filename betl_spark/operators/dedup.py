@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from betl_spark.operators.util import ensure_parallelism
+
 # 15 hex digits = 60 bits — fits signed 64-bit in both Spark and DuckDB
 _HASH_HEX = 15
 
@@ -101,7 +103,9 @@ def minhash_signatures(
     detection at this granularity (run ``exact_dedup`` first; it has no
     length floor). This mirrors the oracle's behavior exactly.
     """
-    shingled = df.select(
+    # shingling + seeded hashing is the CPU-heavy map work: don't let a
+    # single small input split serialize it on one core (no-op at scale)
+    shingled = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(char_shingles(text_col, shingle_k)).alias("shingle"),
     )
@@ -224,7 +228,7 @@ def simhash(
             f"n_bits={n_bits} out of range: token hashes are 60-bit "
             "(15 md5 hex chars), so bits above 60 would be constant zero"
         )
-    hashed = df.select(
+    hashed = ensure_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("__tok"),
     ).select(F.col(id_col), _md5_long(F.col("__tok")).alias("h"))
@@ -329,7 +333,9 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with jaccard ≥ threshold, rounded to
     6dp (stable across float environments).
     """
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), char_shingles(text_col, shingle_k).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if pairs is not None:
@@ -366,7 +372,9 @@ def ngram_containment_pairs(
     shorter than ``shingle_k``) are excluded — containment against an
     empty set is undefined, not 1.
     """
-    sh = df.select(F.col(id_col), char_shingles(text_col, shingle_k).alias("sh"))
+    sh = ensure_parallelism(df).select(
+        F.col(id_col), char_shingles(text_col, shingle_k).alias("sh")
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     if pairs is not None:
