@@ -551,3 +551,48 @@ def test_repetition_features_flag_boilerplate(spark):
     assert out[2].dup_token_fraction > 0.8   # one distinct token of six
     assert out[2].top_bigram_fraction == 1.0  # 'spam spam' covers all 5 bigrams
     assert out[3].top_bigram_fraction == 0.0  # no bigrams
+
+
+def test_ranked_running_sum_matches_global_window(spark):
+    """Banded two-pass rank/cumsum must be bit-identical to the
+    single-partition window it replaces, across band boundaries and
+    tied order keys resolved by the tiebreak column."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from betl_spark.operators.stats import ranked_running_sum
+
+    rng = random.Random(7)
+    rows = [(f"k{i:04d}", rng.randint(1, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["key", "n"]).repartition(7)
+    got = {
+        r["key"]: (r["rank"], r["cum"])
+        for r in ranked_running_sum(
+            df, [F.desc("n"), F.asc("key")], "n", n_bands=5
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    want = {
+        r["key"]: (r["rank"], r["cum"])
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.sum("n").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_ensure_parallelism_is_noop_on_wide_input(spark):
+    from betl_spark.operators.util import ensure_parallelism
+
+    wide = spark.range(1000).repartition(64)
+    assert ensure_parallelism(wide) is wide  # no plan change at scale
+    narrow = spark.range(1000).coalesce(1)
+    out = ensure_parallelism(narrow, target=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
