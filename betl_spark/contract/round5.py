@@ -1,0 +1,52 @@
+"""Round-5 contract queries: target-mixture corpus rebalancing.
+
+Same determinism rules as the rest of the contract. The mixture
+thresholds are floor-quantized to the hash-bucket grid in BOTH engines
+(IEEE-double FLOOR is engine-exact; round-half at .5 is not), so the
+kept row set is bit-identical.
+"""
+
+from __future__ import annotations
+
+from betl_spark.contract.common import table
+
+# target language mix for the rebalanced corpus: en-heavy with fixed
+# minority shares — zh is the limiting stratum in the testdata (scarcest
+# relative to its 0.2 target), so it keeps 100% and everything else
+# downsamples proportionally
+MIX_WEIGHTS = {"en": 0.5, "zh": 0.2, "de": 0.15, "es": 0.1, "fr": 0.05}
+
+
+def q_mixture_rebalance(spark, sf_dir):
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_sample(docs, "doc_id", "lang", MIX_WEIGHTS)
+
+
+_W_VALUES = ", ".join(f"('{s}', CAST({w} AS DOUBLE))" for s, w in MIX_WEIGHTS.items())
+
+# replays mixture_rates + the hash filter: same division order
+# (MIN(n/w); (limit*w)/n), same FLOOR quantization, same md5 bucket
+MIXTURE_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT lang AS s, COUNT(*) AS n FROM documents GROUP BY 1
+), w(s, wt) AS (VALUES {_W_VALUES}),
+lim AS (
+  SELECT MIN(c.n / w.wt) AS c FROM counts c JOIN w ON c.s = w.s
+),
+th AS (
+  SELECT c.s,
+         CAST(FLOOR(LEAST(1.0, lim.c * w.wt / c.n) * 10000) AS BIGINT) AS th
+  FROM counts c JOIN w ON c.s = w.s CROSS JOIN lim
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.s
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < th.th
+"""
+
+
+QUERIES = {
+    "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
+}

@@ -162,13 +162,16 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side-combinable aggregations shuffling on the doc id, never
     the text. Single-token documents have no bigrams → fraction 0.
     """
+    from betl_spark.operators.util import ensure_parallelism
+
     toks = F.split(F.col(text_col), " ")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    base = df.select(
+    # tokenize/zip_with is the CPU-heavy map work (no-op at scale)
+    base = ensure_parallelism(df).select(
         F.col(id_col),
         F.size(toks).alias("__n"),
         F.size(F.array_distinct(toks)).alias("__nd"),

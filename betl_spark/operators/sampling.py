@@ -86,3 +86,64 @@ def deterministic_split(
         .when(b < val_pct + test_pct, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def mixture_rates(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, float]:
+    """Per-stratum keep rates that hit a target mixture while retaining
+    the maximum possible volume.
+
+    Given observed stratum counts n_s and target mixture weights w_s,
+    the max-volume solution keeps the LIMITING stratum (the one
+    scarcest relative to its target) in full and downsamples everything
+    else proportionally: C = min_s(n_s / w_s), rate_s = C·w_s / n_s —
+    kept_s = C·w_s exactly matches the target proportions. Strata with
+    no target weight get rate 0 (dropped from the mix). Pure driver
+    arithmetic over #strata numbers — the data-side work is one
+    aggregate + one hash-filter projection (``mixture_sample``).
+    """
+    present = {s: w for s, w in weights.items() if w > 0 and s in counts}
+    if not present:
+        return {s: 0.0 for s in counts}
+    limit = min(counts[s] / w for s, w in present.items())
+    rates = {s: min(1.0, limit * w / counts[s]) for s, w in present.items()}
+    rates.update({s: 0.0 for s in counts if s not in present})
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    buckets: int = 10000,
+) -> DataFrame:
+    """Rebalance a corpus to a target stratum mixture (domain / language
+    weighting, the standard pre-training data-mix step) with
+    deterministic, join-stable membership.
+
+    One stratum-count aggregate (map-side combinable; the collect is
+    O(strata) — domains/languages, bounded by definition), driver-side
+    rate derivation (``mixture_rates``), then the same pure key-hash
+    threshold filter as ``stratified_hash_sample`` — a single narrow
+    projection over the corpus, no second shuffle, reproducible from
+    any engine. Rates are floor-quantized to the bucket grid so an
+    independent engine derives bit-identical membership (IEEE-double
+    FLOOR agrees everywhere; round() at exact .5 does not).
+    """
+    import math
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rates = mixture_rates(counts, weights)
+    fractions = {
+        s: math.floor(rate * buckets) / buckets for s, rate in rates.items()
+    }
+    return stratified_hash_sample(
+        df, key_col, stratum_col, fractions, default_fraction=0.0, buckets=buckets
+    )
