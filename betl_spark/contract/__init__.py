@@ -52,14 +52,15 @@ _PRIORITY = [
     # -- r2-stale stateful stream + reworked-this-round vocab ranking --
     "events_stream_stateful",
     "vocab_coverage",
-    # -- new round-5 query (first oracle check this round) --
+    # -- new round-5 queries (first oracle check this round) --
     "mixture_rebalance",
+    "mixture_rebalance_tokens",
+    "quantile_band_filter",
     # -- greens last verified in round 2, rotated back into the window --
     "tpch_q4_order_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
     "anti_join",
     "dedup_simhash",
     "dedup_simhash_near_dups",
@@ -92,7 +93,8 @@ _PRIORITY = [
     "stratified_sample",
     "delta_classify",
     "delta_load_dimension",
-    "delta_load_fact",
+    # delta_load_fact + tpch_q10 rotate past the window this round
+    # (pytest-covered / static SQL over stable tables) to make room
     "scd2_dimension",
     # star_schema_pipeline rotates past the window this round (benched
     # every round + covered end-to-end by pytest) to make room

@@ -47,6 +47,65 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1
 """
 
 
+def q_mixture_rebalance_tokens(spark, sf_dir):
+    """Token-weighted mixture: same target weights, but strata sized by
+    total characters (n_chars as the token proxy) instead of doc count
+    — the way real training mixes are specified."""
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return sampling.mixture_sample(
+        docs, "doc_id", "lang", MIX_WEIGHTS, weight_col="n_chars"
+    ).select("doc_id", "lang")
+
+
+MIXTURE_REBALANCE_TOKENS_SQL = f"""
+WITH counts AS (
+  SELECT lang AS s, CAST(SUM(n_chars) AS BIGINT) AS n FROM documents GROUP BY 1
+), w(s, wt) AS (VALUES {_W_VALUES}),
+lim AS (
+  SELECT MIN(c.n / w.wt) AS c FROM counts c JOIN w ON c.s = w.s
+),
+th AS (
+  SELECT c.s,
+         CAST(FLOOR(LEAST(1.0, lim.c * w.wt / c.n) * 10000) AS BIGINT) AS th
+  FROM counts c JOIN w ON c.s = w.s CROSS JOIN lim
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.s
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < th.th
+"""
+
+
+def q_quantile_band_filter(spark, sf_dir):
+    """Per-language IQR trim of document lengths (quantile_filter with
+    binary-exact 0.25/0.75 bounds — bit-identical interpolation across
+    engines)."""
+    from betl_spark.operators.stats import quantile_filter
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return quantile_filter(docs, "n_chars", 0.25, 0.75, group_cols=["lang"])
+
+
+QUANTILE_BAND_FILTER_SQL = """
+WITH b AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS lo,
+         quantile_cont(n_chars, 0.75) AS hi
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN b USING (lang)
+WHERE CAST(d.n_chars AS DOUBLE) >= b.lo AND CAST(d.n_chars AS DOUBLE) <= b.hi
+"""
+
+
 QUERIES = {
     "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
+    "mixture_rebalance_tokens": (
+        q_mixture_rebalance_tokens,
+        MIXTURE_REBALANCE_TOKENS_SQL,
+    ),
+    "quantile_band_filter": (q_quantile_band_filter, QUANTILE_BAND_FILTER_SQL),
 }

@@ -118,6 +118,7 @@ def mixture_sample(
     stratum_col: str,
     weights: dict[str, float],
     buckets: int = 10000,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Rebalance a corpus to a target stratum mixture (domain / language
     weighting, the standard pre-training data-mix step) with
@@ -131,14 +132,25 @@ def mixture_sample(
     any engine. Rates are floor-quantized to the bucket grid so an
     independent engine derives bit-identical membership (IEEE-double
     FLOOR agrees everywhere; round() at exact .5 does not).
+
+    ``weight_col`` switches the mixture denominator from document count
+    to a per-row weight SUM (token counts, byte sizes): training mixes
+    are usually specified over TOKENS, and a stratum of few huge docs
+    should count as big. Expected kept-weight per stratum then tracks
+    w_s (hash sampling is uniform over keys, so kept weight ≈ rate ×
+    total weight; exact only in expectation, unlike the doc-count
+    mixture which is exact per key).
     """
     import math
 
+    agg = (
+        F.count(F.lit(1)).alias("n")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("n")
+    )
     counts = {
         r["s"]: r["n"]
-        for r in df.groupBy(F.col(stratum_col).alias("s"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in df.groupBy(F.col(stratum_col).alias("s")).agg(agg).collect()
     }
     rates = mixture_rates(counts, weights)
     fractions = {

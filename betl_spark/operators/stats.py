@@ -124,3 +124,43 @@ def ranked_running_sum(
         )
         .drop("__band", "__rn_l", "__cum_l")
     )
+
+
+def quantile_filter(
+    df: DataFrame,
+    value_col: str,
+    lo_q: float = 0.25,
+    hi_q: float = 0.75,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies within the [lo_q, hi_q]
+    quantile band of its group's distribution — percentile-driven
+    outlier trimming (drop the longest/shortest tail of each language,
+    clip score outliers per source) where fixed thresholds won't
+    transfer across strata.
+
+    Two passes, both cheap: one grouped exact-percentile aggregate
+    (group count rows — strata are bounded, see ``grouped_quantiles``),
+    broadcast back onto the corpus as an equi-join (or a literal
+    crossJoin for the ungrouped scalar), then a codegen filter. The
+    corpus itself never shuffles.
+
+    Exactness note: both Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` use R-7 linear interpolation, and for quantiles
+    whose binary representation is exact (0.25, 0.5, 0.75) the
+    interpolated bound is bit-identical across engines — use those for
+    cross-engine-reproducible pipelines.
+    """
+    qs = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(F.lit(float(lo_q)), F.lit(float(hi_q))),
+    ).alias("__qs")
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(qs)
+        out = df.join(F.broadcast(bounds), group_cols)
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(qs)))
+    return out.filter(
+        (F.col(value_col).cast("double") >= F.element_at("__qs", 1))
+        & (F.col(value_col).cast("double") <= F.element_at("__qs", 2))
+    ).drop("__qs")
