@@ -18,6 +18,7 @@ from betl_spark.streaming import (
     sessionize,
     sliding_window_agg,
     stateful_running_totals,
+    stream_stream_time_join,
     tumbling_window_agg,
 )
 
@@ -376,7 +377,42 @@ GROUP BY 1, 2
 """
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Stream-stream attribution: each click joined to the same user's
+    purchases within 30 minutes after it — both sides genuinely
+    streaming (two file-source streams, watermarked state-store join,
+    availableNow into a memory sink)."""
+    clicks = event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = event_stream(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = stream_stream_time_join(
+        clicks, purchases, ["user_id"], within="30 minutes"
+    )
+    out = run_stream_to_table(
+        joined, output_mode="append", state_partitions=STATE_PARTS
+    )
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+    )
+
+
+EVENTS_STREAM_JOIN_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 QUERIES = {
+    "events_stream_join": (q_events_stream_join, EVENTS_STREAM_JOIN_SQL),
     "events_stream_tumbling": (q_events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_enrich": (q_events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),
     "events_stream_sliding": (q_events_stream_sliding, EVENTS_STREAM_SLIDING_SQL),

@@ -7,6 +7,7 @@ from betl_spark.streaming.events import (
     stateful_running_totals,
     stream_dedupe,
     stream_static_enrich,
+    stream_stream_time_join,
     tumbling_window_agg,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stateful_running_totals",
     "stream_dedupe",
     "stream_static_enrich",
+    "stream_stream_time_join",
     "tumbling_window_agg",
 ]

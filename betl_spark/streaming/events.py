@@ -372,3 +372,58 @@ def stream_static_enrich(
             F.col("sum_value_dec").cast("double").alias("sum_value"),
         )
     )
+
+
+def stream_stream_time_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    within: str = "30 minutes",
+    left_prefix: str = "l",
+    right_prefix: str = "r",
+) -> DataFrame:
+    """Stream-STREAM inner join with an event-time bound: a left event
+    matches right events with the same key whose event_time falls in
+    ``[left.event_time, left.event_time + within]`` — attribution joins
+    (click → purchase within the window) as a continuous query.
+
+    Both inputs must be ``event_stream``-shaped (an ``event_time``
+    TIMESTAMP column). Mechanics (the standard Spark stream-stream
+    recipe): each side is watermarked by ``within`` so the join state
+    the engine must buffer is bounded — a left row can stop waiting for
+    matches once the right watermark passes its ``event_time + within``,
+    and vice versa; the time-range predicate is what lets the state
+    manager derive those eviction bounds. The join itself shuffles both
+    streams on the key (hash-partitioned state store, same sharding as
+    a batch shuffle join) — state per partition, scaling with keys
+    active inside one window, not stream history.
+
+    Output columns are prefixed (``l_event_id``, ``r_event_time``, …)
+    because both sides carry the event schema.
+    """
+    lsel = left.withWatermark("event_time", within).select(
+        *[F.col(c) for c in on],
+        *[
+            F.col(c).alias(f"{left_prefix}_{c}")
+            for c in left.columns
+            if c not in on
+        ],
+    )
+    rsel = right.withWatermark("event_time", within).select(
+        *[F.col(c).alias(f"__r_{c}") for c in on],
+        *[
+            F.col(c).alias(f"{right_prefix}_{c}")
+            for c in right.columns
+            if c not in on
+        ],
+    )
+    lt, rt = f"{left_prefix}_event_time", f"{right_prefix}_event_time"
+    # the time-range predicate lives IN the join condition — that is
+    # what the state manager analyzes to derive per-side state eviction
+    # bounds (a post-join filter would leave the join unbounded)
+    cond = (F.col(rt) >= F.col(lt)) & (
+        F.col(rt) <= F.col(lt) + F.expr(f"INTERVAL {within}")
+    )
+    for c in on:
+        cond = (F.col(c) == F.col(f"__r_{c}")) & cond
+    return lsel.join(rsel, cond, "inner").drop(*[f"__r_{c}" for c in on])

@@ -256,3 +256,33 @@ def test_stream_dedupe_suppresses_across_batches(spark, tmp_path):
         shutil.copy(f, src / "b.parquet")
     run_stream_to_parquet(dd, out, ckpt, output_mode="append", state_partitions=4)
     assert spark.read.parquet(out).count() == n_distinct
+
+
+def test_stream_stream_join_equals_batch(spark):
+    from betl_spark.contract.common import ts_micros
+    from betl_spark.streaming import stream_stream_time_join
+
+    clicks = event_stream(spark, EVENTS).filter(F.col("event_type") == "click")
+    purchases = event_stream(spark, EVENTS).filter(F.col("event_type") == "purchase")
+    out = run_stream_to_table(
+        stream_stream_time_join(clicks, purchases, ["user_id"], within="30 minutes"),
+        output_mode="append",
+    ).select("user_id", "l_event_id", "r_event_id")
+
+    ev = spark.read.parquet(EVENTS)
+    ev = ev.withColumn("tus", ts_micros(ev))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("cid"), F.col("tus").alias("ct")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"), F.col("tus").alias("pt")
+    )
+    batch = c.join(
+        p,
+        (F.col("user_id") == F.col("pu"))
+        & (F.col("pt") >= F.col("ct"))
+        & (F.col("pt") <= F.col("ct") + 30 * 60 * 1_000_000),
+    ).select("user_id", "cid", "pid")
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
