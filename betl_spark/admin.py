@@ -69,6 +69,16 @@ def _infer_parquet(spark: SparkSession, store: Datastore, table: str) -> list[Co
     return [Column(f.name, declared_type_for(f.dataType)) for f in schema.fields]
 
 
+def _infer_jsonl(spark: SparkSession, store: Datastore, table: str) -> list[Column]:
+    # typed inference like parquet (JSONL records carry JSON types);
+    # honors the same extra['schema'] override as the scan so inferred
+    # registry schema and read always agree
+    from betl_spark.io.readers import read_source_table
+
+    schema = read_source_table(spark, store, table).schema
+    return [Column(f.name, declared_type_for(f.dataType)) for f in schema.fields]
+
+
 def _infer_csv_header(spark: SparkSession, store: Datastore, table: str) -> list[Column]:
     # header row only; every column TEXT Attribute (betl/admin.py:240-283)
     head = spark.read.option("header", "true").option("delimiter", store.delimiter).csv(
@@ -197,6 +207,8 @@ def read_src(
         for name in names:
             if store.datastore_type == "PARQUET":
                 cols = _infer_parquet(spark, store, name)
+            elif store.datastore_type == "JSONL":
+                cols = _infer_jsonl(spark, store, name)
             elif store.datastore_type == "FILESYSTEM":
                 cols = _infer_csv_header(spark, store, name)
             else:

@@ -8,6 +8,9 @@ Datastore is a declarative descriptor the readers translate into
 
 - FILESYSTEM → ``spark.read.csv`` (all-string staging semantics)
 - PARQUET    → ``spark.read.parquet`` (the driver's testdata format)
+- JSONL      → ``spark.read.json`` (newline-delimited records, the
+  training-data interchange format; beyond-reference source type —
+  pass ``extra['schema']`` at scale to skip the inference scan)
 - POSTGRES / SQLITE → ``spark.read.jdbc`` (needs a JDBC driver jar on the
   cluster; constructed lazily so tests without one still import)
 - GSHEET / EXCEL → driver-side fetch → ``spark.createDataFrame``. The
@@ -24,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-SUPPORTED = ("FILESYSTEM", "PARQUET", "POSTGRES", "SQLITE", "GSHEET", "EXCEL")
+SUPPORTED = ("FILESYSTEM", "PARQUET", "JSONL", "POSTGRES", "SQLITE", "GSHEET", "EXCEL")
 
 
 @dataclass
@@ -49,6 +52,8 @@ class Datastore:
         if t not in SUPPORTED:
             raise ValueError(f"unsupported datastore type {t!r}; expected one of {SUPPORTED}")
         self.datastore_type = t
+        if t == "JSONL" and self.file_ext == ".csv":  # untouched default
+            self.file_ext = ".jsonl"
 
     def table_path(self, table_name: str) -> str:
         if self.path is None:

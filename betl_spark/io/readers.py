@@ -80,6 +80,21 @@ def read_source_table(
         )
     elif t == "PARQUET":
         df = spark.read.parquet(datastore.table_path(table_name))
+    elif t == "JSONL":
+        # newline-delimited JSON: splittable, so record parsing
+        # parallelizes like any text scan. Schema inference is an extra
+        # full pass over the data — at scale pass extra['schema'] (DDL
+        # string or StructType), or extra['sample_ratio'] to infer from
+        # a sample.
+        reader = spark.read
+        schema = datastore.extra.get("schema")
+        if schema is not None:
+            reader = reader.schema(schema)
+        elif datastore.extra.get("sample_ratio"):
+            reader = reader.option(
+                "samplingRatio", str(datastore.extra["sample_ratio"])
+            )
+        df = reader.json(datastore.table_path(table_name))
     elif t in ("POSTGRES", "SQLITE"):
         if datastore.jdbc_url:
             reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(

@@ -68,3 +68,19 @@ def write_staged(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Export a dataset as newline-delimited JSON (the training-data
+    interchange format). Same mode/partitioning contract as
+    ``write_staged``; each task writes its partition's records
+    independently, so the export parallelizes like any file sink."""
+    writer = df.write.mode("overwrite" if mode == "replace" else mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.json(path)

@@ -202,3 +202,46 @@ def test_schedule_dataflows_topological(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="unknown"):
         p.schedule_dataflows([load_dim], upstream={"load_dim": ["nope"]})
+
+
+def test_jsonl_datastore_read_write_and_inference(spark, tmp_path):
+    """JSONL source end-to-end: write_jsonl export, Datastore scan with
+    inferred + explicit schema, and readsrc-style typed inference."""
+    import json
+
+    from betl_spark.admin import _infer_jsonl
+    from betl_spark.io.datastore import Datastore
+    from betl_spark.io.readers import read_source_table
+    from betl_spark.io.writers import write_jsonl
+
+    src = tmp_path / "jsonl_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": "hello world", "score": 0.5},
+        {"doc_id": 2, "text": "unicode ü", "score": 1.25},
+        {"doc_id": 3, "text": None, "score": None},
+    ]
+    (src / "docs.jsonl").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    store = Datastore("J", "JSONL", is_src_sys=True, path=str(src))
+    assert store.file_ext == ".jsonl"
+    df = read_source_table(spark, store, "docs")
+    got = sorted(map(tuple, df.select("doc_id", "text", "score").collect()))
+    assert got == [(1, "hello world", 0.5), (2, "unicode ü", 1.25), (3, None, None)]
+
+    # explicit schema skips the inference pass and pins types
+    typed = Datastore(
+        "J2", "JSONL", is_src_sys=True, path=str(src),
+        extra={"schema": "doc_id BIGINT, text STRING, score DOUBLE"},
+    )
+    df2 = read_source_table(spark, typed, "docs", cols=["doc_id", "score"])
+    assert df2.columns == ["doc_id", "score"] and df2.count() == 3
+
+    cols = {c.name: c.data_type for c in _infer_jsonl(spark, store, "docs")}
+    assert cols == {"doc_id": "BIGINT", "text": "TEXT", "score": "DOUBLE"}
+
+    # round-trip export
+    out = tmp_path / "export"
+    write_jsonl(df, str(out))
+    back = spark.read.json(str(out))
+    assert back.count() == 3
