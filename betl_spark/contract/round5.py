@@ -101,6 +101,34 @@ WHERE CAST(d.n_chars AS DOUBLE) >= b.lo AND CAST(d.n_chars AS DOUBLE) <= b.hi
 """
 
 
+def q_shard_stats(spark, sf_dir):
+    """Shard-balance report for the training-shard export: per-shard doc
+    count and char volume under the deterministic md5 bucketing."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.sampling import shard_assign
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        shard_assign(docs, "doc_id", 16)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+SHARD_STATS_SQL = """
+SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+         AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
     "mixture_rebalance_tokens": (
@@ -108,4 +136,5 @@ QUERIES = {
         MIXTURE_REBALANCE_TOKENS_SQL,
     ),
     "quantile_band_filter": (q_quantile_band_filter, QUANTILE_BAND_FILTER_SQL),
+    "shard_stats": (q_shard_stats, SHARD_STATS_SQL),
 }

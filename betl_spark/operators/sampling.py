@@ -159,3 +159,49 @@ def mixture_sample(
     return stratified_hash_sample(
         df, key_col, stratum_col, fractions, default_fraction=0.0, buckets=buckets
     )
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int, shard_col: str = "shard"
+) -> DataFrame:
+    """Deterministic shard id 0..n_shards-1 from the key hash — the
+    same engine-replayable md5 bucketing as ``hash_sample``, so a
+    document's shard never changes across runs, repartitionings, or
+    corpus growth (new keys spread uniformly; existing keys stay put)."""
+    return df.withColumn(shard_col, hash_bucket(key_col, n_shards))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int,
+    order_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Materialize a corpus as exactly ``n_shards`` deterministic shard
+    files — the packing/export step before a training run (readers
+    stream shard_k=*/part-* independently; a doc's shard is a pure
+    function of its key).
+
+    Plan shape: one exchange keyed on the shard id co-locates each
+    shard in one task, ``partitionBy`` splits the output by shard value
+    — every shard directory gets exactly ONE file even when the hash
+    lands two shards in the same task. ``order_cols`` sorts WITHIN each
+    shard file (shard-local, parallel — a global sort would serialize
+    the corpus; shard-local order is what sequence packing needs).
+    At 100 TB pick n_shards ≈ corpus_bytes / target_file_size, not
+    O(executors).
+    """
+    sharded = shard_assign(df, key_col, n_shards).repartition(
+        n_shards, F.col("shard")
+    )
+    sort_cols = ["shard", *(order_cols or [key_col])]
+    sharded = sharded.sortWithinPartitions(*sort_cols)
+    (
+        sharded.write.mode("overwrite" if mode == "replace" else mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

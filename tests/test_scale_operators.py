@@ -596,3 +596,34 @@ def test_ensure_parallelism_is_noop_on_wide_input(spark):
     out = ensure_parallelism(narrow, target=8)
     assert out.rdd.getNumPartitions() == 8
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    """Every shard dir holds exactly one file; membership is the
+    documented md5 bucket; rereading the shard tree reproduces the
+    corpus exactly."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.sampling import hash_bucket, write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, "doc_id", n_shards=8, order_cols=["doc_id"])
+
+    for k in range(8):
+        files = glob.glob(f"{out}/shard={k}/*.parquet")
+        assert len(files) == 1, (k, files)
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # shard column equals the deterministic bucket of the key
+    mismatch = back.withColumn(
+        "want", hash_bucket("doc_id", 8)
+    ).filter(F.col("shard") != F.col("want")).count()
+    assert mismatch == 0
+    # same corpus content
+    a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert a == b
