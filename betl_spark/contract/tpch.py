@@ -164,6 +164,37 @@ FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+# Spark-side variants: pre-aggregate to the (flag, status) grain BEFORE
+# the grouping-sets Expand. A naive GROUP BY CUBE/ROLLUP expands every
+# FACT row 3-4x before aggregating - at 100 TB that triples the scan's
+# downstream volume; aggregating first shrinks the input to
+# |distinct(flag, status)| rows (~8) and the Expand costs nothing.
+# Decimal partial sums re-sum exactly, so results are bit-identical.
+_REVENUE_PREAGG = f"""
+  SELECT l_returnflag, l_linestatus,
+         SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')})) AS rev_dec,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+CUBE_REVENUE_SPARK = f"""
+WITH pre AS ({_REVENUE_PREAGG})
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+       SUM(n) AS n_lines
+FROM pre
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ROLLUP_REVENUE_SPARK = f"""
+WITH pre AS ({_REVENUE_PREAGG})
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+       SUM(n) AS n_lines
+FROM pre
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 TOP_CUSTOMERS = f"""
 SELECT
   c.c_custkey,
@@ -627,8 +658,12 @@ QUERIES = {
     "setop_intersect_nations": _sql_query(
         SETOP_INTERSECT_NATIONS, ["customer", "supplier"]
     ),
-    "cube_revenue": _sql_query(CUBE_REVENUE, ["lineitem"]),
-    "rollup_revenue": _sql_query(ROLLUP_REVENUE, ["lineitem"]),
+    "cube_revenue": _sql_query(
+        CUBE_REVENUE, ["lineitem"], spark_sql=CUBE_REVENUE_SPARK
+    ),
+    "rollup_revenue": _sql_query(
+        ROLLUP_REVENUE, ["lineitem"], spark_sql=ROLLUP_REVENUE_SPARK
+    ),
     "top_customers": _sql_query(TOP_CUSTOMERS, ["customer", "orders"]),
     "events_tumbling_window": (q_events_tumbling_window, EVENTS_TUMBLING_WINDOW),
 }
