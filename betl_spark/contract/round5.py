@@ -9,6 +9,14 @@ kept row set is bit-identical.
 from __future__ import annotations
 
 from betl_spark.contract.common import table
+from betl_spark.contract.scale import (
+    BANDS,
+    MINHASH_SIG_CTE,
+    MUTANT_OFFSET,
+    N_HASHES,
+    SHINGLE_K,
+    _augmented_docs,
+)
 
 # target language mix for the rebalanced corpus: en-heavy with fixed
 # minority shares — zh is the limiting stratum in the testdata (scarcest
@@ -129,6 +137,59 @@ GROUP BY 1
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: the mutant batch (id >= MUTANT_OFFSET)
+    checked against the original corpus only — no corpus×corpus
+    re-pairing. Same params as the batch LSH family."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup
+
+    aug = _augmented_docs(spark, sf_dir)
+    new_batch = aug.filter(F.col("doc_id") >= MUTANT_OFFSET)
+    ref_corpus = aug.filter(F.col("doc_id") < MUTANT_OFFSET)
+    return dedup.near_dups_against(
+        new_batch,
+        ref_corpus,
+        "doc_id",
+        "text",
+        n_hashes=N_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=0.5,
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {MINHASH_SIG_CTE},
+banded AS (
+  SELECT doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER) AS band,
+         md5(string_agg(CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR), ','
+             ORDER BY CAST(h_idx AS VARCHAR) || ':' || CAST(minhash AS VARCHAR))) AS band_hash
+  FROM sigs GROUP BY doc_id, CAST(h_idx // {N_HASHES // BANDS} AS INTEGER)
+),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_new, r.doc_id AS id_ref
+  FROM banded n JOIN banded r ON n.band = r.band AND n.band_hash = r.band_hash
+  WHERE n.doc_id >= {MUTANT_OFFSET} AND r.doc_id < {MUTANT_OFFSET}
+),
+shg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(0, length(text) - {SHINGLE_K - 1}),
+           i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS sh
+  FROM aug
+)
+SELECT c.id_new, c.id_ref,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+         AS jaccard
+FROM cand c JOIN shg a ON a.doc_id = c.id_new JOIN shg b ON b.doc_id = c.id_ref
+WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+"""
+
+
 QUERIES = {
     "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
     "mixture_rebalance_tokens": (
@@ -137,4 +198,5 @@ QUERIES = {
     ),
     "quantile_band_filter": (q_quantile_band_filter, QUANTILE_BAND_FILTER_SQL),
     "shard_stats": (q_shard_stats, SHARD_STATS_SQL),
+    "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
 }

@@ -143,13 +143,29 @@ def lsh_candidate_pairs(
     The self-join happens per (band_idx, band_hash) bucket — the
     shuffle key — so work scales with bucket sizes, not corpus².
     """
+    banded = _banded_signatures(signatures, id_col, n_hashes, bands)
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _banded_signatures(
+    signatures: DataFrame, id_col: str, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, band_hash) from LONG-format minhash signatures: one
+    md5 per (doc, band) over its sorted h_idx:minhash rows."""
     if n_hashes % bands != 0:
         raise ValueError(
             f"bands={bands} must divide n_hashes={n_hashes}: a remainder would "
             "silently drop the trailing hashes from every band"
         )
     rows_per_band = n_hashes // bands
-    banded = (
+    return (
         signatures.withColumn("band", (F.col("h_idx") / rows_per_band).cast("int"))
         .groupBy(id_col, "band")
         .agg(
@@ -160,13 +176,66 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+
+
+def lsh_candidate_pairs_against(
+    sigs_new: DataFrame,
+    sigs_ref: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate pairs between a NEW batch and an existing REFERENCE
+    corpus only — the incremental-ingest shape: the reference side is
+    never paired with itself, so adding a daily batch costs
+    O(batch × bucket overlap), not O(corpus²) re-pairing. Reference
+    band signatures are computed once and are reusable across batches
+    (persist or store them; the band construction is deterministic).
+
+    Output (id_new, id_ref), distinct; the sides are distinguished by
+    column, so ids need not be disjoint across inputs.
+    """
+    bn = _banded_signatures(sigs_new, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("id_new"), "band", "band_hash"
+    )
+    br = _banded_signatures(sigs_ref, id_col, n_hashes, bands).select(
+        F.col(id_col).alias("id_ref"), "band", "band_hash"
+    )
+    return bn.join(br, on=["band", "band_hash"]).select("id_new", "id_ref").distinct()
+
+
+def near_dups_against(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check: which NEW documents near-duplicate
+    the existing corpus — minhash both sides, banded candidates
+    new×ref only, exact shingle-Jaccard verification on the candidates.
+    Output (id_new, id_ref, jaccard ≥ threshold, 6dp). Drop or audit
+    the flagged id_new rows; the reference corpus is never modified.
+    """
+    sn = minhash_signatures(df_new, id_col, text_col, n_hashes, shingle_k)
+    sr = minhash_signatures(df_ref, id_col, text_col, n_hashes, shingle_k)
+    cand = lsh_candidate_pairs_against(sn, sr, id_col, n_hashes, bands)
+    a = ensure_parallelism(df_new).select(
+        F.col(id_col).alias("id_new"), char_shingles(text_col, shingle_k).alias("sh_a")
+    )
+    b = ensure_parallelism(df_ref).select(
+        F.col(id_col).alias("id_ref"), char_shingles(text_col, shingle_k).alias("sh_b")
+    )
+    joined = cand.join(a, "id_new").join(b, "id_ref")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union.cast("double"), 6)
     return (
-        a.join(b, on=["band", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        joined.select("id_new", "id_ref", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
