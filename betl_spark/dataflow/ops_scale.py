@@ -184,3 +184,97 @@ class ScaleOps:
             )
             self.data[targetDataset or dataset] = out
         return out
+
+    def mixtureSample(
+        self,
+        dataset: str,
+        keyCol: str,
+        stratumCol: str,
+        weights: dict[str, float],
+        targetDataset: str | None = None,
+        weightCol: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Rebalance a dataset to a target stratum mixture
+        (operators/sampling.py:mixture_sample); ``weightCol`` switches
+        the denominator from doc counts to per-row weight sums."""
+        from betl_spark.operators import sampling
+
+        with self.journal.step("mixtureSample", desc or f"mixture {dataset}"):
+            out = sampling.mixture_sample(
+                self._get(dataset), keyCol, stratumCol, weights,
+                weight_col=weightCol,
+            )
+            self.data[targetDataset or dataset] = out
+        return out
+
+    def quantileFilter(
+        self,
+        dataset: str,
+        valueCol: str,
+        loQ: float = 0.25,
+        hiQ: float = 0.75,
+        groupCols: list[str] | None = None,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Keep rows inside the [loQ, hiQ] quantile band of their
+        group's distribution (operators/stats.py:quantile_filter)."""
+        from betl_spark.operators.stats import quantile_filter
+
+        with self.journal.step("quantileFilter", desc or f"quantile band {dataset}"):
+            out = quantile_filter(
+                self._get(dataset), valueCol, loQ, hiQ, group_cols=groupCols
+            )
+            self.data[targetDataset or dataset] = out
+        return out
+
+    def dedupeAgainst(
+        self,
+        dataset: str,
+        referenceDataset: str,
+        idCol: str,
+        textCol: str,
+        targetDataset: str | None = None,
+        nHashes: int = 16,
+        bands: int = 4,
+        shingleK: int = 5,
+        threshold: float = 0.5,
+        desc: str = "",
+    ) -> DataFrame:
+        """Incremental near-dup check of this dataset against an
+        existing reference corpus (operators/dedup.py:near_dups_against).
+        Output dataset holds (id_new, id_ref, jaccard)."""
+        from betl_spark.operators import dedup
+
+        with self.journal.step(
+            "dedupeAgainst", desc or f"{dataset} vs {referenceDataset}"
+        ):
+            out = dedup.near_dups_against(
+                self._get(dataset), self._get(referenceDataset),
+                idCol, textCol,
+                n_hashes=nHashes, bands=bands,
+                shingle_k=shingleK, threshold=threshold,
+            )
+            self.data[targetDataset or f"{dataset}_dup_refs"] = out
+        return out
+
+    def writeTrainingShards(
+        self,
+        dataset: str,
+        path: str,
+        keyCol: str,
+        nShards: int,
+        orderCols: list[str] | None = None,
+        desc: str = "",
+    ) -> None:
+        """Materialize a dataset as deterministic training shards
+        (operators/sampling.py:write_training_shards)."""
+        from betl_spark.operators.sampling import write_training_shards
+
+        with self.journal.step(
+            "writeTrainingShards", desc or f"{dataset} -> {nShards} shards"
+        ):
+            write_training_shards(
+                self._get(dataset), path, keyCol, nShards, order_cols=orderCols
+            )

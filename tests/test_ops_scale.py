@@ -72,3 +72,38 @@ def test_sampling_and_packing_verbs(spark):
     packed = dfl.packSequences("counts", "doc_id", "n_tokens", budget=2048, nShards=4)
     assert packed.count() == n
     assert set(packed.columns) == {"doc_id", "n_tokens", "shard", "chunk"}
+
+
+def test_mixture_quantile_shard_verbs(spark, tmp_path, dataflow_factory=None):
+    """The round-5 verbs drive the operators through the DataFlow
+    vocabulary: journaled, dataset-in/dataset-out."""
+    import glob
+
+    from betl_spark.config import Conf
+    from betl_spark.dataflow.core import DataFlow
+
+    dfl = DataFlow(Conf(app_root=str(tmp_path)), "r5 verbs", spark=spark)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dfl.createDataset("docs", docs)
+
+    out = dfl.mixtureSample(
+        "docs", "doc_id", "lang", {"en": 0.6, "fr": 0.4},
+        targetDataset="mixed",
+    )
+    assert set(r["lang"] for r in out.select("lang").distinct().collect()) <= {"en", "fr"}
+
+    band = dfl.quantileFilter("docs", "n_chars", 0.25, 0.75, targetDataset="band")
+    assert 0 < band.count() < docs.count()
+
+    dfl.createDataset("new_batch", docs.limit(20).withColumn(
+        "doc_id", docs["doc_id"] + 10_000_000
+    ))
+    dups = dfl.dedupeAgainst("new_batch", "docs", "doc_id", "text")
+    assert dups.count() >= 20  # verbatim copies are near-dups of originals
+
+    dfl.writeTrainingShards("docs", str(tmp_path / "shards"), "doc_id", 4)
+    assert len(glob.glob(f"{tmp_path}/shards/shard=*/*.parquet")) == 4
+    journal = [s.op for s in dfl.journal.steps]
+    for s in ("mixtureSample", "quantileFilter", "dedupeAgainst",
+              "writeTrainingShards"):
+        assert s in journal, (s, journal)
