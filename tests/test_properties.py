@@ -191,3 +191,35 @@ def test_apply_delta_reproduces_incoming_exactly(spark, prev, inc):
     got = sorted(map(tuple, apply_delta(pdf, changes, ["nk"]).collect()))
     want = sorted(map(tuple, idf.collect()))
     assert got == want
+
+
+def test_mixture_rates_properties():
+    """mixture_rates invariants over random counts/weights: rates in
+    (0,1]; the limiting stratum keeps 100%; kept volumes hit the target
+    proportions exactly; zero-weight strata drop."""
+    import random
+
+    from betl_spark.operators.sampling import mixture_rates
+
+    rng = random.Random(11)
+    for _ in range(200):
+        strata = [f"s{i}" for i in range(rng.randint(1, 6))]
+        counts = {s: rng.randint(1, 10_000) for s in strata}
+        weights = {s: rng.random() for s in strata}
+        if rng.random() < 0.3:
+            weights[strata[0]] = 0.0
+        rates = mixture_rates(counts, weights)
+        assert set(rates) == set(counts)
+        for s, r in rates.items():
+            if weights.get(s, 0) <= 0:
+                assert r == 0.0
+            else:
+                assert 0.0 < r <= 1.0
+        live = {s for s in strata if weights.get(s, 0) > 0}
+        if live:
+            assert any(abs(rates[s] - 1.0) < 1e-12 for s in live)
+            kept = {s: rates[s] * counts[s] for s in live}
+            total_kept = sum(kept.values())
+            total_w = sum(weights[s] for s in live)
+            for s in live:
+                assert abs(kept[s] / total_kept - weights[s] / total_w) < 1e-9
