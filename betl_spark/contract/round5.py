@@ -190,6 +190,56 @@ WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal: every doc gets a shared header +
+    footer line around its (unique) original text; corpus-wide line
+    dedup must strip exactly those two lines from every document."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("SITE NAV HOME ABOUT\n"),
+            F.col("text"),
+            F.lit("\nCOPYRIGHT 2024 ALL RIGHTS RESERVED"),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(docs, "doc_id", "text", min_docs=2)
+
+
+LINE_DEDUP_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         'SITE NAV HOME ABOUT' || chr(10) || text || chr(10) ||
+         'COPYRIGHT 2024 ALL RIGHTS RESERVED' AS text
+  FROM documents
+),
+sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug),
+l AS (
+  SELECT doc_id, UNNEST(ls) AS line, UNNEST(range(1, len(ls) + 1)) AS pos
+  FROM sp
+),
+counts AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY 1),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line FROM l JOIN counts USING (line)
+  WHERE counts.nd < 2
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, len(ls) AS n FROM sp)
+SELECT t.doc_id,
+       COALESCE(r.text, '') AS text,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(t.n - COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_dropped
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 QUERIES = {
     "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
     "mixture_rebalance_tokens": (
@@ -199,4 +249,5 @@ QUERIES = {
     "quantile_band_filter": (q_quantile_band_filter, QUANTILE_BAND_FILTER_SQL),
     "shard_stats": (q_shard_stats, SHARD_STATS_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
 }

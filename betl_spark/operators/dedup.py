@@ -603,3 +603,57 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Sub-document (line-level) deduplication — the C4/RefinedWeb
+    boilerplate-removal step: any line occurring in ≥ ``min_docs``
+    DISTINCT documents corpus-wide (headers, footers, nav chrome,
+    license blobs) is dropped from EVERY document; document-unique
+    lines survive in their original order.
+
+    Output: (id, text [cleaned], n_lines_kept, n_lines_dropped). A
+    document whose every line was boilerplate stays in the output with
+    '' text — dropping rows is the caller's policy decision.
+
+    Scale shape: two shuffles, both inherent to the semantics — the
+    line-frequency groupBy (map-side combinable: local repeats collapse
+    before the wire; the key is the line itself so identical lines
+    co-locate) and the per-document reassembly groupBy. Counting
+    DISTINCT docs (not occurrences) means a line repeated inside one
+    document is NOT boilerplate. Reassembly is array_sort over
+    (pos, line) structs — deterministic, no window.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    counts = lines.groupBy("line").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    kept = lines.join(counts, "line").filter(F.col("__nd") < min_docs)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("__total"))
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+        F.coalesce(F.col("__kept"), F.lit(0).cast("long")).alias("n_lines_kept"),
+        (F.col("__total") - F.coalesce(F.col("__kept"), F.lit(0).cast("long"))).alias(
+            "n_lines_dropped"
+        ),
+    )

@@ -627,3 +627,25 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
     assert a == b
+
+
+def test_line_dedup_semantics(spark):
+    """Corpus-wide boilerplate lines drop from every doc; a line
+    repeated only WITHIN one doc survives (count is distinct-docs);
+    a fully-boilerplate doc stays with '' text; order is preserved."""
+    from betl_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "HEADER\nunique one\nrepeat\nrepeat\nFOOTER"),
+            (2, "HEADER\nunique two\nFOOTER"),
+            (3, "HEADER\nFOOTER"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "unique one\nrepeat\nrepeat"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (3, 2)
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "" and out[3]["n_lines_kept"] == 0
+    assert out[3]["n_lines_dropped"] == 2
