@@ -57,11 +57,16 @@ _PRIORITY = [
     "mixture_rebalance_tokens",
     "quantile_band_filter",
     "events_stream_join",
+    "shard_stats",
+    "dedup_incremental",
+    "line_dedup",
     # -- greens last verified in round 2, rotated back into the window --
     # tpch_q4 rotates past the window this round (static SQL over
     # stable tables) to make room for events_stream_join
     "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
+    # tpch_q6 rotates out (static SQL over stable tables); hash_sample +
+    # split_assign rotate out (their md5-bucket membership machinery is
+    # freshly re-verified via mixture_rebalance / shard_stats)
     "tpch_q7_volume_shipping",
     "anti_join",
     "dedup_simhash",
@@ -85,8 +90,6 @@ _PRIORITY = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_audio_chunks",
-    "split_assign",
-    "hash_sample",
     "quality_filter",
     "vocab_topk",
     "tf_idf",
