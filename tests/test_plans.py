@@ -197,3 +197,16 @@ def test_vocab_coverage_has_no_single_partition_window(spark):
     for m in re.finditer(r"\(\d+\) Exchange\n\s*Input \[(\d+)\][^\n]*\n\s*Arguments: ([^,\n]+)", p):
         if m.group(2).strip() == "SinglePartition":
             assert m.group(1) == "1", m.group(0)
+
+
+def test_mixture_sample_filter_is_join_free_projection(spark):
+    """After the O(strata) rate derivation, the corpus-side membership
+    filter must be a literal CASE threshold over the key hash — no
+    join, no window, nothing that shuffles the corpus."""
+    from betl_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    p = plan(mixture_sample(docs, "doc_id", "lang", {"en": 0.6, "fr": 0.4}))
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert n_exchanges(p) == 0, p
