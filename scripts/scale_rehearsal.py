@@ -40,6 +40,15 @@ REHEARSAL = [
     "similarity_topk_bruteforce",
     "embedding_near_dups",
     "tpch_q1_pricing_summary",
+    # round-5 additions
+    "events_stream_join",
+    "dedup_incremental",
+    "line_dedup",
+    "decontaminate_docs",
+    "mixture_rebalance_tokens",
+    "quantile_band_filter",
+    "sessionize_events",
+    "vocab_coverage",
 ]
 
 
