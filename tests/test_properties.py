@@ -223,3 +223,42 @@ def test_mixture_rates_properties():
             total_w = sum(weights[s] for s in live)
             for s in live:
                 assert abs(kept[s] / total_kept - weights[s] / total_w) < 1e-9
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """line_dedup vs a brute-force Python reference over randomized
+    corpora: empty lines, all-duplicate docs, separator edge cases."""
+    import random
+    from collections import Counter
+
+    from betl_spark.operators.dedup import line_dedup
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "", "gamma delta", "x"]
+    for trial in range(5):
+        docs = []
+        for i in range(rng.randint(1, 12)):
+            n = rng.randint(1, 6)
+            docs.append((i, "\n".join(rng.choice(vocab) for _ in range(n))))
+        min_docs = rng.randint(2, 3)
+
+        # python reference
+        doc_lines = {i: t.split("\n") for i, t in docs}
+        df_count = Counter()
+        for i, ls in doc_lines.items():
+            for line in set(ls):
+                df_count[line] += 1
+        want = {}
+        for i, ls in doc_lines.items():
+            kept = [l for l in ls if df_count[l] < min_docs]
+            want[i] = ("\n".join(kept), len(kept), len(ls) - len(kept))
+
+        out = line_dedup(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "doc_id", "text", min_docs=min_docs,
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_kept"], r["n_lines_dropped"])
+            for r in out.collect()
+        }
+        assert got == want, (trial, min_docs, docs, got, want)
