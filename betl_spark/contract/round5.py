@@ -240,6 +240,47 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_decontaminate_remove(spark, sf_dir):
+    """End-to-end decontamination: the corpus with every doc sharing a
+    word 4-gram with the src0 benchmark removed (strict policy)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.decontam import remove_contaminated
+
+    docs = table(spark, sf_dir, "documents")
+    out = remove_contaminated(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        "doc_id",
+        "text",
+        n=4,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+DECONTAMINATE_REMOVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+), bench AS (
+  SELECT DISTINCT unnest(list_transform(
+           range(0, len(tk) - 3),
+           i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))) AS g
+  FROM toks WHERE source = 'src0' AND len(tk) >= 4
+), flagged AS (
+  SELECT DISTINCT c.doc_id
+  FROM (
+    SELECT doc_id, unnest(list_distinct(list_transform(
+             range(0, len(tk) - 3),
+             i -> array_to_string(list_slice(tk, i + 1, i + 4), ' ')))) AS g
+    FROM toks WHERE source <> 'src0' AND len(tk) >= 4
+  ) c JOIN bench b ON c.g = b.g
+)
+SELECT d.doc_id, d.source, d.lang
+FROM documents d
+WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM flagged)
+"""
+
+
 QUERIES = {
     "mixture_rebalance": (q_mixture_rebalance, MIXTURE_REBALANCE_SQL),
     "mixture_rebalance_tokens": (
@@ -250,4 +291,5 @@ QUERIES = {
     "shard_stats": (q_shard_stats, SHARD_STATS_SQL),
     "dedup_incremental": (q_dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "line_dedup": (q_line_dedup, LINE_DEDUP_SQL),
+    "decontaminate_remove": (q_decontaminate_remove, DECONTAMINATE_REMOVE_SQL),
 }

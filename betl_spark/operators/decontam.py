@@ -89,3 +89,26 @@ def ngram_contamination(
             F.col("n_hits").cast("double") / F.col("n_ngrams").cast("double"), 6
         ).alias("contamination_frac"),
     )
+
+
+def remove_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    max_contamination: float = 0.0,
+) -> DataFrame:
+    """Decontaminated corpus: drop every document whose benchmark
+    n-gram contamination fraction exceeds ``max_contamination``
+    (default 0.0 = any overlap drops the doc, the strict GPT-3-style
+    policy). The flagging report (``ngram_contamination``) drives a
+    broadcast-able anti join — flagged ids are a tiny fraction of the
+    corpus by construction, so the corpus itself never shuffles.
+    """
+    flagged = ngram_contamination(corpus, benchmark, id_col, text_col, n).filter(
+        F.col("contamination_frac") > max_contamination
+    )
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
