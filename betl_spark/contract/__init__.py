@@ -60,6 +60,7 @@ _PRIORITY = [
     "shard_stats",
     "dedup_incremental",
     "line_dedup",
+    "decontaminate_remove",
     # -- greens last verified in round 2, rotated back into the window --
     # tpch_q4 rotates past the window this round (static SQL over
     # stable tables) to make room for events_stream_join
@@ -67,7 +68,7 @@ _PRIORITY = [
     # tpch_q6 rotates out (static SQL over stable tables); hash_sample +
     # split_assign rotate out (their md5-bucket membership machinery is
     # freshly re-verified via mixture_rebalance / shard_stats)
-    "tpch_q7_volume_shipping",
+    # tpch_q7 rotates out (static SQL over stable tables) to make room
     "anti_join",
     "dedup_simhash",
     "dedup_simhash_near_dups",

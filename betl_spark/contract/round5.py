@@ -185,8 +185,8 @@ SELECT c.id_new, c.id_ref,
              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
          AS jaccard
 FROM cand c JOIN shg a ON a.doc_id = c.id_new JOIN shg b ON b.doc_id = c.id_ref
-WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
 """
 
 

@@ -64,10 +64,14 @@ def write_staged(
     ``partition_by`` is a scale extension the reference cannot express:
     partitioned staging keeps downstream scans pruned at 100 TB.
     """
+    _write(df, path, mode, partition_by, "parquet")
+
+
+def _write(df, path, mode, partition_by, fmt):
     writer = df.write.mode("overwrite" if mode == "replace" else mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(fmt).save(path)
 
 
 def write_jsonl(
@@ -80,7 +84,4 @@ def write_jsonl(
     interchange format). Same mode/partitioning contract as
     ``write_staged``; each task writes its partition's records
     independently, so the export parallelizes like any file sink."""
-    writer = df.write.mode("overwrite" if mode == "replace" else mode)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.json(path)
+    _write(df, path, mode, partition_by, "json")

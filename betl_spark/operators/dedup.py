@@ -630,9 +630,13 @@ def line_dedup(
     document is NOT boilerplate. Reassembly is array_sort over
     (pos, line) structs — deterministic, no window.
     """
+    # \Q...\E: F.split takes a Java REGEX; quote so a separator like
+    # '.' or '|' is treated literally (array_join below is literal too)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
+            "pos", "line"
+        ),
     )
     counts = lines.groupBy("line").agg(
         F.count_distinct(F.col(id_col)).alias("__nd")

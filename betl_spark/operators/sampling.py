@@ -103,7 +103,11 @@ def mixture_rates(
     arithmetic over #strata numbers — the data-side work is one
     aggregate + one hash-filter projection (``mixture_sample``).
     """
-    present = {s: w for s, w in weights.items() if w > 0 and s in counts}
+    present = {
+        s: w
+        for s, w in weights.items()
+        if w > 0 and (counts.get(s) or 0) > 0  # None (all-NULL weights) and 0-mass strata drop
+    }
     if not present:
         return {s: 0.0 for s in counts}
     limit = min(counts[s] / w for s, w in present.items())

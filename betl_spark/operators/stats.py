@@ -76,6 +76,12 @@ def ranked_running_sum(
     spark = df.sparkSession
     if n_bands is None:
         n_bands = spark.sparkContext.defaultParallelism
+    # persisted so the stats job and the returned plan share one
+    # materialization (same pattern/lifetime as the SK engine,
+    # defaults/load.py): the cache entry lives until the session drops
+    # it. Even under eviction the recompute is deterministic —
+    # RangePartitioner's boundary sampling is seeded per partition
+    # index, so band ids reproduce.
     banded = (
         df.repartitionByRange(n_bands, *order_cols)
         .withColumn("__band", F.spark_partition_id())

@@ -53,7 +53,8 @@ def _event_time_col(ts_type: T.DataType):
     """
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         return F.col("ts").cast("timestamp")
-    return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    # integer DIV: float division loses precision on 19-digit nanos
+    return F.timestamp_micros(F.expr("ts DIV 1000"))
 
 
 def event_stream(

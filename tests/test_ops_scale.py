@@ -74,7 +74,7 @@ def test_sampling_and_packing_verbs(spark):
     assert set(packed.columns) == {"doc_id", "n_tokens", "shard", "chunk"}
 
 
-def test_mixture_quantile_shard_verbs(spark, tmp_path, dataflow_factory=None):
+def test_mixture_quantile_shard_verbs(spark, tmp_path):
     """The round-5 verbs drive the operators through the DataFlow
     vocabulary: journaled, dataset-in/dataset-out."""
     import glob
