@@ -35,75 +35,71 @@ _ALL = {
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
 # dict order is the verification schedule, rotated each round so no
-# query's green row goes stale. Round 5 leads with the eight queries the
-# events nanos->micros testdata drift broke in r4 (now fixed), then
-# everything whose last oracle row dates from round 2. Queries past slot
-# 50 stay runnable + benched.
+# query's green row goes stale beyond 2 rounds. Round 6 leads with the
+# nine queries whose last oracle row dates from round 2, then the new
+# round-6 queries, then every query whose implementation changed this
+# round (their r5 greens no longer describe the shipped code), then the
+# 30 non-TPC-H operator queries last verified in round 4. Left outside
+# the window: 17 static TPC-H SQL queries (r4 green, 2 rounds — at
+# policy, stable tables, re-checked every session by the pytest
+# oracle-parity suite) and the round-5 greens (1 round old).
 _PRIORITY = [
-    # -- broken in r4 (events ts nanos->micros drift), fixed this round --
-    "sessionize_events",
-    "events_tumbling_window",
-    "asof_join_events",
-    "interval_join_events",
-    "events_stream_tumbling",
-    "events_stream_sliding",
-    "events_stream_session",
-    "events_stream_enrich",
-    # -- r2-stale stateful stream + reworked-this-round vocab ranking --
-    "events_stream_stateful",
-    "vocab_coverage",
-    # -- new round-5 queries (first oracle check this round) --
-    "mixture_rebalance",
-    "mixture_rebalance_tokens",
-    "quantile_band_filter",
-    "events_stream_join",
-    "shard_stats",
-    "dedup_incremental",
-    "line_dedup",
+    # -- greens last verified in round 2, rotated back in --
+    "star_schema_pipeline",
+    "delta_load_fact",
+    "write_readback",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "hash_sample",
+    "split_assign",
+    # -- new round-6 queries (first oracle check this round; names not
+    #    yet in _ALL are skipped by the builder below) --
+    "semantic_dedup",
+    "token_count_bpe",
+    "mixture_rebalance_bpe",
+    "minhash_dedup_end_to_end",
+    "doc_length_histogram",
+    "ngram_lm_perplexity",
+    # -- code changed this round: r5 greens no longer representative --
     "decontaminate_remove",
-    # -- greens last verified in round 2, rotated back into the window --
-    # tpch_q4 rotates past the window this round (static SQL over
-    # stable tables) to make room for events_stream_join
-    "tpch_q5_local_supplier",
-    # tpch_q6 rotates out (static SQL over stable tables); hash_sample +
-    # split_assign rotate out (their md5-bucket membership machinery is
-    # freshly re-verified via mixture_rebalance / shard_stats)
-    # tpch_q7 rotates out (static SQL over stable tables) to make room
-    "anti_join",
-    "dedup_simhash",
-    "dedup_simhash_near_dups",
-    "near_dup_removal",
-    "dedup_embedding_cosine",
-    "similarity_topk",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "kmeans_update",
+    "line_dedup",
+    "quantile_band_filter",
+    "vocab_coverage",
     "dedup_cluster_assign",
-    "pii_scrub",
-    "salted_join_events",
-    "corpus_curation",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "multimodal_binary",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    "quality_filter",
-    "vocab_topk",
-    "tf_idf",
-    "bigram_counts",
-    "pack_sequences",
-    "stratified_sample",
-    "delta_classify",
-    "delta_load_dimension",
-    # delta_load_fact + tpch_q10 rotate past the window this round
-    # (pytest-covered / static SQL over stable tables) to make room
-    "scd2_dimension",
-    # star_schema_pipeline rotates past the window this round (benched
-    # every round + covered end-to-end by pytest) to make room
+    "near_dup_removal",
+    # -- round-4 greens (2 rounds), operator queries first --
+    "filter_ops",
+    "union_dedupe",
+    "join_keepcols",
+    "derive_columns",
+    "clean_values",
+    "set_nulls",
+    "unpivot_part",
+    "collapse_nk",
+    "sk_dimension",
+    "fact_fk_resolution",
+    "date_dimension",
+    "audit_dimension",
+    "mdm_group_count",
+    "mdm_map_master_data",
+    "apply_function_columns",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "repetition_features",
+    "events_stream_dedupe",
+    "decontaminate_docs",
+    "doc_length_quantiles",
+    "dedup_containment",
+    "window_top_orders_per_segment",
+    "setop_except_customers",
+    "setop_intersect_nations",
+    "cube_revenue",
+    "rollup_revenue",
+    "top_customers",
 ]
 
 QUERIES: dict = {}

@@ -48,7 +48,7 @@ class ScaleOps:
         nHashes: int = 16,
         bands: int = 4,
         minEstJaccard: float = 0.5,
-        algorithm: str = "min_label",
+        algorithm: str = "star",
         desc: str = "",
     ) -> DataFrame:
         """End-to-end near-dup removal: LSH pairs → connected

@@ -106,8 +106,13 @@ def remove_contaminated(
     broadcast-able anti join — flagged ids are a tiny fraction of the
     corpus by construction, so the corpus itself never shuffles.
     """
+    # filter on the UNROUNDED fraction: contamination_frac is rounded
+    # to 6dp for the report, and a very long doc (>2M distinct grams)
+    # with one hit rounds to 0.0 — under the strict default that doc
+    # must still drop. n_hits/n_ngrams is exact here.
     flagged = ngram_contamination(corpus, benchmark, id_col, text_col, n).filter(
-        F.col("contamination_frac") > max_contamination
+        F.col("n_hits").cast("double") / F.col("n_ngrams").cast("double")
+        > F.lit(max_contamination)
     )
     return corpus.join(
         F.broadcast(flagged.select(id_col)), id_col, "left_anti"

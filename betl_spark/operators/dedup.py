@@ -537,7 +537,7 @@ def duplicate_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
-    algorithm: str = "min_label",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: assigns every
     node the MINIMUM id reachable through the pair graph, i.e. a
@@ -546,19 +546,21 @@ def duplicate_clusters(
     "keep one doc per cluster" — the reference has nothing iterative;
     its dedupe is exact-row only (betl/dataflow/dfl_changeRow.py:23-34).
 
-    Iterative min-label propagation:
+    The default ``algorithm="star"`` is alternating large-star /
+    small-star contraction (``_cc_large_small_star``): O(log n) rounds
+    regardless of component shape, which is the 100 TB-safe choice —
+    whale components (a boilerplate page duplicated across half the
+    corpus) never turn into hundred-round jobs.
+    ``algorithm="min_label"`` keeps plain propagation
       label(n) ← min(label(n), min over neighbors m of label(m))
-    repeated until a fixpoint (≤ graph diameter rounds; near-dup
-    clusters are shallow, so typically 2-4).
+    until fixpoint (≤ graph diameter rounds) as the validation
+    alternative; both algorithms produce identical output (the
+    property suite asserts it).
 
     Scale notes: each round is one shuffle join on node id, and
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     exponentially with rounds. The convergence test is a cheap count
-    on the changed-label set. ``algorithm="star"`` switches to
-    alternating large-star/small-star contraction
-    (``_cc_large_small_star``) — same shuffle shape per round but
-    O(log n) rounds instead of O(diameter), the right choice for
-    whale components; both algorithms produce identical output.
+    on the changed-label set.
 
     Output: (node, cluster_id) for every node appearing in ``pairs``.
     """
@@ -632,11 +634,14 @@ def line_dedup(
     """
     # \Q...\E: F.split takes a Java REGEX; quote so a separator like
     # '.' or '|' is treated literally (array_join below is literal too)
+    # coalesce: split(NULL) is NULL and posexplode would emit no rows,
+    # silently dropping NULL-text docs — they must survive as ('' text,
+    # 0 kept) rows like every other text operator here treats NULL
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("pos", "line"),
     )
     counts = lines.groupBy("line").agg(
         F.count_distinct(F.col(id_col)).alias("__nd")

@@ -76,12 +76,11 @@ def ranked_running_sum(
     spark = df.sparkSession
     if n_bands is None:
         n_bands = spark.sparkContext.defaultParallelism
-    # persisted so the stats job and the returned plan share one
-    # materialization (same pattern/lifetime as the SK engine,
-    # defaults/load.py): the cache entry lives until the session drops
-    # it. Even under eviction the recompute is deterministic —
-    # RangePartitioner's boundary sampling is seeded per partition
-    # index, so band ids reproduce.
+    # persisted so the stats job below doesn't recompute the range
+    # partitioning; released as soon as the stats are collected (the
+    # returned plan recomputes it once when the caller acts). Recompute
+    # is deterministic — RangePartitioner's boundary sampling is seeded
+    # per partition index, so band ids reproduce.
     banded = (
         df.repartitionByRange(n_bands, *order_cols)
         .withColumn("__band", F.spark_partition_id())
@@ -102,6 +101,11 @@ def ranked_running_sum(
         .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
         .collect()
     }
+    # release the cache now that the O(bands) stats are on the driver:
+    # the returned plan recomputes the banded input once when acted on
+    # (deterministic per above), and a long session of calls no longer
+    # accumulates one leaked cache entry per call.
+    banded.unpersist(blocking=False)
     rn_off: dict[int, int] = {}
     cum_off: dict[int, int] = {}
     acc_n, acc_s = 0, 0
@@ -162,8 +166,19 @@ def quantile_filter(
         F.array(F.lit(float(lo_q)), F.lit(float(hi_q))),
     ).alias("__qs")
     if group_cols:
+        # null-safe join: a NULL stratum key is a legitimate group
+        # (percentile aggregates it like any other); a plain equi-join
+        # would silently remove its rows (NULL != NULL)
         bounds = df.groupBy(*group_cols).agg(qs)
-        out = df.join(F.broadcast(bounds), group_cols)
+        for c in group_cols:
+            bounds = bounds.withColumnRenamed(c, f"__g_{c}")
+        cond = None
+        for c in group_cols:
+            piece = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = piece if cond is None else cond & piece
+        out = df.join(F.broadcast(bounds), cond).drop(
+            *[f"__g_{c}" for c in group_cols]
+        )
     else:
         out = df.crossJoin(F.broadcast(df.agg(qs)))
     return out.filter(

@@ -386,8 +386,10 @@ def test_star_contraction_matches_min_label(spark):
     # joined to it, plus a separate pair
     edges = [(i, i + 1) for i in range(10, 30)] + [(10, 29), (3, 5), (5, 7), (100, 101)]
     pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-    ml = sorted(map(tuple, dedup.duplicate_clusters(pairs).collect()))
-    star = sorted(map(tuple, dedup.duplicate_clusters(pairs, algorithm="star").collect()))
+    ml = sorted(
+        map(tuple, dedup.duplicate_clusters(pairs, algorithm="min_label").collect())
+    )
+    star = sorted(map(tuple, dedup.duplicate_clusters(pairs).collect()))
     assert ml == star
     by_cluster = {}
     for node, cid in star:
