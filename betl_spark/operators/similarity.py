@@ -404,3 +404,111 @@ def lsh_bucket_topk(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means cells bound the candidate space
+    so cosine near-dup pairs form only WITHIN a cell, then connected
+    components pick one canonical document per duplicate group.
+
+    Composition of stages each proven separately:
+    1. one spherical k-means update (``centroid_update``) trains cell
+       centroids from the seed rows ``centroid_ids``;
+    2. every row is assigned to its nearest trained centroid — a
+       broadcast argmax (``max_by`` over |cells| candidates), map-side
+       combinable, the corpus never shuffles for assignment;
+    3. near-dup pairs are an EQUI-join on cell_id with ``id_a < id_b``
+       and 6dp-rounded cosine ≥ ``threshold``: candidates shrink from
+       n² to Σ n_cell² — the entire point of SemDeDup at 100 TB;
+    4. ``duplicate_clusters`` (O(log n) star contraction) canonicalizes
+       pair output into cluster ids;
+    5. survivors = each cluster's minimum id + all unpaired rows.
+
+    Deviation from the paper, documented: the paper keeps the cluster
+    member with LOWEST cosine to its centroid; we keep the minimum id —
+    deterministic, engine-reproducible, and consistent with the rest of
+    the dedup ladder (``near_dup_removal``). The choice of survivor
+    does not change the dedup rate.
+
+    Output: (id, cell_id) for every surviving row. Stages 1-2 are lazy
+    and recomputed per consuming action — persist the input upstream if
+    iterating. The reference has only exact row dedup
+    (betl/dataflow/dfl_changeRow.py:23-34); this is a beyond-reference
+    scale operator.
+    """
+    from betl_spark.operators.dedup import duplicate_clusters
+
+    cents = (
+        centroid_update(df, id_col, vec_col, centroid_ids)
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cv")
+        )
+        .select("cell_id", "cv", _norm(F.col("cv")).alias("cn"))
+    )
+    rows = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "cell_id",
+            _cosine_pre(
+                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
+            ).alias("cell_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
+            ).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_nrm").alias("_nrm"),
+        )
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
+        "cell_id",
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    return (
+        assigned.join(clusters, assigned[id_col] == clusters["node"], "left")
+        .filter(
+            F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+        )
+        .select(F.col(id_col), F.col("cell_id"))
+    )

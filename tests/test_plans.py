@@ -210,3 +210,25 @@ def test_mixture_sample_filter_is_join_free_projection(spark):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert n_exchanges(p) == 0, p
+
+
+def test_semantic_dedup_has_no_all_pairs_join(spark):
+    """SemDeDup's point is that pair generation is an EQUI-join on
+    cell_id (candidates shrink n² -> Σ n_cell²). The only permitted
+    non-equi join is the broadcast-centroid argmax (bounded small
+    side); a CartesianProduct or a non-broadcast nested loop anywhere
+    means the all-pairs join leaked back in."""
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", [100, 200, 300, 400], threshold=0.3
+    )
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    # every nested-loop join must be broadcast (the centroid argmax)
+    assert re.findall(r"\(\d+\) CartesianProduct", p) == []
+    nlj = re.findall(r"\(\d+\) (\w*NestedLoopJoin)", p)
+    assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
+    # the pair join is a real equi-join keyed on cell_id
+    assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
