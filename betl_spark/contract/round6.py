@@ -10,6 +10,7 @@ md5-free arithmetic in DuckDB.
 from __future__ import annotations
 
 from betl_spark.contract.common import table
+from betl_spark.contract.round5 import MIX_WEIGHTS, _W_VALUES
 from betl_spark.contract.scale import (
     EMB_DIM,
     IVF_CENTROID_IDS,
@@ -97,6 +98,86 @@ WHERE cl.cluster_id IS NULL OR c.vec_id = cl.cluster_id
 """
 
 
+# ---- tokenizer-faithful BPE token counting ----
+def q_token_count_bpe(spark, sf_dir):
+    """Exact BPE token counts under the embedded deterministic merge
+    list — the tokenizer-faithful upgrade of ``token_count``."""
+    from betl_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe.bpe_token_count("text").alias("n_bpe_tokens")
+    )
+
+
+def _bpe_count_sql(text_expr: str) -> str:
+    """DuckDB replay of operators/bpe._encoded_expr + count: the SAME
+    merge list, the same sentinel encoding, the same leftmost
+    non-overlapping replace chain — generated here so the two builders
+    stay in lockstep (pattern: scale._plane_literal)."""
+    from betl_spark.operators.bpe import BND, DEFAULT_MERGES, SYM
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    s = f"coalesce({text_expr}, '')"
+    s = f"replace(replace({s}, {q(SYM)}, ''), {q(BND)}, '')"
+    s = rf"regexp_replace({s}, '([^ \w]|\d+)', ' \1 ', 'g')"
+    s = rf"regexp_replace({s}, ' +', {q(BND)}, 'g')"
+    s = rf"regexp_replace({s}, '([^{BND}])', {q(SYM + chr(92) + '1' + SYM)}, 'g')"
+    for x, y in DEFAULT_MERGES:
+        s = (
+            f"replace({s}, {q(SYM + x + SYM + SYM + y + SYM)}, "
+            f"{q(SYM + x + y + SYM)})"
+        )
+    return (
+        f"CAST((length({s}) - length(replace({s}, {q(SYM)}, ''))) / 2 AS INTEGER)"
+    )
+
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id, {_bpe_count_sql('text')} AS n_bpe_tokens
+FROM documents
+"""
+
+
+# ---- BPE-token-weighted mixture rebalancing ----
+def q_mixture_rebalance_bpe(spark, sf_dir):
+    """Token-weighted mixture with REAL tokenizer counts as the
+    denominator (round 5's variant used n_chars as a proxy) — the
+    training mix as it would actually be specified."""
+    from betl_spark.operators import bpe, sampling
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", bpe.bpe_token_count("text").alias("n_bpe")
+    )
+    return sampling.mixture_sample(
+        docs, "doc_id", "lang", MIX_WEIGHTS, weight_col="n_bpe"
+    ).select("doc_id", "lang")
+
+
+MIXTURE_REBALANCE_BPE_SQL = f"""
+WITH counts AS (
+  SELECT lang AS s, CAST(SUM({_bpe_count_sql('text')}) AS BIGINT) AS n
+  FROM documents GROUP BY 1
+), w(s, wt) AS (VALUES {_W_VALUES}),
+lim AS (
+  SELECT MIN(c.n / w.wt) AS c FROM counts c JOIN w ON c.s = w.s
+),
+th AS (
+  SELECT c.s,
+         CAST(FLOOR(LEAST(1.0, lim.c * w.wt / c.n) * 10000) AS BIGINT) AS th
+  FROM counts c JOIN w ON c.s = w.s CROSS JOIN lim
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN th ON d.lang = th.s
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+      < th.th
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
+    "mixture_rebalance_bpe": (q_mixture_rebalance_bpe, MIXTURE_REBALANCE_BPE_SQL),
 }
