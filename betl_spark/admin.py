@@ -239,7 +239,10 @@ def _first_row_columns(store: Datastore, worksheet: str) -> list[str]:
         return names
     if store.datastore_type == "GSHEET" and store.extra.get("rows") is not None:
         header = store.extra["rows"][0]
-        return [str(h) for h in header]
+        # the reference SKIPS empty header cells but keeps reading
+        # (betl/admin.py:293-295) — unlike EXCEL, which stops at the
+        # first empty header (admin.py:316-329 else: break)
+        return [str(h) for h in header if str(h) != ""]
     raise NotImplementedError(
         f"{store.datastore_type} header fetch needs gspread "
         "(reference betl/admin.py:285-336); not available in this environment"

@@ -61,7 +61,6 @@ _PRIORITY = [
     "semantic_dedup",
     "token_count_bpe",
     "mixture_rebalance_bpe",
-    "minhash_dedup_end_to_end",
     "doc_length_histogram",
     "ngram_lm_perplexity",
     # -- code changed this round: r5 greens no longer representative --

@@ -176,8 +176,84 @@ WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1
 """
 
 
+# ---- bigram LM perplexity scoring (CCNet-style quality signal) ----
+LM_ALPHA = 1.0
+
+
+def q_ngram_lm_perplexity(spark, sf_dir):
+    """Self-trained bigram-LM scoring over the documents table: mean
+    bigram log-probability + perplexity per document."""
+    from betl_spark.operators import corpus
+
+    docs = table(spark, sf_dir, "documents")
+    return corpus.lm_score(docs, "doc_id", "text", alpha=LM_ALPHA)
+
+
+NGRAM_LM_PERPLEXITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT u.w AS w1, COUNT(*) AS c1
+  FROM toks, unnest(t) AS u(w) GROUP BY 1
+),
+vv AS (SELECT COUNT(*) AS V FROM uni),
+doc_bg AS (
+  -- list_zip pads to the longer list with NULL; string_split never
+  -- yields NULL tokens, so the filter drops exactly the pad row
+  SELECT doc_id, struct_extract(u.p, 1) AS w1, struct_extract(u.p, 2) AS w2
+  FROM toks, unnest(list_zip(t, t[2:])) AS u(p)
+  WHERE struct_extract(u.p, 2) IS NOT NULL
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM doc_bg GROUP BY 1, 2),
+terms AS (
+  SELECT d.doc_id,
+         round(ln((bi.c2 + {LM_ALPHA}) / (uni.c1 + {LM_ALPHA} * vv.V)), 9) AS term
+  FROM doc_bg d
+  JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
+  JOIN uni ON d.w1 = uni.w1
+  CROSS JOIN vv
+),
+scores AS (
+  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
+         round(avg(term), 6) AS avg_logprob
+  FROM terms GROUP BY 1
+)
+SELECT doc.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       s.avg_logprob,
+       round(exp(-s.avg_logprob), 4) AS ppl
+FROM documents doc LEFT JOIN scores s ON doc.doc_id = s.doc_id
+"""
+
+
+# ---- document length histogram ----
+HIST_BIN = 200.0
+
+
+def q_doc_length_histogram(spark, sf_dir):
+    """Per-language fixed-width histogram of document lengths — the
+    distribution-profiling step before choosing filter thresholds."""
+    from betl_spark.operators.stats import histogram
+
+    docs = table(spark, sf_dir, "documents")
+    return histogram(docs, "n_chars", HIST_BIN, group_cols=["lang"])
+
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+SELECT lang,
+       CAST(FLOOR(CAST(n_chars AS DOUBLE) / {HIST_BIN}) AS BIGINT) AS bin,
+       CAST(FLOOR(CAST(n_chars AS DOUBLE) / {HIST_BIN}) AS BIGINT) * {HIST_BIN} AS bin_lo,
+       COUNT(*) AS n
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "mixture_rebalance_bpe": (q_mixture_rebalance_bpe, MIXTURE_REBALANCE_BPE_SQL),
+    "ngram_lm_perplexity": (q_ngram_lm_perplexity, NGRAM_LM_PERPLEXITY_SQL),
+    "doc_length_histogram": (q_doc_length_histogram, DOC_LENGTH_HISTOGRAM_SQL),
 }

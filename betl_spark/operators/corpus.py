@@ -243,3 +243,84 @@ def pack_sequences(
         "shard",
         (start_offset / budget).cast("long").alias("chunk"),
     )
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Bigram language-model quality scoring (the CCNet recipe, public:
+    Wenzek et al. 2020 score documents with an n-gram LM and filter on
+    perplexity; KenLM is the usual trainer). The model here is trained
+    on the corpus itself — self-perplexity flags statistical outliers
+    (boilerplate, spam, wrong-language shards) without external model
+    files.
+
+    Laplace-smoothed bigram probability:
+        P(w2 | w1) = (c(w1,w2) + α) / (c(w1) + α·V)
+    with V = |vocab|; a document's score is the mean log-probability of
+    its adjacent-token bigrams, and ppl = exp(−avg_logprob).
+
+    Scale shape: model training is the two explode → groupBy count
+    aggregations (map-side combinable, wire volume ~|vocab| per
+    partition); scoring joins each document bigram to the model — an
+    equi-join on the bigram key whose shuffle carries (doc_id, w1, w2)
+    pairs, never the text. V rides in as a broadcast 1-row crossJoin
+    (no driver action). At 100 TB, prune the model to top-K bigrams +
+    a default-probability fallback and the scoring join broadcasts.
+
+    Determinism: each bigram's log-term rounds to 9dp (ln differs by
+    ≤1 ulp across engines — rounding makes the summed terms identical
+    bit-for-bit), the mean rounds to 6dp, and ppl is computed FROM the
+    rounded mean. Output: (id, n_bigrams, avg_logprob, ppl); documents
+    with <2 tokens keep a row with n_bigrams=0 and NULL scores.
+    """
+    toks = F.split(F.col(text_col), " ")
+    uni = (
+        df.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("V"))
+    bi = bigram_counts(df, text_col).withColumnRenamed("n", "c2")
+    doc_bg = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    terms = (
+        doc_bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            id_col,
+            F.round(
+                F.log(
+                    (F.col("c2") + F.lit(alpha))
+                    / (F.col("c1") + F.lit(alpha) * F.col("V"))
+                ),
+                9,
+            ).alias("term"),
+        )
+    )
+    scores = terms.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.round(F.avg("term"), 6).alias("avg_logprob"),
+    )
+    return (
+        df.select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+            F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
+        )
+    )

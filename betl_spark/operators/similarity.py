@@ -479,6 +479,13 @@ def semantic_dedup(
             F.first(vec_col).alias(vec_col),
             F.first("_nrm").alias("_nrm"),
         )
+        # three consumers read `assigned` (both pair-join sides + the
+        # survivor base); without this the centroid argmax recomputes
+        # per consumer (measured 3x cost at bench scale). localCheckpoint
+        # materializes it once to executor storage and truncates lineage
+        # (same pattern as duplicate_clusters); at cluster scale that is
+        # one corpus-sized write vs three argmax passes.
+        .localCheckpoint(eager=False)
     )
     a = assigned.select(
         F.col(id_col).alias("id_a"),

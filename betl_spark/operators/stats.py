@@ -185,3 +185,37 @@ def quantile_filter(
         (F.col(value_col).cast("double") >= F.element_at("__qs", 1))
         & (F.col(value_col).cast("double") <= F.element_at("__qs", 2))
     ).drop("__qs")
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-width histogram of ``value_col`` (optionally per group):
+    one map-side-combinable aggregation on floor(value / width) — the
+    distribution-profiling companion to ``grouped_quantiles`` when you
+    want the whole shape, not point estimates. FLOOR binning is
+    engine-exact for the cross-engine contract (round-half is not).
+
+    Output: (group_cols..., bin, bin_lo, n) with bin_lo = bin·width;
+    NULL values fall out (no bin). Wire volume is O(bins) per
+    partition — safe at any corpus size.
+    """
+    binc = F.floor(F.col(value_col).cast("double") / F.lit(float(bin_width))).cast(
+        "long"
+    )
+    keys = [*(group_cols or []), F.col("__bin").alias("bin")]
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .withColumn("__bin", binc)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *(group_cols or []),
+            "bin",
+            (F.col("bin") * F.lit(float(bin_width))).alias("bin_lo"),
+            "n",
+        )
+    )

@@ -151,6 +151,23 @@ def test_gsheet_inference_from_injected_rows(spark, tmp_path):
     assert inferred == {"colA": "TEXT", "colB": "TEXT"}
 
 
+def test_gsheet_inference_skips_empty_header_cells(spark, tmp_path):
+    """Reference parity (betl/admin.py:293-295): GSHEET header cells
+    that are '' are skipped but later columns still register — unlike
+    EXCEL, which stops at the first empty header."""
+    conf = Conf(app_root=str(tmp_path))
+    conf.datastores["GS"] = Datastore(
+        "GS",
+        "GSHEET",
+        is_src_sys=True,
+        extra={"rows": [["colA", "", "colC"], ["1", "x", "y"]]},
+    )
+    reg = read_src(spark, conf, SchemaRegistry(), tables_per_src={"GS": ["sheet1"]})
+    t = reg.get_table("EXT", "sheet1")
+    names = [c.name for c in t.columns if not c.name.startswith("audit_")]
+    assert names == ["colA", "colC"]
+
+
 def _write_xlsx(path):
     """Two-worksheet SpreadsheetML workbook, including a header gap
     (B1 empty while B2 holds data) to prove inference uses the scan's

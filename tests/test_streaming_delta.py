@@ -193,7 +193,12 @@ def test_stream_to_parquet_is_incremental_exactly_once(spark, tmp_path):
     for f in (tmp_path / "h2").glob("*.parquet"):
         shutil.copy(f, src / "b.parquet")
     run_stream_to_parquet(stream, out, ckpt, state_partitions=4)
-    assert spark.read.parquet(out).count() == n_total
+    # exact row-set equality, not just count: a reprocessed file plus a
+    # skipped one could cancel out in a count but not in the id multiset
+    got = sorted(r.event_id for r in spark.read.parquet(out).select("event_id").collect())
+    want = sorted(r.event_id for r in events.select("event_id").collect())
+    assert got == want
+    assert len(got) == n_total
 
 
 def test_scd2_chains_across_batches(spark):
