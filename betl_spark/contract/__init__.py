@@ -39,12 +39,16 @@ _ALL = {
 # dict order is the verification schedule, rotated each round so no
 # query's green row goes stale beyond 2 rounds. Round 6 leads with the
 # nine queries whose last oracle row dates from round 2, then the new
-# round-6 queries, then every query whose implementation changed this
-# round (their r5 greens no longer describe the shipped code), then the
-# 30 non-TPC-H operator queries last verified in round 4. Left outside
-# the window: 17 static TPC-H SQL queries (r4 green, 2 rounds — at
-# policy, stable tables, re-checked every session by the pytest
-# oracle-parity suite) and the round-5 greens (1 round old).
+# round-6 queries (first oracle check this round), then every query
+# whose implementation changed this round (their r5 greens no longer
+# describe the shipped code), then the non-TPC-H operator queries last
+# verified in round 4. The priority list is now 54 names for 50 slots:
+# the final four r4-greens (setop_intersect_nations, cube_revenue,
+# rollup_revenue, top_customers — static SQL over stable tables,
+# re-checked every session by the pytest oracle-parity suite) wait for
+# round 7, where they rotate to the front. Also outside the window: 17
+# static TPC-H SQL queries (same static/pytest argument) and the
+# round-5 greens (1 round old).
 _PRIORITY = [
     # -- greens last verified in round 2, rotated back in --
     "star_schema_pipeline",
@@ -63,6 +67,10 @@ _PRIORITY = [
     "mixture_rebalance_bpe",
     "doc_length_histogram",
     "ngram_lm_perplexity",
+    "dedup_bloom_incremental",
+    "dsir_scores",
+    "perplexity_buckets",
+    "chunk_documents",
     # -- code changed this round: r5 greens no longer representative --
     "decontaminate_remove",
     "line_dedup",

@@ -14,6 +14,7 @@ from betl_spark.contract.round5 import MIX_WEIGHTS, _W_VALUES
 from betl_spark.contract.scale import (
     EMB_DIM,
     IVF_CENTROID_IDS,
+    MUTANT_OFFSET,
     _CELL_COS,
     _COSINE_PAIR,
 )
@@ -250,8 +251,179 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---- Bloom-prefiltered incremental exact dedup ----
+REF_CUTOFF = 300  # ref corpus = doc_id < 300; batch = the rest + exact copies
+
+
+def q_dedup_bloom_incremental(spark, sf_dir):
+    """Incremental EXACT dedup with the broadcast Bloom-style
+    prefilter: the ingest batch (fresh docs + exact copies of ref
+    texts under new ids) checked against the reference corpus; copies
+    drop, fresh docs survive. The result is oracle-exact (plain anti
+    join) — the prefilter only changes the plan, not the answer."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < REF_CUTOFF)
+    batch = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= REF_CUTOFF).select("doc_id", "text")
+        )
+    )
+    return dedup.exact_dedup_against(batch, ref, "doc_id", ["text"])
+
+
+DEDUP_BLOOM_INCREMENTAL_SQL = f"""
+WITH ref AS (SELECT text FROM documents WHERE doc_id < {REF_CUTOFF}),
+batch AS (
+  SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id >= {REF_CUTOFF}
+)
+SELECT b.doc_id, b.text FROM batch b
+WHERE md5(b.text) NOT IN (SELECT md5(text) FROM ref)
+"""
+
+
+# ---- DSIR importance scoring ----
+DSIR_BUCKETS = 256
+DSIR_ALPHA = 1.0
+
+
+def q_dsir_scores(spark, sf_dir):
+    """DSIR importance weights for 'looks like English' selection:
+    hashed unigram+bigram LMs of the en subcorpus (target) vs the full
+    corpus (source), log-ratio per document."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    return quality.dsir_scores(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        buckets=DSIR_BUCKETS, alpha=DSIR_ALPHA,
+    )
+
+
+DSIR_SCORES_SQL = f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+uni AS (SELECT doc_id, lang, u.w AS g FROM toks, unnest(t) AS u(w)),
+big AS (
+  SELECT doc_id, lang,
+         struct_extract(u.p, 1) || ' ' || struct_extract(u.p, 2) AS g
+  FROM toks, unnest(list_zip(t, t[2:])) AS u(p)
+  WHERE struct_extract(u.p, 2) IS NOT NULL
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+),
+docb AS (SELECT doc_id, bucket, COUNT(*) AS c FROM feats GROUP BY 1, 2),
+srcc AS (SELECT bucket, COUNT(*) AS cq FROM feats GROUP BY 1),
+tgtc AS (SELECT bucket, COUNT(*) AS cp FROM feats WHERE lang = 'en' GROUP BY 1),
+nn AS (SELECT SUM(cq) AS nq FROM srcc),
+tt AS (SELECT SUM(cp) AS np FROM tgtc),
+ratio AS (
+  SELECT s.bucket,
+         round(ln((COALESCE(t.cp, 0) + {DSIR_ALPHA})
+                  / (tt.np + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+               - ln((s.cq + {DSIR_ALPHA})
+                    / (nn.nq + {DSIR_ALPHA} * {DSIR_BUCKETS})), 9) AS ratio
+  FROM srcc s LEFT JOIN tgtc t ON s.bucket = t.bucket CROSS JOIN nn CROSS JOIN tt
+),
+terms AS (
+  SELECT d.doc_id, d.c, CAST(d.c AS DOUBLE) * r.ratio AS term
+  FROM docb d JOIN ratio r ON d.bucket = r.bucket
+),
+scores AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+         round(SUM(term), 6) AS dsir_logratio
+  FROM terms GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats, s.dsir_logratio
+FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+"""
+
+
+# ---- CCNet-style perplexity head/middle/tail buckets ----
+def q_perplexity_buckets(spark, sf_dir):
+    """The CCNet selection recipe end-to-end: self-trained bigram-LM
+    perplexity per document, then per-language head/middle/tail
+    buckets at the engine-exact [0.25, 0.75] quantile cuts — zero
+    windows, the corpus never shuffles for the bucketing."""
+    from betl_spark.operators import corpus
+    from betl_spark.operators.stats import quantile_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    scores = corpus.lm_score(docs, "doc_id", "text", alpha=LM_ALPHA)
+    joined = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    return quantile_buckets(joined, "ppl", group_cols=["lang"]).select(
+        "doc_id", "lang", "ppl", "bucket"
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = f"""
+WITH ppl_all AS ({NGRAM_LM_PERPLEXITY_SQL}),
+scored AS (
+  SELECT p.doc_id, d.lang, p.ppl
+  FROM ppl_all p JOIN documents d ON p.doc_id = d.doc_id
+),
+cuts AS (
+  SELECT lang, quantile_cont(ppl, 0.25) AS c1, quantile_cont(ppl, 0.75) AS c2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.ppl,
+       CASE WHEN s.ppl IS NULL THEN NULL
+            WHEN s.ppl <= c.c1 THEN 'head'
+            WHEN s.ppl <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s JOIN cuts c ON s.lang = c.lang
+"""
+
+
+# ---- fixed-width document chunking with overlap ----
+CHUNK_SIZE, CHUNK_OVERLAP = 500, 100
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 500-char chunks, 100-char overlap —
+    map-only sequence+explode+substring, no shuffle anywhere."""
+    from betl_spark.operators.text import chunk_documents
+
+    docs = table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", CHUNK_SIZE, CHUNK_OVERLAP)
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH d AS (SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         GREATEST(1, CAST(CEIL((length(t) - {CHUNK_OVERLAP})
+                  / CAST({CHUNK_SIZE - CHUNK_OVERLAP} AS DOUBLE)) AS BIGINT)) AS nc
+  FROM d
+)
+SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+       substr(t, CAST(u.i AS INTEGER) * {CHUNK_SIZE - CHUNK_OVERLAP} + 1,
+              {CHUNK_SIZE}) AS chunk_text
+FROM n, unnest(range(nc)) AS u(i)
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "dedup_bloom_incremental": (
+        q_dedup_bloom_incremental,
+        DEDUP_BLOOM_INCREMENTAL_SQL,
+    ),
+    "dsir_scores": (q_dsir_scores, DSIR_SCORES_SQL),
+    "perplexity_buckets": (q_perplexity_buckets, PERPLEXITY_BUCKETS_SQL),
+    "chunk_documents": (q_chunk_documents, CHUNK_DOCUMENTS_SQL),
     "token_count_bpe": (q_token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "mixture_rebalance_bpe": (q_mixture_rebalance_bpe, MIXTURE_REBALANCE_BPE_SQL),
     "ngram_lm_perplexity": (q_ngram_lm_perplexity, NGRAM_LM_PERPLEXITY_SQL),

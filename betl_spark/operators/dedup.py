@@ -239,6 +239,79 @@ def near_dups_against(
     )
 
 
+def exact_dedup_against(
+    df_new: DataFrame,
+    df_ref: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    prefilter_bits: int = 20,
+    prefilter_hashes: int = 2,
+) -> DataFrame:
+    """Incremental EXACT dedup: drop new-batch rows whose content
+    already exists in the reference corpus, with a Bloom-style
+    broadcast prefilter so the non-duplicate majority of the batch
+    never reaches the exact join's shuffle.
+
+    The prefilter is a k-hash Bloom membership test built from pure
+    DataFrame ops (PySpark does not expose ``bloom_filter_agg`` /
+    ``DataFrameStatFunctions.bloomFilter``): for each of
+    ``prefilter_hashes`` seeds, the reference corpus reduces to its
+    DISTINCT ``xxhash64(seed, content_hash) mod 2^prefilter_bits``
+    buckets — a map-side-combinable aggregate whose output is bounded
+    by the bitset size (≤2^bits rows, i.e. ≤8 MiB of longs at the
+    default 20 bits) regardless of corpus size — and ships back as a
+    broadcast hash join. A batch row whose bucket is missing from ANY
+    seed's set is guaranteed absent from the reference (no false
+    negatives, same pigeonhole guarantee as a real Bloom filter) and
+    takes the zero-shuffle fast path; only the candidates (true dups +
+    false positives, rate ≈ (n_ref/2^bits)^k) continue to the exact
+    LEFT ANTI join on the md5 content hash. The result is therefore
+    EXACT — identical to a plain anti join — while the expensive join
+    only sees the pre-pruned sliver of the batch.
+
+    At 100 TB the ref side of the exact join still shuffles its
+    (hash) column once; store the reference corpus bucketed by
+    content_hash to eliminate that exchange entirely. The batch is
+    scanned twice (once per branch of the union) with columns pruned;
+    persist it upstream if the scan dominates.
+
+    Output: the surviving ``df_new`` rows, original schema.
+    """
+    m = 1 << prefilter_bits
+    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    batch = df_new.withColumn("__ch", h)
+    ref_h = df_ref.select(h.alias("__ch"))
+
+    def bucket(seed: int) -> F.Column:
+        return F.pmod(F.xxhash64(F.concat(F.lit(f"{seed}:"), F.col("__ch"))), F.lit(m))
+
+    for s in range(prefilter_hashes):
+        batch = batch.withColumn(f"__b{s}", bucket(s))
+    # presence flags via broadcast left joins against each seed's
+    # distinct-bucket set (bounded by the bitset size, broadcastable)
+    flagged = batch
+    for s in range(prefilter_hashes):
+        buckets_s = (
+            ref_h.select(bucket(s).alias(f"__b{s}"))
+            .distinct()
+            .withColumn(f"__p{s}", F.lit(1))
+        )
+        flagged = flagged.join(F.broadcast(buckets_s), f"__b{s}", "left")
+    might = None
+    for s in range(prefilter_hashes):
+        piece = F.col(f"__p{s}").isNotNull()
+        might = piece if might is None else might & piece
+    aux = [f"__b{s}" for s in range(prefilter_hashes)] + [
+        f"__p{s}" for s in range(prefilter_hashes)
+    ]
+    definite_new = flagged.filter(~might).drop(*aux, "__ch")
+    candidates = flagged.filter(might).drop(*aux)
+    confirmed_new = candidates.join(
+        ref_h.distinct(), "__ch", "left_anti"
+    ).drop("__ch")
+    return definite_new.unionByName(confirmed_new)
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,

@@ -187,6 +187,63 @@ def quantile_filter(
     ).drop("__qs")
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float] | None = None,
+    labels: list[str] | None = None,
+    group_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row a quantile bucket of its group's ``value_col``
+    distribution — the CCNet head/middle/tail split (Wenzek et al.
+    2020 bucket documents by LM perplexity per language and train on
+    the head): rows at or below the first cut are the first bucket,
+    and so on, with NULL values keeping a NULL bucket.
+
+    Deliberately NOT ntile(): an exact ntile needs a per-group total
+    order, and Window.partitionBy(lang) puts an entire language in ONE
+    partition — a scale-killer for any real stratum. Instead this is
+    the ``quantile_filter`` shape: one grouped exact-percentile
+    aggregate (bounded output), broadcast back, then a codegen CASE —
+    the corpus never shuffles and there is no window anywhere.
+
+    Cross-engine exactness: default cuts [0.25, 0.75] — quantiles whose
+    binary representation is exact interpolate bit-identically in
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` (see
+    ``quantile_filter``); stick to dyadic quantiles for contract use.
+    """
+    qs = [0.25, 0.75] if qs is None else qs
+    labels = labels or ["head", "middle", "tail"]
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need len(qs)+1 labels")
+    qcol = F.percentile(
+        F.col(value_col).cast("double"),
+        F.array(*[F.lit(float(q)) for q in qs]),
+    ).alias("__cuts")
+    if group_cols:
+        bounds = df.groupBy(*group_cols).agg(qcol)
+        for c in group_cols:
+            bounds = bounds.withColumnRenamed(c, f"__g_{c}")
+        cond = None
+        for c in group_cols:
+            piece = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = piece if cond is None else cond & piece
+        out = df.join(F.broadcast(bounds), cond).drop(
+            *[f"__g_{c}" for c in group_cols]
+        )
+    else:
+        out = df.crossJoin(F.broadcast(df.agg(qcol)))
+    v = F.col(value_col).cast("double")
+    expr = F.lit(labels[-1])
+    for i in range(len(qs) - 1, -1, -1):
+        expr = F.when(v <= F.element_at("__cuts", i + 1), F.lit(labels[i])).otherwise(
+            expr
+        )
+    expr = F.when(v.isNull(), F.lit(None).cast("string")).otherwise(expr)
+    return out.withColumn(bucket_col, expr).drop("__cuts")
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

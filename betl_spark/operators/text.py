@@ -215,3 +215,47 @@ def pii_redact(text_col: str) -> F.Column:
     for kind in ("email", "phone", "ipv4"):
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    ``overlap`` characters of context shared between neighbors — the
+    standard pre-tokenization windowing for context-bounded training
+    and for RAG-style passage indexing.
+
+    Chunk i covers [i·stride, i·stride + size) with stride = size −
+    overlap; the chunk count is ceil((len − overlap) / stride) (min 1,
+    so empty/NULL text yields one empty chunk and no document silently
+    vanishes — the ``line_dedup`` NULL rule).
+
+    Scale shape: sequence + explode + substring is pure map-side
+    column work — no shuffle, no UDF, stays inside whole-stage
+    codegen; output row count is Σ ceil(len/stride), linear in corpus
+    bytes. DuckDB replays it with range() + substr (both engines'
+    substring is 1-based and clamps past the end).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(txt) - F.lit(overlap)).cast("double") / F.lit(float(stride))),
+    ).cast("int")
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n - F.lit(1))).alias("chunk_idx"),
+        txt.alias("__t"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.substring(F.col("__t"), F.col("chunk_idx") * stride + 1, size).alias(
+            "chunk_text"
+        ),
+    )

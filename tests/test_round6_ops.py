@@ -1,0 +1,271 @@
+"""Round-6 operators: bloom-prefiltered incremental exact dedup, DSIR
+importance scoring, quantile bucketing, document chunking."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- exact_dedup_against ----
+def _mk_corpora(spark):
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=f"ref text {i}") for i in range(20)]
+    )
+    batch = spark.createDataFrame(
+        # 5 exact copies of ref texts under new ids + 10 fresh docs
+        [Row(doc_id=100 + i, text=f"ref text {i}") for i in range(5)]
+        + [Row(doc_id=200 + i, text=f"fresh text {i}") for i in range(10)]
+    )
+    return batch, ref
+
+
+def test_exact_dedup_against_matches_plain_anti_join(spark):
+    from betl_spark.operators import dedup
+
+    batch, ref = _mk_corpora(spark)
+    got = dedup.exact_dedup_against(batch, ref, "doc_id", ["text"])
+    expected = batch.join(
+        ref.select(F.md5("text").alias("__h")).distinct(),
+        F.md5(batch["text"]) == F.col("__h"),
+        "left_anti",
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        r.doc_id for r in expected.collect()
+    )
+    # survivors keep the original schema
+    assert got.columns == batch.columns
+
+
+def test_exact_dedup_against_tiny_bitset_still_exact(spark):
+    """With a 4-bit bitset nearly everything is a false positive — the
+    exact confirm join must still produce the exact answer."""
+    from betl_spark.operators import dedup
+
+    batch, ref = _mk_corpora(spark)
+    got = dedup.exact_dedup_against(
+        batch, ref, "doc_id", ["text"], prefilter_bits=4, prefilter_hashes=1
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(
+        range(200, 210)
+    )
+
+
+def test_exact_dedup_against_prefilter_is_broadcast(spark):
+    from tests.test_plans import plan
+
+    from betl_spark.operators import dedup
+
+    batch, ref = _mk_corpora(spark)
+    p = plan(dedup.exact_dedup_against(batch, ref, "doc_id", ["text"]))
+    # every bucket-membership join ships as a broadcast hash join, and
+    # the exact confirm is the only non-broadcast join in the plan
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin LeftAnti" in p or "BroadcastHashJoin" in p
+
+
+# ---- quantile_buckets ----
+def test_quantile_buckets_grouped(spark):
+    from betl_spark.operators.stats import quantile_buckets
+
+    rows = [Row(g="a", v=float(i)) for i in range(1, 9)] + [
+        Row(g="b", v=float(10 * i)) for i in range(1, 5)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.g, r.v): r.bucket
+        for r in quantile_buckets(df, "v", group_cols=["g"]).collect()
+    }
+    # group a: p25 of 1..8 = 2.75, p75 = 6.25
+    assert out[("a", 1.0)] == "head" and out[("a", 2.0)] == "head"
+    assert out[("a", 3.0)] == "middle" and out[("a", 6.0)] == "middle"
+    assert out[("a", 7.0)] == "tail" and out[("a", 8.0)] == "tail"
+    # group b: p25 of 10..40 = 17.5, p75 = 32.5
+    assert out[("b", 10.0)] == "head" and out[("b", 40.0)] == "tail"
+
+
+def test_quantile_buckets_null_value_and_null_group(spark):
+    from betl_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=1.0), Row(g="a", v=None), Row(g=None, v=5.0), Row(g=None, v=6.0)]
+    )
+    rows = quantile_buckets(df, "v", group_cols=["g"]).collect()
+    # all four rows survive (NULL group is a legitimate stratum)
+    assert len(rows) == 4
+    by_key = {(r.g, r.v): r.bucket for r in rows}
+    assert by_key[("a", None)] is None
+    assert by_key[(None, 5.0)] == "head"
+    assert by_key[(None, 6.0)] == "tail"
+
+
+def test_quantile_buckets_has_no_window(spark):
+    from tests.test_plans import plan
+    from betl_spark.operators.stats import quantile_buckets
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(quantile_buckets(docs, "n_chars", group_cols=["lang"]))
+    assert "Window" not in p
+
+
+def test_quantile_buckets_label_validation(spark):
+    from betl_spark.operators.stats import quantile_buckets
+
+    df = spark.createDataFrame([Row(v=1.0)])
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "v", qs=[0.5], labels=["only-one"])
+
+
+# ---- chunk_documents ----
+def test_chunk_documents_covers_text_with_overlap(spark):
+    from betl_spark.operators.text import chunk_documents
+
+    text = "abcdefghijklmnopqrstuvwxyz" * 10  # 260 chars
+    df = spark.createDataFrame([Row(doc_id=1, text=text)])
+    chunks = sorted(
+        chunk_documents(df, "doc_id", "text", 100, 20).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # stride 80: ceil((260-20)/80) = 3 chunks
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    assert chunks[0].chunk_text == text[0:100]
+    assert chunks[1].chunk_text == text[80:180]
+    assert chunks[2].chunk_text == text[160:260]
+    # neighbors share exactly the overlap
+    assert chunks[0].chunk_text[-20:] == chunks[1].chunk_text[:20]
+    # reassembly of stride-prefixes reconstructs the document
+    assert chunks[0].chunk_text[:80] + chunks[1].chunk_text[:80] + chunks[2].chunk_text == text
+
+
+def test_chunk_documents_edge_cases(spark):
+    from betl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=""),       # empty -> one empty chunk
+            Row(doc_id=2, text=None),     # NULL  -> one empty chunk
+            Row(doc_id=3, text="x" * 100),  # exactly size -> one chunk
+            Row(doc_id=4, text="x" * 101),  # one past -> two chunks
+        ]
+    )
+    out = chunk_documents(df, "doc_id", "text", 100, 20)
+    counts = {r.doc_id: r.n for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 1, 2: 1, 3: 1, 4: 2}
+    empty = {r.doc_id: r.chunk_text for r in out.filter("doc_id <= 2").collect()}
+    assert empty == {1: "", 2: ""}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from betl_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", 10, 10)
+
+
+def test_chunk_documents_zero_shuffle(spark):
+    from tests.test_plans import plan, n_exchanges
+    from betl_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(chunk_documents(docs, "doc_id", "text", 500, 100))
+    assert n_exchanges(p) == 0
+    assert "pythonUDF" not in p
+
+
+# ---- dsir_scores ----
+def _py_dsir(rows, target_langs, buckets, alpha):
+    """Plain-Python replay of the DSIR scoring spec."""
+    import hashlib
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % buckets
+
+    def feats(text):
+        toks = text.split(" ")
+        out = [bucket(t) for t in toks]
+        out += [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        return out
+
+    src, tgt = {}, {}
+    for did, text, lang in rows:
+        for b in feats(text):
+            src[b] = src.get(b, 0) + 1
+            if lang in target_langs:
+                tgt[b] = tgt.get(b, 0) + 1
+    nq, np_ = sum(src.values()), sum(tgt.values())
+    ratio = {
+        b: round(
+            math.log((tgt.get(b, 0) + alpha) / (np_ + alpha * buckets))
+            - math.log((cq + alpha) / (nq + alpha * buckets)),
+            9,
+        )
+        for b, cq in src.items()
+    }
+    out = {}
+    for did, text, lang in rows:
+        fs = feats(text)
+        counts = {}
+        for b in fs:
+            counts[b] = counts.get(b, 0) + 1
+        score = sum(c * ratio[b] for b, c in sorted(counts.items()))
+        out[did] = (len(fs), round(score, 6))
+    return out
+
+
+def test_dsir_scores_match_python_reference(spark):
+    from betl_spark.operators import quality
+
+    rows = [
+        (1, "the quick brown fox", "en"),
+        (2, "the lazy dog sleeps", "en"),
+        (3, "der schnelle braune fuchs", "de"),
+        (4, "le chien paresseux dort", "fr"),
+        (5, "the quick dog", "de"),  # en-looking text labeled de
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in quality.dsir_scores(
+            df, "doc_id", "text", F.col("lang") == "en", buckets=64
+        ).collect()
+    }
+    want = _py_dsir(rows, {"en"}, 64, 1.0)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6), did
+    # the en-looking de doc should score higher than the genuinely
+    # non-English docs
+    assert got[5][1] > got[3][1] and got[5][1] > got[4][1]
+
+
+def test_dsir_scores_null_text_keeps_row(spark):
+    from betl_spark.operators import quality
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, None, "de")], ["doc_id", "text", "lang"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in quality.dsir_scores(
+            df, "doc_id", "text", F.col("lang") == "en"
+        ).collect()
+    }
+    assert rows[2].n_feats == 0 and rows[2].dsir_logratio is None
+    assert rows[1].n_feats == 3  # 2 unigrams + 1 bigram
+
+
+def test_dsir_ratio_table_joins_broadcast(spark):
+    from tests.test_plans import plan
+    from betl_spark.operators import quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(
+        quality.dsir_scores(docs, "doc_id", "text", F.col("lang") == "en")
+    )
+    # the B-row ratio table must meet the per-doc counts as a broadcast
+    # join, and no python UDF anywhere
+    assert "BroadcastHashJoin" in p
+    assert "pythonUDF" not in p
