@@ -76,55 +76,144 @@ class Pipeline:
         self.run_log.append(name)
         fn(self)
 
-    def run(self) -> list[str]:
-        """Execute the gated stage sequence (reference
-        PipelineClass.py:66-420): extract → transform → load dims →
-        load facts → summarise. User dataflows are callables taking the
-        pipeline; default dataflows come from ``betl_spark.defaults``.
+    def _plan_groups(self) -> list[list[tuple[str, Callable]]]:
+        """The gated stage sequence (reference PipelineClass.py:66-420)
+        as ordered barrier groups of (task_id, callable): tasks within
+        a group are independent; every task depends on ALL tasks of the
+        previous non-empty group. This preserves the hard rules — dims
+        strictly before facts (PipelineClass.py:203-208), date/audit
+        dims before bespoke transforms — while exposing the real
+        parallelism (per-source extracts, per-dimension bulk loads) to
+        any executor, Airflow included.
+
+        Single source of truth: ``run`` executes this plan and
+        ``to_dag_spec``/``to_airflow_dag`` export it, so the local
+        topological runner and a DAG scheduler can never disagree on
+        ordering.
         """
         sched = self.conf.schedule
         from betl_spark import defaults
 
+        groups: list[list[tuple[str, Callable]]] = []
         if sched.run_extract:
+            g: list[tuple[str, Callable]] = []
             if sched.default_extract:
                 for src_id in sched.src_system_ids:
-                    self._run_task(
+                    g.append((
                         f"bulkExtract_{src_id}",
-                        lambda p, s=src_id: defaults.bulk_extract(p, s, sched.bulk_or_delta),
-                    )
-            for fn in sched.extract_dataflows:
-                self._run_task(f"extract_{fn.__name__}", fn)
+                        lambda p, s=src_id: defaults.bulk_extract(
+                            p, s, sched.bulk_or_delta
+                        ),
+                    ))
+            g.extend(
+                (f"extract_{fn.__name__}", fn) for fn in sched.extract_dataflows
+            )
+            groups.append(g)
 
         if sched.run_transform:
             if sched.default_load:  # date/audit dims are load prerequisites
-                self._run_task("transformDMDate", defaults.transform_dm_date)
-                self._run_task("transformDMAudit", defaults.transform_dm_audit)
-            for fn in sched.transform_dataflows:
-                self._run_task(f"transform_{fn.__name__}", fn)
+                groups.append([
+                    ("transformDMDate", defaults.transform_dm_date),
+                    ("transformDMAudit", defaults.transform_dm_audit),
+                ])
+            groups.append([
+                (f"transform_{fn.__name__}", fn)
+                for fn in sched.transform_dataflows
+            ])
 
         if sched.run_load:
             # dims strictly before facts (reference PipelineClass.py:203-208)
-            for fn in sched.load_dim_dataflows:
-                self._run_task(f"loadDim_{fn.__name__}", fn)
+            groups.append([
+                (f"loadDim_{fn.__name__}", fn) for fn in sched.load_dim_dataflows
+            ])
             if sched.default_load:
-                for dim in self.registry.tables("BSE", "DIMENSION"):
-                    self._run_task(
+                groups.append([
+                    (
                         f"bulkLoad_{dim.name}",
                         lambda p, d=dim: defaults.bulk_load_dimension(p, d),
                     )
-            for fn in sched.load_fact_dataflows:
-                self._run_task(f"loadFactPrep_{fn.__name__}", fn)
+                    for dim in self.registry.tables("BSE", "DIMENSION")
+                ])
+            groups.append([
+                (f"loadFactPrep_{fn.__name__}", fn)
+                for fn in sched.load_fact_dataflows
+            ])
             if sched.default_load:
-                for fact in self.registry.tables("BSE", "FACT"):
-                    self._run_task(
+                groups.append([
+                    (
                         f"bulkLoad_{fact.name}",
                         lambda p, t=fact: defaults.bulk_load_fact(p, t),
                     )
+                    for fact in self.registry.tables("BSE", "FACT")
+                ])
 
         if sched.run_summarise:
             if sched.default_summarise:
-                self._run_task("summarisePrep", defaults.default_summarise_prep)
-            for fn in sched.summarise_dataflows:
-                self._run_task(f"summarise_{fn.__name__}", fn)
+                groups.append([
+                    ("summarisePrep", defaults.default_summarise_prep)
+                ])
+            groups.append([
+                (f"summarise_{fn.__name__}", fn)
+                for fn in sched.summarise_dataflows
+            ])
+        return [g for g in groups if g]
 
+    def run(self) -> list[str]:
+        """Execute the gated stage sequence: extract → transform →
+        load dims → load facts → summarise. User dataflows are
+        callables taking the pipeline; default dataflows come from
+        ``betl_spark.defaults``.
+        """
+        for group in self._plan_groups():
+            for name, fn in group:
+                self._run_task(name, fn)
         return self.run_log
+
+    def to_dag_spec(self) -> dict:
+        """The run plan as a serializable DAG spec — the engine's
+        equivalent of the reference's Airflow mode (PipelineClass.py:
+        456-514 builds PythonOperators with the same task ids and
+        upstream chaining). Returns {"tasks": [{"task_id", "upstream":
+        [...]}...]}; hand it to any scheduler, or use
+        ``to_airflow_dag`` when the airflow package is installed.
+        """
+        tasks = []
+        prev: list[str] = []
+        for group in self._plan_groups():
+            names = [name for name, _ in group]
+            tasks.extend(
+                {"task_id": n, "upstream": list(prev)} for n in names
+            )
+            prev = names
+        return {"tasks": tasks}
+
+    def to_airflow_dag(self, dag):
+        """Attach the run plan to an Airflow DAG as PythonOperators
+        (one per task, upstream set per ``to_dag_spec``), mirroring the
+        reference's createOp (PipelineClass.py:457-480). Import-gated:
+        airflow is not a dependency of this engine; raises ImportError
+        with a clear message when it isn't installed.
+        """
+        try:
+            from airflow.operators.python import PythonOperator
+        except ImportError as exc:  # pragma: no cover - env seam
+            raise ImportError(
+                "to_airflow_dag requires apache-airflow; use to_dag_spec() "
+                "for a scheduler-agnostic plan"
+            ) from exc
+        ops: dict[str, object] = {}
+        prev: list[str] = []
+        for group in self._plan_groups():
+            names = []
+            for name, fn in group:
+                op = PythonOperator(
+                    task_id=name,
+                    python_callable=lambda p=self, f=fn, n=name: p._run_task(n, f),
+                    dag=dag,
+                )
+                for up in prev:
+                    op.set_upstream(ops[up])
+                ops[name] = op
+                names.append(name)
+            prev = names
+        return ops

@@ -245,3 +245,86 @@ def test_jsonl_datastore_read_write_and_inference(spark, tmp_path):
     write_jsonl(df, str(out))
     back = spark.read.json(str(out))
     assert back.count() == 3
+
+
+def test_pipeline_dag_spec_barriers_and_dims_before_facts(spark, tmp_path):
+    """to_dag_spec exposes the stage plan without executing anything:
+    per-source extracts are parallel, every next stage depends on ALL
+    of the previous group, and bulk dim loads come strictly before
+    fact loads."""
+    from betl_spark.config import Conf, ScheduleConfig
+    from betl_spark.pipeline import Pipeline
+    from betl_spark.schema.registry import SchemaRegistry
+
+    def t_stage(p):
+        pass
+
+    reg = SchemaRegistry()
+    reg.define("BSE", "dm_x", [("sk_x", "SERIAL", "Surrogate key"),
+                               ("nk_x", "TEXT", "Natural key")])
+    reg.define("BSE", "ft_y", [("fk_x", "INTEGER", "Foreign key", "dm_x"),
+                               ("v", "INTEGER", "Attribute")])
+    conf = Conf(app_root=str(tmp_path))
+    conf.schedule = ScheduleConfig(
+        src_system_ids=["A", "B"],
+        transform_dataflows=[t_stage],
+    )
+    spec = Pipeline(conf, registry=reg, spark=spark).to_dag_spec()
+    up = {t["task_id"]: t["upstream"] for t in spec["tasks"]}
+    # parallel extracts, no cross-deps
+    assert up["bulkExtract_A"] == [] and up["bulkExtract_B"] == []
+    # next stage barriers on BOTH extracts
+    assert sorted(up["transformDMDate"]) == ["bulkExtract_A", "bulkExtract_B"]
+    # bespoke transform waits for the date/audit dims
+    assert sorted(up["transform_t_stage"]) == ["transformDMAudit", "transformDMDate"]
+    # dims strictly before facts
+    assert up["bulkLoad_ft_y"] == ["bulkLoad_dm_x"]
+    assert up["bulkLoad_dm_x"] == ["transform_t_stage"]
+    assert up["summarisePrep"] == ["bulkLoad_ft_y"]
+
+
+def test_pipeline_run_executes_the_dag_spec_order(spark, tmp_path):
+    """run() and to_dag_spec() derive from the same plan: the executed
+    task log is exactly the spec's task ids in topological order."""
+    from betl_spark.config import Conf, ScheduleConfig
+    from betl_spark.pipeline import Pipeline
+    from betl_spark.schema.registry import SchemaRegistry
+
+    ran = []
+
+    def ex_a(p):
+        ran.append("ex_a")
+
+    def tr_b(p):
+        ran.append("tr_b")
+
+    def ld_c(p):
+        ran.append("ld_c")
+
+    conf = Conf(app_root=str(tmp_path))
+    conf.schedule = ScheduleConfig(
+        default_extract=False, default_load=False, default_summarise=False,
+        extract_dataflows=[ex_a],
+        transform_dataflows=[tr_b],
+        load_dim_dataflows=[ld_c],
+    )
+    p = Pipeline(conf, registry=SchemaRegistry(), spark=spark)
+    spec_ids = [t["task_id"] for t in p.to_dag_spec()["tasks"]]
+    log = p.run()
+    assert log == spec_ids == ["extract_ex_a", "transform_tr_b", "loadDim_ld_c"]
+    assert ran == ["ex_a", "tr_b", "ld_c"]
+
+
+def test_pipeline_to_airflow_dag_raises_without_airflow(spark, tmp_path):
+    from betl_spark.config import Conf
+    from betl_spark.pipeline import Pipeline
+    from betl_spark.schema.registry import SchemaRegistry
+
+    p = Pipeline(Conf(app_root=str(tmp_path)), registry=SchemaRegistry(), spark=spark)
+    try:
+        import airflow  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="to_dag_spec"):
+            p.to_airflow_dag(dag=None)
