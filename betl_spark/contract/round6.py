@@ -415,8 +415,120 @@ FROM n, unnest(range(nc)) AS u(i)
 """
 
 
+# ---- conversion funnel + cohort retention over the event log ----
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WITHIN_US = 7 * 86400 * 1_000_000  # 7 days in epoch-micros
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+def q_funnel_users(spark, sf_dir):
+    """Per-user view→click→purchase funnel, strictly-increasing step
+    chain bounded to 7 days from the first view — one groupBy(user),
+    array-HOF chain resolution, no windows."""
+    from betl_spark.contract.common import ts_micros
+    from betl_spark.operators import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel.funnel_users(
+        ev, "user_id", "event_type", ts_micros(ev), FUNNEL_STEPS,
+        within=FUNNEL_WITHIN_US,
+    )
+
+
+_FUNNEL_CTE = f"""
+ev AS (
+  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events
+),
+pu AS (
+  SELECT user_id,
+         list(tus) FILTER (WHERE event_type = 'view') AS a0,
+         list(tus) FILTER (WHERE event_type = 'click') AS a1,
+         list(tus) FILTER (WHERE event_type = 'purchase') AS a2
+  FROM ev GROUP BY user_id
+),
+s1 AS (SELECT *, list_min(a0) AS step1_ts FROM pu),
+s2 AS (
+  SELECT *, list_min(list_filter(a1,
+    x -> x > step1_ts AND x <= step1_ts + {FUNNEL_WITHIN_US})) AS step2_ts
+  FROM s1
+),
+s3 AS (
+  SELECT *, list_min(list_filter(a2,
+    x -> x > step2_ts AND x <= step1_ts + {FUNNEL_WITHIN_US})) AS step3_ts
+  FROM s2
+),
+resolved AS (
+  SELECT user_id, step1_ts, step2_ts, step3_ts,
+         CAST(CASE WHEN step1_ts IS NULL THEN 0
+                   WHEN step2_ts IS NULL THEN 1
+                   WHEN step3_ts IS NULL THEN 2
+                   ELSE 3 END AS INTEGER) AS steps_completed
+  FROM s3
+)
+"""
+
+FUNNEL_USERS_SQL = f"""
+WITH {_FUNNEL_CTE}
+SELECT * FROM resolved
+"""
+
+
+def q_funnel_counts(spark, sf_dir):
+    """The funnel report: users reaching each step."""
+    from betl_spark.contract.common import ts_micros
+    from betl_spark.operators import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel.funnel_counts(
+        ev, "user_id", "event_type", ts_micros(ev), FUNNEL_STEPS,
+        within=FUNNEL_WITHIN_US,
+    )
+
+
+FUNNEL_COUNTS_SQL = f"""
+WITH {_FUNNEL_CTE},
+steps(step_idx, step_name) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+SELECT CAST(s.step_idx AS INTEGER) AS step_idx, s.step_name,
+       COUNT(*) AS n_users
+FROM resolved r JOIN steps s ON r.steps_completed >= s.step_idx
+GROUP BY 1, 2
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over the event log."""
+    from betl_spark.contract.common import ts_micros
+    from betl_spark.operators import funnel
+
+    ev = table(spark, sf_dir, "events")
+    return funnel.cohort_retention(ev, "user_id", ts_micros(ev), WEEK_US)
+
+
+COHORT_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / {WEEK_US}.0) AS BIGINT) AS p
+  FROM events
+),
+first AS (SELECT user_id, MIN(p) AS cohort_period FROM ev GROUP BY 1),
+sizes AS (SELECT cohort_period, COUNT(*) AS cohort_size FROM first GROUP BY 1),
+cells AS (
+  SELECT f.cohort_period, e.p - f.cohort_period AS period_offset,
+         COUNT(*) AS n_users
+  FROM ev e JOIN first f ON e.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT c.cohort_period, c.period_offset, c.n_users, s.cohort_size,
+       round(CAST(c.n_users AS DOUBLE) / s.cohort_size, 6) AS retention_rate
+FROM cells c JOIN sizes s ON c.cohort_period = s.cohort_period
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "funnel_users": (q_funnel_users, FUNNEL_USERS_SQL),
+    "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
+    "cohort_retention": (q_cohort_retention, COHORT_RETENTION_SQL),
     "dedup_bloom_incremental": (
         q_dedup_bloom_incremental,
         DEDUP_BLOOM_INCREMENTAL_SQL,

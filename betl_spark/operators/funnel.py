@@ -1,0 +1,161 @@
+"""User-journey analytics over event logs: conversion funnels and
+cohort retention.
+
+Beyond-reference scale surface (the reference has no event concepts) —
+the two standard clickstream questions a warehouse built on this
+engine gets asked: "how many users made it through view → click →
+purchase (within a bound)?" and "of the users who arrived in week W,
+how many were still active k weeks later?".
+
+Both operators are single-aggregation shapes — no per-user windows, no
+self-joins over the event log:
+
+- ``funnel_users`` collects each user's per-step timestamp lists in ONE
+  groupBy(user) (map-side combinable; per-user arrays are bounded by
+  that user's own activity) and resolves the strictly-increasing step
+  chain with array HOFs — pure codegen after the single shuffle.
+- ``cohort_retention`` is two groupBys that share the user-key
+  exchange plus one bounded (cohort, offset) aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def funnel_users(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts: Column,
+    steps: list[str],
+    within: int | None = None,
+) -> DataFrame:
+    """Per-user funnel resolution: step i's timestamp is the MINIMUM
+    event time of step i that is STRICTLY AFTER the resolved step i−1
+    time (and, with ``within``, at most ``within`` ts-units after step
+    1 — pass microseconds if ``ts`` is epoch-micros). A missing step
+    nulls the rest of the chain; ``steps_completed`` counts the prefix
+    reached.
+
+    ``ts`` is any monotone numeric event-time expression (use the
+    contract's type-adaptive ``ts_micros``). Min-of-filtered-list is
+    collection-order-invariant, so the collect_list needs no sort and
+    the result is deterministic under any partitioning.
+
+    Output: (user, step1_ts..stepK_ts, steps_completed).
+    """
+    ev = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("__et"),
+        ts.cast("long").alias("__ts"),
+    )
+    aggs = [
+        F.collect_list(F.when(F.col("__et") == s, F.col("__ts"))).alias(f"__a{i}")
+        for i, s in enumerate(steps)
+    ]
+    per_user = ev.groupBy(user_col).agg(*aggs)
+    # single-arg lambda factory: a 2-arg lambda would be read by
+    # PySpark's HOF machinery as the (value, index) form, silently
+    # binding the second parameter to the array index
+    def after(prev: Column):
+        if within is None:
+            return lambda x: x > prev
+        return lambda x: (x > prev) & (
+            x <= F.col("step1_ts") + F.lit(within)
+        )
+
+    t_cols: list[Column] = [F.array_min("__a0")]
+    for i in range(1, len(steps)):
+        t_cols.append(
+            F.array_min(F.filter(F.col(f"__a{i}"), after(F.col(f"step{i}_ts"))))
+        )
+    out = per_user
+    for i, c in enumerate(t_cols):
+        out = out.withColumn(f"step{i + 1}_ts", c)
+    completed = None
+    for i in range(len(steps)):
+        piece = F.when(F.col(f"step{i + 1}_ts").isNotNull(), 1).otherwise(0)
+        completed = piece if completed is None else completed + piece
+    return out.select(
+        user_col,
+        *[f"step{i + 1}_ts" for i in range(len(steps))],
+        completed.cast("int").alias("steps_completed"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts: Column,
+    steps: list[str],
+    within: int | None = None,
+) -> DataFrame:
+    """The funnel report: how many users reached each step. One extra
+    explode + bounded groupBy (K·users rows max) on top of
+    ``funnel_users``. Output: (step_idx 1-based, step_name, n_users).
+    """
+    per_user = funnel_users(events, user_col, type_col, ts, steps, within)
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        per_user.filter(F.col("steps_completed") >= 1)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.col("steps_completed"))
+            ).alias("step_idx")
+        )
+        .groupBy("step_idx")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "step_idx",
+            F.element_at(names, F.col("step_idx")).alias("step_name"),
+            "n_users",
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts: Column,
+    period: int,
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their FIRST event (period = floor(ts / period), e.g. epoch-week
+    for micros ts and period=7·86400·10⁶), and each (cohort,
+    period_offset) cell counts the cohort's users active in that later
+    period, with the retention rate against the cohort size.
+
+    Scale shape: distinct (user, period) and first-event-per-user are
+    two groupBys sharing the user-key exchange; cohort sizes are a
+    bounded aggregate broadcast back. Both engines double-divide then
+    floor (IEEE-identical), so the oracle matches bit-for-bit.
+
+    Output: (cohort_period, period_offset, n_users, cohort_size,
+    retention_rate 6dp).
+    """
+    p = F.floor(ts.cast("double") / F.lit(float(period))).cast("long")
+    ev = events.select(F.col(user_col), p.alias("__p"))
+    first = ev.groupBy(user_col).agg(F.min("__p").alias("cohort_period"))
+    active = ev.distinct()
+    cells = (
+        active.join(first, user_col)
+        .groupBy(
+            "cohort_period",
+            (F.col("__p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = first.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "n_users",
+        "cohort_size",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention_rate"),
+    )

@@ -269,3 +269,82 @@ def test_dsir_ratio_table_joins_broadcast(spark):
     # join, and no python UDF anywhere
     assert "BroadcastHashJoin" in p
     assert "pythonUDF" not in p
+
+
+# ---- funnel + cohort retention ----
+def test_funnel_users_chain_semantics(spark):
+    from betl_spark.operators import funnel
+
+    rows = [
+        # u1: clean conversion
+        (1, "view", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2: click BEFORE the first view must not count
+        (2, "click", 50), (2, "view", 100), (2, "purchase", 300),
+        # u3: purchase outside the within-bound
+        (3, "view", 100), (3, "click", 200), (3, "purchase", 5000),
+        # u4: never clicked
+        (4, "view", 100), (4, "purchase", 200),
+        # u5: no funnel events at all (but present in the log)
+        (5, "error", 10),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    out = {
+        r.user_id: r
+        for r in funnel.funnel_users(
+            df, "user_id", "event_type", F.col("ts_us"),
+            ["view", "click", "purchase"], within=1000,
+        ).collect()
+    }
+    assert out[1].steps_completed == 3 and out[1].step3_ts == 300
+    assert out[2].steps_completed == 1 and out[2].step2_ts is None
+    assert out[3].steps_completed == 2  # purchase at 5000 > 100+1000
+    assert out[4].steps_completed == 1
+    assert out[5].steps_completed == 0 and out[5].step1_ts is None
+    assert len(out) == 5
+
+
+def test_funnel_users_takes_min_qualifying_not_first_seen(spark):
+    from betl_spark.operators import funnel
+
+    # two clicks after the view: the EARLIER qualifying one wins,
+    # regardless of input order
+    rows = [(1, "click", 900), (1, "view", 100), (1, "click", 400)]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+    r = funnel.funnel_users(
+        df, "user_id", "event_type", F.col("ts_us"), ["view", "click"]
+    ).collect()[0]
+    assert r.step2_ts == 400
+
+
+def test_funnel_users_single_shuffle(spark):
+    from tests.test_plans import plan, n_exchanges
+    from betl_spark.contract.common import ts_micros
+    from betl_spark.operators import funnel
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(
+        funnel.funnel_users(
+            ev, "user_id", "event_type", ts_micros(ev),
+            ["view", "click", "purchase"], within=1000,
+        )
+    )
+    # one exchange: the groupBy(user) — chain resolution is pure codegen
+    assert n_exchanges(p) == 1
+    assert "Window" not in p and "pythonUDF" not in p
+
+
+def test_cohort_retention_triangle(spark):
+    from betl_spark.operators import funnel
+
+    # period = 100; u1 first in period 0, active 0 and 2; u2 first in
+    # period 0, active 0 only; u3 first in period 2
+    rows = [(1, 10), (1, 250), (2, 20), (3, 220), (1, 30)]
+    df = spark.createDataFrame(rows, ["user_id", "ts_us"])
+    out = {
+        (r.cohort_period, r.period_offset): (r.n_users, r.cohort_size, r.retention_rate)
+        for r in funnel.cohort_retention(df, "user_id", F.col("ts_us"), 100).collect()
+    }
+    assert out[(0, 0)] == (2, 2, 1.0)
+    assert out[(0, 2)] == (1, 2, 0.5)
+    assert out[(2, 0)] == (1, 1, 1.0)
+    assert len(out) == 3
