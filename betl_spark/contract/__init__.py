@@ -42,13 +42,14 @@ _ALL = {
 # round-6 queries (first oracle check this round), then every query
 # whose implementation changed this round (their r5 greens no longer
 # describe the shipped code), then the non-TPC-H operator queries last
-# verified in round 4. The priority list is now 57 names for 50 slots:
-# the final seven r4-greens (dedup_containment,
-# window_top_orders_per_segment, the set-op/cube/rollup/top-k static
-# SQL — all unchanged since r4 and re-checked every session by the
-# pytest oracle-parity suite) wait for round 7, where they rotate to
-# the front. Also outside the window: 17 static TPC-H SQL queries
-# (same static/pytest argument) and the round-5 greens (1 round old).
+# verified in round 4. The priority list is now 59 names for 50 slots:
+# the final nine r4-greens (decontaminate_docs, doc_length_quantiles,
+# dedup_containment, window_top_orders_per_segment, the set-op/cube/
+# rollup/top-k static SQL — all unchanged since r4 and re-checked every
+# session by the pytest oracle-parity suite, which runs ALL queries)
+# wait for round 7, where they rotate to the front. Also outside the
+# window: 17 static TPC-H SQL queries (same static/pytest argument)
+# and the round-5 greens (1 round old).
 _PRIORITY = [
     # -- greens last verified in round 2, rotated back in --
     "star_schema_pipeline",
@@ -74,6 +75,8 @@ _PRIORITY = [
     "funnel_users",
     "funnel_counts",
     "cohort_retention",
+    "profile_documents",
+    "zorder_key",
     # -- code changed this round: r5 greens no longer representative --
     "decontaminate_remove",
     "line_dedup",

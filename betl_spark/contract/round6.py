@@ -524,8 +524,73 @@ FROM cells c JOIN sizes s ON c.cohort_period = s.cohort_period
 """
 
 
+# ---- column profiling ----
+PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+def q_profile_documents(spark, sf_dir):
+    """Intake data-quality report over the documents table: row/null/
+    exact-distinct counts and string-ordered value range per column,
+    in one melt + one groupBy."""
+    from betl_spark.operators.profile import profile_columns
+
+    docs = table(spark, sf_dir, "documents")
+    return profile_columns(docs, PROFILE_COLS)
+
+
+PROFILE_DOCUMENTS_SQL = f"""
+WITH pairs AS (
+  {" UNION ALL ".join(
+      f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM documents"
+      for c in PROFILE_COLS
+  )}
+)
+SELECT col_name AS "column", COUNT(*) AS n_rows,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) AS n_null,
+       COUNT(DISTINCT value) AS n_distinct,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM pairs GROUP BY 1
+"""
+
+
+# ---- Z-order layout key ----
+ZORDER_BITS = 16
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton-interleaved clustering key over (n_chars, doc_id) — the
+    layout key write_zordered range-partitions and sorts by."""
+    from betl_spark.operators.profile import zorder_key
+
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        zorder_key(["n_chars", "doc_id"], bits=ZORDER_BITS).alias("zkey"),
+    )
+
+
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    cap = (1 << bits) - 1
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        v = f"LEAST(GREATEST(CAST({c} AS BIGINT), 0), {cap})"
+        terms.extend(
+            f"((({v} >> {i}) & 1) << {i * n + j})" for i in range(bits)
+        )
+    return " + ".join(terms)
+
+
+ZORDER_KEY_SQL = f"""
+SELECT doc_id, CAST({_zorder_sql(["n_chars", "doc_id"], ZORDER_BITS)} AS BIGINT) AS zkey
+FROM documents
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "profile_documents": (q_profile_documents, PROFILE_DOCUMENTS_SQL),
+    "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
     "funnel_users": (q_funnel_users, FUNNEL_USERS_SQL),
     "funnel_counts": (q_funnel_counts, FUNNEL_COUNTS_SQL),
     "cohort_retention": (q_cohort_retention, COHORT_RETENTION_SQL),

@@ -1,0 +1,102 @@
+"""Column profiling — the data-quality report a pipeline runs before
+trusting a new drop of data (row/null/distinct counts, value range per
+column). The reference's closest surface is its schema-descriptor
+checks (/root/reference/betl/datamodel/TableClass.py); this is the
+data-side complement, standard in any warehouse intake.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_distinct: bool = True
+) -> DataFrame:
+    """One profile row per column: (column, n_rows, n_null, n_distinct,
+    min_value, max_value) with values compared AS STRINGS (cast before
+    aggregation — deterministic binary UTF8 ordering in both engines;
+    profile numerics separately if you need numeric ranges).
+
+    Single pass: each row explodes into (column, value) pairs — a
+    melt by explode(array(struct...)) rather than ``unpivot`` because
+    unpivot's NULL behavior differs across engines — then one groupBy
+    on the column name. Wire volume is rows×|cols| pairs; count/min/
+    max combine map-side, the exact distinct does not. At 100 TB set
+    ``exact_distinct=False`` to use approx_count_distinct (HLL, 5%
+    default error, fully map-side-combinable) — the oracle contract
+    uses the exact path.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    distinct_agg = (
+        F.count_distinct(F.col("value"))
+        if exact_distinct
+        else F.approx_count_distinct(F.col("value"))
+    )
+    return pairs.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null"),
+        distinct_agg.alias("n_distinct"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
+    """Morton (Z-order) interleave of ``len(cols)`` non-negative
+    integer columns, ``bits`` low bits each — the multi-dimensional
+    locality key behind clustered data layouts (public: Morton 1966;
+    Delta Lake's OPTIMIZE ZORDER BY applies the same curve). Sorting or
+    range-partitioning by this key co-locates rows that are close in
+    EVERY dimension, so min/max parquet footer stats prune scans on
+    any of the participating columns, not just the leading sort key.
+
+    Pure bit arithmetic (shiftright/and/shiftleft over ≤ bits·|cols|
+    terms) — whole-stage codegen, replayed exactly by the oracle.
+    Callers normalize values into [0, 2^bits) first (clamped here).
+    """
+    n = len(cols)
+    out = F.lit(0).cast("long")
+    cap = (1 << bits) - 1
+    for j, c in enumerate(cols):
+        v = F.least(F.greatest(F.col(c).cast("long"), F.lit(0)), F.lit(cap))
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            out = out + F.shiftleft(bit, i * n + j)
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    shards: int,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as ``shards`` parquet files clustered along the
+    Z-order curve of ``cols``: range-partition on the interleaved key
+    (one exchange, contiguous curve segments per shard), sort within
+    each shard, drop the key. Downstream scans filtering on any of
+    ``cols`` prune both whole files (footer min/max) and row groups.
+    """
+    key = zorder_key(cols, bits)
+    (
+        df.withColumn("__zkey", key)
+        .repartitionByRange(shards, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -348,3 +348,83 @@ def test_cohort_retention_triangle(spark):
     assert out[(0, 2)] == (1, 2, 0.5)
     assert out[(2, 0)] == (1, 1, 1.0)
     assert len(out) == 3
+
+
+# ---- profile_columns + zorder ----
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from betl_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "tag"]
+    )
+    out = {r.column: r for r in profile_columns(df, ["id", "tag"]).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_null == 0
+    assert out["id"].n_distinct == 4
+    assert out["tag"].n_null == 1 and out["tag"].n_distinct == 2
+    assert out["tag"].min_value == "a" and out["tag"].max_value == "b"
+    # string ordering is explicit: "10" < "9" lexicographically
+    df2 = spark.createDataFrame([(10,), (9,)], ["v"])
+    p2 = profile_columns(df2, ["v"]).collect()[0]
+    assert p2.min_value == "10" and p2.max_value == "9"
+
+
+def test_profile_columns_approx_path(spark):
+    from betl_spark.operators.profile import profile_columns
+
+    df = spark.range(1000).selectExpr("id", "id % 7 as m")
+    out = {
+        r.column: r.n_distinct
+        for r in profile_columns(df, ["m"], exact_distinct=False).collect()
+    }
+    assert abs(out["m"] - 7) <= 1  # HLL is exact-ish at tiny cardinality
+
+
+def _py_morton(vals, bits):
+    out = 0
+    n = len(vals)
+    for j, v in enumerate(vals):
+        v = max(0, min(v, (1 << bits) - 1))
+        for i in range(bits):
+            out += ((v >> i) & 1) << (i * n + j)
+    return out
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from betl_spark.operators.profile import zorder_key
+
+    rows = [(0, 0), (1, 0), (0, 1), (255, 255), (65535, 1), (70000, -5)]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(["a", "b"]).alias("z")).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == _py_morton([a, b], 16), (a, b)
+    # interleave basics: (1,0) -> bit 0, (0,1) -> bit 1
+    assert got[(1, 0)] == 1 and got[(0, 1)] == 2
+
+
+def test_write_zordered_clusters_and_round_trips(spark, tmp_path):
+    from betl_spark.operators.profile import write_zordered, zorder_key
+
+    df = spark.range(1000).selectExpr(
+        "id", "cast(id % 97 as long) as x", "cast((id * 31) % 89 as long) as y"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(df, ["x", "y"], path, shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert sorted(back.columns) == ["id", "x", "y"]
+    # shards hold contiguous, non-overlapping z-key ranges
+    import pyspark.sql.functions as SF
+    ranges = (
+        back.withColumn("z", zorder_key(["x", "y"]))
+        .withColumn("f", SF.input_file_name())
+        .groupBy("f")
+        .agg(SF.min("z").alias("lo"), SF.max("z").alias("hi"))
+        .collect()
+    )
+    spans = sorted((r.lo, r.hi) for r in ranges)
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
