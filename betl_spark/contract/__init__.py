@@ -42,12 +42,13 @@ _ALL = {
 # round-6 queries (first oracle check this round), then every query
 # whose implementation changed this round (their r5 greens no longer
 # describe the shipped code), then the non-TPC-H operator queries last
-# verified in round 4. The priority list is now 59 names for 50 slots:
-# the final nine r4-greens (decontaminate_docs, doc_length_quantiles,
-# dedup_containment, window_top_orders_per_segment, the set-op/cube/
-# rollup/top-k static SQL — all unchanged since r4 and re-checked every
-# session by the pytest oracle-parity suite, which runs ALL queries)
-# wait for round 7, where they rotate to the front. Also outside the
+# verified in round 4. The priority list is now 60 names for 50 slots:
+# the final ten r4-greens (events_stream_dedupe, decontaminate_docs,
+# doc_length_quantiles, dedup_containment,
+# window_top_orders_per_segment, the set-op/cube/rollup/top-k static
+# SQL — all unchanged since r4 and re-checked every session by the
+# pytest oracle-parity suite, which runs ALL queries) wait for round 7,
+# where they rotate to the front. Also outside the
 # window: 17 static TPC-H SQL queries (same static/pytest argument)
 # and the round-5 greens (1 round old).
 _PRIORITY = [
@@ -77,7 +78,8 @@ _PRIORITY = [
     "cohort_retention",
     "profile_documents",
     "zorder_key",
-    # -- code changed this round: r5 greens no longer representative --
+    # -- code changed this round: prior greens no longer representative --
+    "tf_idf",
     "decontaminate_remove",
     "line_dedup",
     "quantile_band_filter",

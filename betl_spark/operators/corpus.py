@@ -110,8 +110,11 @@ def tf_idf(
     One explode feeds both aggregations; doc_freq is computed on
     (doc, token) pairs already deduplicated by the tf groupBy, so the
     corpus-wide pass aggregates |doc×vocab| rows, not |tokens|.
+    N rides in as a broadcast 1-row crossJoin (the ``lm_score``
+    pattern) rather than a separate driver-side count() action, so the
+    whole operator stays one lazy plan.
     """
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     )
@@ -119,13 +122,17 @@ def tf_idf(
     docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     if min_doc_freq > 1:
         docfreq = docfreq.filter(F.col("doc_freq") >= min_doc_freq)
-    return tf.join(docfreq, "token").select(
-        id_col,
-        "token",
-        "tf",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6
-        ).alias("tfidf"),
+    return (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
     )
 
 
