@@ -49,6 +49,18 @@ REHEARSAL = [
     "quantile_band_filter",
     "sessionize_events",
     "vocab_coverage",
+    # round-6 additions
+    "semantic_dedup",
+    "ngram_lm_perplexity",
+    "perplexity_buckets",
+    "dsir_scores",
+    "dedup_bloom_incremental",
+    "token_count_bpe",
+    "chunk_documents",
+    "funnel_users",
+    "cohort_retention",
+    "profile_documents",
+    "zorder_key",
 ]
 
 
