@@ -78,6 +78,7 @@ _PRIORITY = [
     "cohort_retention",
     "profile_documents",
     "zorder_key",
+    "top_docs_per_lang",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

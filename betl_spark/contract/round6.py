@@ -587,8 +587,37 @@ FROM documents
 """
 
 
+# ---- exact top-N per group, bounded two-stage ----
+TOP_N_PER_LANG = 5
+
+
+def q_top_docs_per_lang(spark, sf_dir):
+    """Top 5 longest documents per language — the bounded two-stage
+    top-N (local per-partition prune, then a window over ≤ n·partitions
+    candidates per group), not a whole-stratum sort."""
+    from betl_spark.operators.stats import top_n_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    return top_n_per_group(
+        docs, ["lang"], "n_chars", TOP_N_PER_LANG, "doc_id"
+    ).select("doc_id", "lang", "n_chars", "rank")
+
+
+TOP_DOCS_PER_LANG_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, lang, n_chars, rank FROM ranked WHERE rank <= {TOP_N_PER_LANG}
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
     "profile_documents": (q_profile_documents, PROFILE_DOCUMENTS_SQL),
     "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),
     "funnel_users": (q_funnel_users, FUNNEL_USERS_SQL),

@@ -244,6 +244,51 @@ def quantile_buckets(
     return out.withColumn(bucket_col, expr).drop("__cuts")
 
 
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact top-``n`` rows per group by ``order_col`` (ties broken by
+    ``tiebreak_col`` ascending — a total order, so the result is
+    deterministic) — "keep the N best documents per language" without
+    putting an entire stratum in one partition.
+
+    This is deliberately the PLAIN window + rank filter, because Spark
+    3.5+/4 rewrites exactly this shape through the WindowGroupLimit
+    rule: a partial group-limit runs BEFORE the exchange (map-side
+    top-n per partition, so the shuffle carries ≤ n·partitions rows
+    per group), and the final per-group task receives that bounded
+    survivor set — never the whole stratum. Hand-rolling a salted
+    two-level prune would duplicate the optimizer's work and add an
+    exchange (measured: one extra shuffle, same result).
+    ``tests/test_plans`` pins the partial WindowGroupLimit in the plan
+    contract so a regression to a whole-stratum sort fails CI, not a
+    cluster.
+
+    Output: the original rows of the winners plus their 1-based
+    ``rank``. Rows with a NULL ``order_col`` never rank (filtered
+    up front — engines disagree on default null placement, and a NULL
+    can't be a "top" value under either order).
+    """
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).asc(), F.col(tiebreak_col).asc()]
+        if ascending
+        else [F.col(order_col).desc(), F.col(tiebreak_col).asc()]
+    )
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.filter(F.col(order_col).isNotNull())
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

@@ -102,6 +102,36 @@ def main() -> None:
         rows.append((n, t_small, t_big, ratio))
         print(f"{n}: sf0.1 {t_small:.2f}s  sf1 {t_big:.2f}s  x{ratio:.1f}", flush=True)
 
+    # semantic_dedup, k scaled with the corpus (the SemDeDup contract:
+    # cost is sum(n_cell^2), so cells must stay constant-size — the
+    # fixed-k contract query is the superlinear control, this is the
+    # prescribed operating mode). sf1 = 10 key-shifted replicas
+    # (make_scale_data.py), so 10x the centroids = one centroid set per
+    # replica shift, holding n_cell at the sf0.1 value.
+    from betl_spark.contract.common import table as _table
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+    from betl_spark.operators import similarity
+
+    def sem_scaled(k_ids):
+        def q(spark, sf_dir):
+            emb = _table(spark, sf_dir, "embeddings")
+            return similarity.semantic_dedup(
+                emb, "vec_id", "embedding", k_ids, threshold=SEMANTIC_THRESHOLD
+            )
+        return q
+
+    ids_sf1 = [c + i * 10**9 for i in range(10) for c in IVF_CENTROID_IDS]
+    t_small = time_query(sem_scaled(IVF_CENTROID_IDS), spark, SF01)
+    t_big = time_query(sem_scaled(ids_sf1), spark, SF1)
+    ratio = t_big / t_small if t_small > 0 else float("nan")
+    rows.append(("semantic_dedup_scaled_k", t_small, t_big, ratio))
+    print(
+        f"semantic_dedup_scaled_k: sf0.1 {t_small:.2f}s (k=8)  "
+        f"sf1 {t_big:.2f}s (k=80)  x{ratio:.1f}",
+        flush=True,
+    )
+
     print()
     print("| query | sf0.1 (s) | sf1 (s) | growth (10x data) |")
     print("|---|---|---|---|")

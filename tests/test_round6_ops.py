@@ -428,3 +428,61 @@ def test_write_zordered_clusters_and_round_trips(spark, tmp_path):
     assert len(spans) == 4
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 <= lo2
+
+
+# ---- top_n_per_group ----
+def test_top_n_per_group_matches_window_rank(spark):
+    from betl_spark.operators.stats import top_n_per_group
+
+    import random
+    rnd = random.Random(7)
+    rows = [(i, rnd.choice("abc"), rnd.randint(0, 50)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"]).repartition(8)
+    got = sorted(
+        (r.g, r.rank, r.id)
+        for r in top_n_per_group(df, ["g"], "v", 4, "id").collect()
+    )
+    # python reference: sort by (-v, id) per group, take 4
+    by_g = {}
+    for i, g, v in rows:
+        by_g.setdefault(g, []).append((-v, i))
+    want = sorted(
+        (g, rank + 1, i)
+        for g, vs in by_g.items()
+        for rank, (_, i) in enumerate(sorted(vs)[:4])
+    )
+    assert got == want
+
+
+def test_top_n_per_group_ascending_and_null_order(spark):
+    from betl_spark.operators.stats import top_n_per_group
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 1), (3, "a", None), (4, "a", 3)],
+        ["id", "g", "v"],
+    )
+    got = [
+        (r.id, r.rank)
+        for r in top_n_per_group(df, ["g"], "v", 2, "id", ascending=True)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [(2, 1), (4, 2)]  # NULL never ranks
+
+
+def test_top_n_per_group_has_partial_window_group_limit(spark):
+    """The scale guarantee: Catalyst's WindowGroupLimit rule must prune
+    top-n map-side BEFORE the exchange, so the shuffle carries
+    ≤ n·partitions rows per group and the final per-group task never
+    sees the whole stratum. If a Spark upgrade or refactor loses this
+    rewrite, the operator needs the manual salted prune back."""
+    import re
+    from tests.test_plans import plan
+    from betl_spark.operators.stats import top_n_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(top_n_per_group(docs, ["lang"], "n_chars", 5, "doc_id"))
+    limits = re.findall(r"\(\d+\) WindowGroupLimit", p)
+    assert len(limits) >= 2  # partial (pre-exchange) + final
+    ex = p.index("Exchange")
+    assert "WindowGroupLimit" in p[:ex] or p.index("WindowGroupLimit") < ex
