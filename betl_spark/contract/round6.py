@@ -277,8 +277,14 @@ def q_dedup_bloom_incremental(spark, sf_dir):
     return dedup.exact_dedup_against(batch, ref, "doc_id", ["text"])
 
 
+# NULL-safe replay of dedup.content_hash: NULL text maps to the
+# chr(0)||'NULL' sentinel, and the anti join is NOT EXISTS — a NOT IN
+# would collapse to zero rows the moment any ref hash were NULL
 DEDUP_BLOOM_INCREMENTAL_SQL = f"""
-WITH ref AS (SELECT text FROM documents WHERE doc_id < {REF_CUTOFF}),
+WITH ref AS (
+  SELECT md5(coalesce(text, chr(0) || 'NULL')) AS h
+  FROM documents WHERE doc_id < {REF_CUTOFF}
+),
 batch AS (
   SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text
   FROM documents WHERE doc_id < 50
@@ -286,7 +292,10 @@ batch AS (
   SELECT doc_id, text FROM documents WHERE doc_id >= {REF_CUTOFF}
 )
 SELECT b.doc_id, b.text FROM batch b
-WHERE md5(b.text) NOT IN (SELECT md5(text) FROM ref)
+WHERE NOT EXISTS (
+  SELECT 1 FROM ref r
+  WHERE r.h = md5(coalesce(b.text, chr(0) || 'NULL'))
+)
 """
 
 

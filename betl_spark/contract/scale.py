@@ -52,8 +52,10 @@ WITH doubled AS (
   UNION ALL
   SELECT doc_id + {MUTANT_OFFSET} AS doc_id, text, lang, source, n_chars FROM documents
 )
-SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, count(*) AS n_copies
-FROM doubled GROUP BY md5(text)
+SELECT min(doc_id) AS keep_id,
+       md5(coalesce(text, chr(0) || 'NULL')) AS content_hash,
+       count(*) AS n_copies
+FROM doubled GROUP BY 2
 """
 
 

@@ -64,6 +64,24 @@ def char_shingles(
     return F.array_distinct(out) if distinct else out
 
 
+def content_hash(content_cols: list[str]) -> F.Column:
+    """Canonical md5 content hash shared by the exact-dedup family.
+
+    Values join on the \\x01 unit separator with NULL mapped to a
+    sentinel no real string starts with (\\x00NULL): concat_ws SKIPS
+    nulls, so without the sentinel ('x', NULL), (NULL, 'x') and a lone
+    'x' would all hash identically and be wrongly collapsed as
+    duplicates. A single non-null column degenerates to plain
+    md5(value), which the DuckDB oracles replay as
+    md5(coalesce(col, chr(0)||'NULL')).
+    """
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+        for c in content_cols
+    ]
+    return F.md5(parts[0] if len(parts) == 1 else F.concat_ws("\x01", *parts))
+
+
 def exact_dedup(
     df: DataFrame, content_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -74,7 +92,7 @@ def exact_dedup(
     payload, and map-side partial aggregation collapses local dups
     before the exchange.
     """
-    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    h = content_hash(content_cols)
     return (
         df.select(F.col(id_col), h.alias("content_hash"))
         .groupBy("content_hash")
@@ -278,9 +296,11 @@ def exact_dedup_against(
     Output: the surviving ``df_new`` rows, original schema.
     """
     m = 1 << prefilter_bits
-    h = F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in content_cols]))
+    h = content_hash(content_cols)
     batch = df_new.withColumn("__ch", h)
     ref_h = df_ref.select(h.alias("__ch"))
+    if prefilter_hashes < 1:  # prefilter disabled: plain exact anti join
+        return batch.join(ref_h.distinct(), "__ch", "left_anti").drop("__ch")
 
     def bucket(seed: int) -> F.Column:
         return F.pmod(F.xxhash64(F.concat(F.lit(f"{seed}:"), F.col("__ch"))), F.lit(m))

@@ -68,6 +68,10 @@ def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
     Callers normalize values into [0, 2^bits) first (clamped here).
     """
     n = len(cols)
+    if bits * n > 63:  # bit 63 is the long sign bit: negative keys
+        raise ValueError(  # would sort FIRST and break the curve
+            f"bits*len(cols) must be <= 63, got {bits}*{n}"
+        )
     out = F.lit(0).cast("long")
     cap = (1 << bits) - 1
     for j, c in enumerate(cols):

@@ -19,14 +19,19 @@ from pyspark.sql import Column, DataFrame, functions as F
 def _hashed_ngram_features(
     df: DataFrame, id_col: str, text_col: str, buckets: int
 ) -> DataFrame:
-    """(id, bucket) — one row per unigram and per adjacent bigram of the
-    whitespace tokenization, hashed into ``buckets`` via the engine's
-    shared md5 bucket (same recipe as ``sampling.hash_bucket``, replayed
-    by DuckDB as CAST('0x'||substr(md5(g),1,8) AS BIGINT) % B)."""
+    """(id, __t, bucket) — one row per unigram and per adjacent bigram
+    of the whitespace tokenization (``__t`` is the caller's boolean
+    target flag, carried through so both distributions aggregate from
+    ONE explode pass), hashed into ``buckets`` via the engine's shared
+    ``sampling.hash_bucket`` (replayed by DuckDB as
+    CAST('0x'||substr(md5(g),1,8) AS BIGINT) % B)."""
+    from betl_spark.operators.sampling import hash_bucket
+
     toks = F.split(F.col(text_col), " ")
-    uni = df.select(F.col(id_col), F.explode(toks).alias("__g"))
+    uni = df.select(F.col(id_col), F.col("__t"), F.explode(toks).alias("__g"))
     bi = df.select(
         F.col(id_col),
+        F.col("__t"),
         F.explode(
             F.zip_with(
                 F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -36,12 +41,9 @@ def _hashed_ngram_features(
         ).alias("__g"),
     )
     feats = uni.unionByName(bi)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10)
-        .cast("long")
-        % F.lit(buckets)
+    return feats.select(
+        id_col, "__t", hash_bucket("__g", buckets).alias("bucket")
     )
-    return feats.select(id_col, bucket.alias("bucket"))
 
 
 def dsir_scores(
@@ -82,24 +84,33 @@ def dsir_scores(
     Select with a threshold or ``stats.quantile_buckets`` downstream.
     """
     b = buckets
-    feats = _hashed_ngram_features(df, id_col, text_col, b)
-    doc_bucket = feats.groupBy(id_col, "bucket").agg(
+    feats = _hashed_ngram_features(
+        df.withColumn("__t", F.coalesce(target, F.lit(False))),
+        id_col,
+        text_col,
+        b,
+    )
+    # ONE explode pass: per-(doc, bucket) counts carry the target flag
+    # (constant per doc), and both distributions' bucket counts derive
+    # from this already-aggregated frame — the corpus text is read and
+    # tokenized exactly once.
+    doc_bucket = feats.groupBy(id_col, "__t", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    src_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cq"))
-    tgt_feats = _hashed_ngram_features(df.filter(target), id_col, text_col, b)
-    tgt_counts = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cp"))
-    n_src = src_counts.agg(F.sum("cq").alias("nq"))
-    n_tgt = tgt_counts.agg(F.sum("cp").alias("np"))
+    bucket_counts = doc_bucket.groupBy("bucket").agg(
+        F.sum("c").alias("cq"),
+        F.sum(F.when(F.col("__t"), F.col("c")).otherwise(0)).alias("cp"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("cq").alias("nq"), F.sum("cp").alias("np")
+    )
     ratio = (
-        src_counts.join(tgt_counts, "bucket", "left")
-        .crossJoin(F.broadcast(n_src))
-        .crossJoin(F.broadcast(n_tgt))
+        bucket_counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             F.round(
                 F.log(
-                    (F.coalesce("cp", F.lit(0)) + F.lit(alpha))
+                    (F.col("cp") + F.lit(alpha))
                     / (F.col("np") + F.lit(alpha) * F.lit(b))
                 )
                 - F.log(

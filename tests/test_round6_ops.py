@@ -61,9 +61,10 @@ def test_exact_dedup_against_prefilter_is_broadcast(spark):
     batch, ref = _mk_corpora(spark)
     p = plan(dedup.exact_dedup_against(batch, ref, "doc_id", ["text"]))
     # every bucket-membership join ships as a broadcast hash join, and
-    # the exact confirm is the only non-broadcast join in the plan
+    # exactly one anti-join NODE (the exact confirm) exists in the plan
+    # (the "Join type:" detail line appears once per join node)
     assert p.count("BroadcastHashJoin") >= 2
-    assert "SortMergeJoin LeftAnti" in p or "BroadcastHashJoin" in p
+    assert p.count("Join type: LeftAnti") == 1
 
 
 # ---- quantile_buckets ----
@@ -486,3 +487,39 @@ def test_top_n_per_group_has_partial_window_group_limit(spark):
     assert len(limits) >= 2  # partial (pre-exchange) + final
     ex = p.index("Exchange")
     assert "WindowGroupLimit" in p[:ex] or p.index("WindowGroupLimit") < ex
+
+
+def test_exact_dedup_against_null_and_multicol_content(spark):
+    """NULL sentinel + unit separator: ('x', NULL), (NULL, 'x') and
+    ('x', '') are DIFFERENT contents; NULL text matches NULL text."""
+    from betl_spark.operators import dedup
+
+    schema = "doc_id long, a string, b string"
+    ref = spark.createDataFrame([(1, "x", None), (2, None, None)], schema)
+    batch = spark.createDataFrame(
+        [(10, "x", None), (11, None, "x"), (12, "x", ""), (13, None, None)],
+        schema,
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup.exact_dedup_against(batch, ref, "doc_id", ["a", "b"]).collect()
+    )
+    # 10 duplicates ref#1, 13 duplicates ref#2; 11 and 12 are new
+    assert got == [11, 12]
+
+
+def test_exact_dedup_against_prefilter_disabled(spark):
+    from betl_spark.operators import dedup
+
+    batch, ref = _mk_corpora(spark)
+    got = dedup.exact_dedup_against(
+        batch, ref, "doc_id", ["text"], prefilter_hashes=0
+    )
+    assert sorted(r.doc_id for r in got.collect()) == sorted(range(200, 210))
+
+
+def test_zorder_key_rejects_sign_bit_overflow(spark):
+    from betl_spark.operators.profile import zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
