@@ -79,6 +79,8 @@ _PRIORITY = [
     "profile_documents",
     "zorder_key",
     "top_docs_per_lang",
+    "psi_drift",
+    "window_funcs_events",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

@@ -624,8 +624,83 @@ SELECT doc_id, lang, n_chars, rank FROM ranked WHERE rank <= {TOP_N_PER_LANG}
 """
 
 
+# ---- PSI drift between two corpus slices ----
+PSI_BIN = 200.0
+
+
+def q_psi_drift(spark, sf_dir):
+    """Length-distribution drift between the en slice and the rest of
+    the corpus — per-bin PSI terms (sum them for the headline PSI)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.profile import psi_drift
+
+    docs = table(spark, sf_dir, "documents")
+    return psi_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+        PSI_BIN,
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH ha AS (
+  SELECT CAST(FLOOR(CAST(n_chars AS DOUBLE) / {PSI_BIN}) AS BIGINT) AS bin,
+         COUNT(*) AS n_a
+  FROM documents WHERE lang = 'en' AND n_chars IS NOT NULL GROUP BY 1
+),
+hb AS (
+  SELECT CAST(FLOOR(CAST(n_chars AS DOUBLE) / {PSI_BIN}) AS BIGINT) AS bin,
+         COUNT(*) AS n_b
+  FROM documents WHERE lang <> 'en' AND n_chars IS NOT NULL GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(ha.bin, hb.bin) AS bin,
+         COALESCE(ha.n_a, 0) AS n_a, COALESCE(hb.n_b, 0) AS n_b
+  FROM ha FULL OUTER JOIN hb ON ha.bin = hb.bin
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS nbins FROM joined)
+SELECT j.bin, j.bin * {PSI_BIN} AS bin_lo, j.n_a, j.n_b,
+       round(((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins)
+              - (j.n_b + 1.0) / (t.tb + 1.0 * t.nbins))
+             * (ln((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins))
+                - ln((j.n_b + 1.0) / (t.tb + 1.0 * t.nbins))), 9) AS term
+FROM joined j CROSS JOIN tot t
+"""
+
+
+# ---- window-function family over the event log (SQL surface) ----
+WINDOW_FUNCS_EVENTS = """
+SELECT event_id, user_id,
+       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS prev_value,
+       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_value,
+       round(percent_rank() OVER (
+         PARTITION BY user_id ORDER BY value, event_id), 6) AS pct_rank,
+       round(cume_dist() OVER (
+         PARTITION BY user_id ORDER BY value, event_id), 6) AS cume,
+       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS INTEGER) AS quartile
+FROM events
+"""
+
+
+def q_window_funcs_events(spark, sf_dir):
+    """lag/lead/percent_rank/cume_dist/ntile in one pass through the
+    engine's SQL surface — per-user windows (bounded partitions),
+    total-order tiebreaks so both engines agree exactly."""
+    from betl_spark.contract.common import dataflow
+
+    dfl = dataflow(spark, sf_dir, ["events"])
+    return dfl.customSQL(WINDOW_FUNCS_EVENTS)
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "psi_drift": (q_psi_drift, PSI_DRIFT_SQL),
+    "window_funcs_events": (q_window_funcs_events, WINDOW_FUNCS_EVENTS),
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),
     "profile_documents": (q_profile_documents, PROFILE_DOCUMENTS_SQL),
     "zorder_key": (q_zorder_key, ZORDER_KEY_SQL),

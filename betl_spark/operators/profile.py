@@ -54,6 +54,70 @@ def profile_columns(
     )
 
 
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    bin_width: float,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index terms between two snapshots of a
+    numeric column — the standard drift check before swapping a new
+    corpus drop into a training mix (PSI < 0.1 stable, > 0.25 major
+    shift is the usual reading). Per shared FLOOR bin:
+
+        term = (p_a − p_b) · ln(p_a / p_b)
+
+    with Laplace-smoothed proportions p = (n + α) / (N + α·B) so
+    bins present in only one snapshot contribute a finite term; PSI is
+    the sum of terms.
+
+    Scale shape: two fixed-width histograms (map-side combinable, see
+    ``histogram``) full-outer-joined on the bin — everything after the
+    two scans is O(bins). The bin count B and totals ride in as a
+    broadcast 1-row crossJoin. Terms round to 9dp (the ``lm_score``
+    determinism discipline) so the DuckDB oracle replays bit-for-bit;
+    sum and round the ``term`` column for the headline PSI.
+
+    Output: (bin, bin_lo, n_a, n_b, term), one row per bin observed in
+    either snapshot.
+    """
+    from betl_spark.operators.stats import histogram
+
+    ha = histogram(df_a, value_col, bin_width).select(
+        "bin", "bin_lo", F.col("n").alias("n_a")
+    )
+    hb = histogram(df_b, value_col, bin_width).select(
+        "bin", F.col("n").alias("n_b")
+    )
+    joined = ha.join(hb, "bin", "full").select(
+        "bin",
+        F.coalesce(
+            "bin_lo", F.col("bin") * F.lit(float(bin_width))
+        ).alias("bin_lo"),
+        F.coalesce("n_a", F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce("n_b", F.lit(0).cast("long")).alias("n_b"),
+    )
+    totals = joined.agg(
+        F.sum("n_a").alias("ta"),
+        F.sum("n_b").alias("tb"),
+        F.count(F.lit(1)).alias("nbins"),
+    )
+    pa = (F.col("n_a") + F.lit(alpha)) / (
+        F.col("ta") + F.lit(alpha) * F.col("nbins")
+    )
+    pb = (F.col("n_b") + F.lit(alpha)) / (
+        F.col("tb") + F.lit(alpha) * F.col("nbins")
+    )
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bin",
+        "bin_lo",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * (F.log(pa) - F.log(pb)), 9).alias("term"),
+    )
+
+
 def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
     """Morton (Z-order) interleave of ``len(cols)`` non-negative
     integer columns, ``bits`` low bits each — the multi-dimensional

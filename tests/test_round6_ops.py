@@ -523,3 +523,18 @@ def test_zorder_key_rejects_sign_bit_overflow(spark):
 
     with pytest.raises(ValueError, match="63"):
         zorder_key(["a", "b", "c", "d"], bits=16)
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    from betl_spark.operators.profile import psi_drift
+
+    a = spark.range(1000).selectExpr("cast(id % 100 as double) as v")
+    same = psi_drift(a, a, "v", 10.0).agg(F.round(F.sum("term"), 6).alias("psi")).collect()[0].psi
+    assert same == 0.0  # identical distributions -> zero drift
+    b = spark.range(1000).selectExpr("cast(50 + id % 100 as double) as v")
+    shifted = psi_drift(a, b, "v", 10.0).agg(F.sum("term").alias("psi")).collect()[0].psi
+    assert shifted > 0.25  # half the mass moved -> major drift
+    # bins unique in either side still appear with a finite term
+    rows = psi_drift(a, b, "v", 10.0).collect()
+    assert {r.bin for r in rows} == set(range(15))
+    assert all(r.term is not None for r in rows)
