@@ -406,12 +406,67 @@ def lsh_bucket_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cell_pairs_arrow(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Within-cell cosine near-dup pairs via one BLAS matmul per cell —
+    the Arrow fast path for ``semantic_dedup``'s verification stage
+    (the codegen path's per-pair HOF fold is interpreted, not
+    whole-stage-compiled, and dominates the operator at scale).
+
+    ``applyInPandas`` grouped by cell_id: each cell arrives as a
+    pandas frame, stacks to an N_c×D float64 matrix, and X·Xᵀ scores
+    every pair at BLAS speed — the shape the SemDeDup paper's own
+    implementation uses. Memory per task is O(N_c²); cells are bounded
+    by the k ∝ n sizing rule (SCALE.md), so this is the same bound the
+    candidate count already carries.
+
+    Last-ulp caveat: numpy's pairwise summation can differ from the
+    codegen path's sequential fold before the shared 6dp rounding, so
+    a pair whose cosine sits exactly on a rounding boundary may differ —
+    use the codegen path where bit-exact oracle replay matters.
+    Output: (id_a < id_b, cosine_sim ≥ threshold, 6dp).
+    """
+    import pandas as pd
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine_sim": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        S = (X @ X.T) / np.outer(nrm, nrm)
+        ids = pdf[id_col].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        sims = np.round(S[iu, ju], 6)
+        m = sims >= threshold
+        ia, ib = ids[iu[m]], ids[ju[m]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cosine_sim": sims[m],
+            }
+        )
+
+    return assigned.groupBy("cell_id").applyInPandas(
+        score, "id_a long, id_b long, cosine_sim double"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     centroid_ids: list[int],
     threshold: float = 0.3,
+    pair_backend: str = "codegen",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): k-means cells bound the candidate space
@@ -487,30 +542,36 @@ def semantic_dedup(
         # one corpus-sized write vs three argmax passes.
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("na"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_nrm").alias("nb"),
-        "cell_id",
-    )
-    pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            _cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("cosine_sim"),
+    if pair_backend == "arrow":
+        # Arrow/BLAS per-cell matmul (see cell_pairs_arrow): same pair
+        # set modulo 6dp rounding-boundary ulps, several times faster —
+        # the production path; codegen stays the oracle-exact default
+        pairs = cell_pairs_arrow(assigned, id_col, vec_col, threshold)
+    else:
+        a = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_nrm").alias("na"),
+            "cell_id",
         )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+        b = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            F.col("_nrm").alias("nb"),
+            "cell_id",
+        )
+        pairs = (
+            a.join(b, "cell_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                _cosine_pre(
+                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+                ).alias("cosine_sim"),
+            )
+            .filter(F.col("cosine_sim") >= threshold)
+        )
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
     return (
         assigned.join(clusters, assigned[id_col] == clusters["node"], "left")

@@ -538,3 +538,26 @@ def test_psi_drift_identical_and_shifted(spark):
     rows = psi_drift(a, b, "v", 10.0).collect()
     assert {r.bin for r in rows} == set(range(15))
     assert all(r.term is not None for r in rows)
+
+
+def test_semantic_dedup_arrow_backend_matches_codegen(spark):
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = {
+        (r.vec_id, r.cell_id)
+        for r in similarity.semantic_dedup(
+            emb, "vec_id", "embedding", IVF_CENTROID_IDS,
+            threshold=SEMANTIC_THRESHOLD,
+        ).collect()
+    }
+    b = {
+        (r.vec_id, r.cell_id)
+        for r in similarity.semantic_dedup(
+            emb, "vec_id", "embedding", IVF_CENTROID_IDS,
+            threshold=SEMANTIC_THRESHOLD, pair_backend="arrow",
+        ).collect()
+    }
+    assert a == b
