@@ -81,6 +81,8 @@ _PRIORITY = [
     "top_docs_per_lang",
     "psi_drift",
     "window_funcs_events",
+    "intra_doc_line_dedup",
+    "classifier_score",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

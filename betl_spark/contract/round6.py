@@ -697,8 +697,112 @@ def q_window_funcs_events(spark, sf_dir):
     return dfl.customSQL(WINDOW_FUNCS_EVENTS)
 
 
+# ---- intra-document line dedup ----
+def q_intra_doc_line_dedup(spark, sf_dir):
+    """Within-page repeated-line removal: each doc is synthesized as
+    l1,l2,l1,l2,l1 (its own 40-char slices repeated) — the operator
+    must collapse it back to l1,l2 at scan speed, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    l1 = F.substring("text", 1, 40)
+    l2 = F.substring("text", 41, 40)
+    synth = docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l1, l2, l1).alias("text")
+    )
+    return dedup.intra_doc_line_dedup(synth, "doc_id", "text")
+
+
+INTRA_DOC_LINE_DEDUP_SQL = """
+WITH synth AS (
+  SELECT doc_id,
+         concat_ws(chr(10), substr(text, 1, 40), substr(text, 41, 40),
+                   substr(text, 1, 40), substr(text, 41, 40),
+                   substr(text, 1, 40)) AS text
+  FROM documents
+),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM synth),
+k AS (
+  SELECT doc_id, ls,
+         list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+  FROM l
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(ls) - len(kept) AS BIGINT) AS n_lines_dropped
+FROM k
+"""
+
+
+# ---- hashed linear quality-classifier scoring ----
+CLF_BUCKETS = 256
+CLF_BIAS = -0.1
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-style quality-filter application: deterministic
+    md5-derived pseudo-weights stand in for an externally trained
+    model (the application plumbing — hash, broadcast join, mean,
+    sigmoid — is what's under contract)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    weights = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+    return quality.classifier_score(
+        docs, "doc_id", "text", weights, bias=CLF_BIAS, buckets=CLF_BUCKETS
+    )
+
+
+CLASSIFIER_SCORE_SQL = f"""
+WITH weights AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+         (CAST(('0x' || substr(md5('w:' || CAST(r.range AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM range({CLF_BUCKETS}) r
+),
+toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % {CLF_BUCKETS}
+           AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+),
+per_doc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(AVG(COALESCE(w.w, 0.0)), 9) AS m
+  FROM toks t LEFT JOIN weights w ON t.bucket = w.bucket
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       round(COALESCE(p.m, 0.0) + {CLF_BIAS}, 9) AS logit,
+       round(1.0 / (1.0 + exp(-round(COALESCE(p.m, 0.0) + {CLF_BIAS}, 9))), 6)
+         AS score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "intra_doc_line_dedup": (q_intra_doc_line_dedup, INTRA_DOC_LINE_DEDUP_SQL),
+    "classifier_score": (q_classifier_score, CLASSIFIER_SCORE_SQL),
     "psi_drift": (q_psi_drift, PSI_DRIFT_SQL),
     "window_funcs_events": (q_window_funcs_events, WINDOW_FUNCS_EVENTS),
     "top_docs_per_lang": (q_top_docs_per_lang, TOP_DOCS_PER_LANG_SQL),

@@ -139,3 +139,61 @@ def dsir_scores(
             "dsir_logratio",
         )
     )
+
+
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    bias: float = 0.0,
+    buckets: int = 1 << 16,
+) -> DataFrame:
+    """Apply an externally-trained hashed-bag-of-words linear
+    classifier — the fastText-style quality-filter application step
+    (public: Joulin et al. 2016; DCLM/FineWeb-Edu select pretraining
+    documents with exactly this shape: hashed token features, linear
+    head, sigmoid score).
+
+    logit = bias + mean over tokens of w[bucket(token)] (missing
+    buckets contribute 0), score = σ(logit). Training happens
+    elsewhere; ``weights`` is a (bucket long, w double) frame — at any
+    scale it is bounded by the bucket count, so it broadcasts and the
+    corpus never shuffles for scoring: one explode feeds a broadcast
+    join and a per-doc mean, (id, term) pairs being the only wire
+    traffic.
+
+    Determinism: per-token weights are exact table values; the mean
+    rounds to 9dp, σ applies to the rounded mean and rounds to 6dp
+    (``lm_score`` discipline). Documents with no tokens (NULL text)
+    keep a row with n_tokens=0 and score = σ(bias).
+
+    Output: (id, n_tokens, logit, score).
+    """
+    from betl_spark.operators.sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    )
+    per_doc = (
+        toks.select(id_col, hash_bucket("__tok", buckets).alias("bucket"))
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.coalesce("w", F.lit(0.0))), 9).alias("__m"),
+        )
+    )
+    logit = F.coalesce("__m", F.lit(0.0)) + F.lit(float(bias))
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.round(logit, 9).alias("logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(logit, 9))), 6).alias(
+                "score"
+            ),
+        )
+    )

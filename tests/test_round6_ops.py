@@ -561,3 +561,63 @@ def test_semantic_dedup_arrow_backend_matches_codegen(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_intra_doc_line_dedup_semantics(spark):
+    from betl_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\nb\na\nc\nb"),   # dups removed, order kept
+            (2, "x"),                # single line untouched
+            (3, None),               # NULL -> ''
+            (4, "a\na\na"),          # all same
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.intra_doc_line_dedup(df, "doc_id", "text").collect()}
+    assert out[1].text == "a\nb\nc" and out[1].n_lines_dropped == 2
+    assert out[2].text == "x" and out[2].n_lines_dropped == 0
+    assert out[3].text == "" and out[3].n_lines_kept == 1
+    assert out[4].text == "a" and out[4].n_lines_kept == 1 and out[4].n_lines_dropped == 2
+
+
+def test_intra_doc_line_dedup_zero_shuffle(spark):
+    from tests.test_plans import plan, n_exchanges
+    from betl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(dedup.intra_doc_line_dedup(docs, "doc_id", "text"))
+    assert n_exchanges(p) == 0 and "pythonUDF" not in p
+
+
+def test_classifier_score_math(spark):
+    from betl_spark.operators import quality
+
+    # two buckets with known weights; tokens 'a' and 'b' land somewhere
+    # deterministic — compute expected from the same md5 recipe
+    import hashlib
+
+    def bucket(tok, B):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % B
+
+    B = 4
+    w = {0: 1.0, 1: -1.0, 2: 0.5, 3: 0.0}
+    weights = spark.createDataFrame(
+        [(k, v) for k, v in w.items()], "bucket long, w double"
+    )
+    df = spark.createDataFrame([(1, "a b a"), (2, None)], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in quality.classifier_score(
+            df, "doc_id", "text", weights, bias=0.25, buckets=B
+        ).collect()
+    }
+    exp_m = round((2 * w[bucket("a", B)] + w[bucket("b", B)]) / 3, 9)
+    logit = round(exp_m + 0.25, 9)
+    assert out[1].n_tokens == 3
+    assert out[1].logit == pytest.approx(logit, abs=1e-9)
+    assert out[1].score == pytest.approx(round(1 / (1 + math.exp(-logit)), 6), abs=1e-6)
+    # NULL text: no tokens, score = sigmoid(bias)
+    assert out[2].n_tokens == 0
+    assert out[2].score == pytest.approx(round(1 / (1 + math.exp(-0.25)), 6), abs=1e-6)
