@@ -83,6 +83,7 @@ _PRIORITY = [
     "window_funcs_events",
     "intra_doc_line_dedup",
     "classifier_score",
+    "hybrid_search",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

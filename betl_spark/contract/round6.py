@@ -799,8 +799,100 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+# ---- hybrid lexical+vector retrieval (RAG-style composition) ----
+HYBRID_QUERY_TOKENS = ["data", "model", "the", "quick"]
+HYBRID_QUERY_VEC_ID = 7
+HYBRID_ALPHA = 0.5
+HYBRID_K = 20
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval capstone: score = α·cosine(embedding, query
+    vector) + (1−α)·query-token overlap, exact top-k. The query vector
+    broadcasts (1 row), the lexical score is pure codegen column work,
+    and the top-k is TakeOrderedAndProject — no global sort. The shape
+    a RAG index build runs at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.similarity import cosine
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    toks = F.split(F.col("text"), " ")
+    lex = F.round(
+        F.size(
+            F.array_intersect(
+                toks, F.array(*[F.lit(t) for t in HYBRID_QUERY_TOKENS])
+            )
+        ).cast("double")
+        / F.lit(float(len(HYBRID_QUERY_TOKENS))),
+        6,
+    )
+    joined = (
+        docs.select("doc_id", lex.alias("lex_score"))
+        .join(emb.select("vec_id", "embedding"), docs.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+    )
+    scored = joined.select(
+        "doc_id",
+        "lex_score",
+        cosine(F.col("embedding"), F.col("qvec")).alias("vec_score"),
+    ).select(
+        "doc_id",
+        "lex_score",
+        "vec_score",
+        F.round(
+            F.lit(HYBRID_ALPHA) * F.col("vec_score")
+            + F.lit(1.0 - HYBRID_ALPHA) * F.col("lex_score"),
+            6,
+        ).alias("hybrid_score"),
+    )
+    return scored.orderBy(F.desc("hybrid_score"), F.asc("doc_id")).limit(HYBRID_K)
+
+
+_HYBRID_COS = """
+round(
+  list_sum(list_transform(list_zip(e.embedding, q.qvec),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE)
+                * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform(q.qvec,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)
+"""
+
+HYBRID_SEARCH_SQL = f"""
+WITH q AS (
+  SELECT embedding AS qvec FROM embeddings WHERE vec_id = {HYBRID_QUERY_VEC_ID}
+),
+lexed AS (
+  SELECT doc_id,
+         round(CAST(len(list_intersect(
+                 string_split(text, ' '),
+                 [{", ".join(repr(t) for t in HYBRID_QUERY_TOKENS)}]))
+               AS DOUBLE) / {float(len(HYBRID_QUERY_TOKENS))}, 6) AS lex_score
+  FROM documents
+),
+scored AS (
+  SELECT l.doc_id, l.lex_score, {_HYBRID_COS} AS vec_score
+  FROM lexed l JOIN embeddings e ON l.doc_id = e.vec_id CROSS JOIN q
+)
+SELECT doc_id, lex_score, vec_score,
+       round({HYBRID_ALPHA} * vec_score + {1.0 - HYBRID_ALPHA} * lex_score, 6)
+         AS hybrid_score
+FROM scored
+ORDER BY hybrid_score DESC, doc_id ASC
+LIMIT {HYBRID_K}
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "hybrid_search": (q_hybrid_search, HYBRID_SEARCH_SQL),
     "intra_doc_line_dedup": (q_intra_doc_line_dedup, INTRA_DOC_LINE_DEDUP_SQL),
     "classifier_score": (q_classifier_score, CLASSIFIER_SCORE_SQL),
     "psi_drift": (q_psi_drift, PSI_DRIFT_SQL),
