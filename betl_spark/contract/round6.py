@@ -208,8 +208,11 @@ doc_bg AS (
 ),
 bi AS (SELECT w1, w2, COUNT(*) AS c2 FROM doc_bg GROUP BY 1, 2),
 terms AS (
+  -- exact-integer accumulation (see corpus.lm_score): order-free
   SELECT d.doc_id,
-         round(ln((bi.c2 + {LM_ALPHA}) / (uni.c1 + {LM_ALPHA} * vv.V)), 9) AS term
+         CAST(round(round(ln((bi.c2 + {LM_ALPHA})
+                / (uni.c1 + {LM_ALPHA} * vv.V)), 9) * 1e9) AS BIGINT)
+           AS term_nanos
   FROM doc_bg d
   JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2
   JOIN uni ON d.w1 = uni.w1
@@ -217,7 +220,7 @@ terms AS (
 ),
 scores AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-         round(avg(term), 6) AS avg_logprob
+         round(SUM(term_nanos) / (COUNT(*) * 1e9), 6) AS avg_logprob
   FROM terms GROUP BY 1
 )
 SELECT doc.doc_id,
@@ -347,12 +350,14 @@ ratio AS (
   FROM srcc s LEFT JOIN tgtc t ON s.bucket = t.bucket CROSS JOIN nn CROSS JOIN tt
 ),
 terms AS (
-  SELECT d.doc_id, d.c, CAST(d.c AS DOUBLE) * r.ratio AS term
+  -- exact-integer accumulation (see quality.dsir_scores): order-free
+  SELECT d.doc_id, d.c,
+         d.c * CAST(round(r.ratio * 1e9) AS BIGINT) AS term_nanos
   FROM docb d JOIN ratio r ON d.bucket = r.bucket
 ),
 scores AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-         round(SUM(term), 6) AS dsir_logratio
+         round(SUM(term_nanos) / 1e9, 6) AS dsir_logratio
   FROM terms GROUP BY 1
 )
 SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats, s.dsir_logratio
@@ -785,8 +790,10 @@ toks AS (
   FROM documents, unnest(string_split(text, ' ')) AS u(t)
 ),
 per_doc AS (
+  -- exact-integer accumulation (see quality.classifier_score)
   SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         round(AVG(COALESCE(w.w, 0.0)), 9) AS m
+         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
+               / (COUNT(*) * 1e9), 9) AS m
   FROM toks t LEFT JOIN weights w ON t.bucket = w.bucket
   GROUP BY 1
 )

@@ -302,6 +302,10 @@ def lm_score(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # 9dp-rounded ln is engine-identical; converting to exact integer
+    # nano-units makes the per-doc accumulation an order-free BIGINT
+    # sum (a double avg's last ulp can flip the final 6dp round on
+    # boundary docs — see quality.dsir_scores, same discipline)
     terms = (
         doc_bg.join(bi, ["w1", "w2"])
         .join(uni, "w1")
@@ -309,17 +313,26 @@ def lm_score(
         .select(
             id_col,
             F.round(
-                F.log(
-                    (F.col("c2") + F.lit(alpha))
-                    / (F.col("c1") + F.lit(alpha) * F.col("V"))
-                ),
-                9,
-            ).alias("term"),
+                F.round(
+                    F.log(
+                        (F.col("c2") + F.lit(alpha))
+                        / (F.col("c1") + F.lit(alpha) * F.col("V"))
+                    ),
+                    9,
+                )
+                * F.lit(1e9)
+            )
+            .cast("long")
+            .alias("term_nanos"),
         )
     )
     scores = terms.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-        F.round(F.avg("term"), 6).alias("avg_logprob"),
+        F.round(
+            F.sum("term_nanos")
+            / (F.count(F.lit(1)) * F.lit(1e9)),
+            6,
+        ).alias("avg_logprob"),
     )
     return (
         df.select(id_col)

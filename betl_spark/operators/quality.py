@@ -74,10 +74,12 @@ def dsir_scores(
     No window, no driver collect, no all-pairs anything — at 100 TB
     this is two linear passes.
 
-    Determinism: per-bucket log-ratio rounds to 9dp, per-(doc,bucket)
-    contribution is count·ratio (exact double product), the per-doc sum
-    rounds to 6dp — the ``lm_score`` contract discipline, replayed by
-    the DuckDB oracle.
+    Determinism: per-bucket log-ratio rounds to 9dp (ln agrees across
+    engines to 1 ulp; the round makes it equal), then converts to
+    exact integer nano-units so the per-doc accumulation is a BIGINT
+    sum — order-free where a double sum's last ulp could flip the
+    final 6dp round. The DuckDB oracle replays the identical integer
+    arithmetic.
 
     Output: (id, n_feats, dsir_logratio) for EVERY input row; documents
     with no features (NULL text) keep n_feats=0 and a NULL score.
@@ -121,14 +123,22 @@ def dsir_scores(
             ).alias("ratio"),
         )
     )
+    # exact-integer accumulation: the 9dp-rounded ratio is identical in
+    # both engines, so ratio·10⁹ rounds to the SAME bigint everywhere;
+    # c·ratio_nanos sums exactly and order-free, where a double sum's
+    # order-dependent last ulp can flip the 6dp round on boundary docs
+    # (observed once at sf0.01 before this change)
     terms = doc_bucket.join(F.broadcast(ratio), "bucket").select(
         id_col,
         F.col("c"),
-        (F.col("c").cast("double") * F.col("ratio")).alias("term"),
+        (
+            F.col("c")
+            * F.round(F.col("ratio") * F.lit(1e9)).cast("long")
+        ).alias("term_nanos"),
     )
     scores = terms.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_feats"),
-        F.round(F.sum("term"), 6).alias("dsir_logratio"),
+        F.round(F.sum("term_nanos") / F.lit(1e9), 6).alias("dsir_logratio"),
     )
     return (
         df.select(id_col)
@@ -175,13 +185,21 @@ def classifier_score(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     )
+    # weights quantize to 9dp nano-units so the per-doc mean is an
+    # order-free BIGINT sum (see dsir_scores determinism note)
     per_doc = (
         toks.select(id_col, hash_bucket("__tok", buckets).alias("bucket"))
         .join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(F.coalesce("w", F.lit(0.0))), 9).alias("__m"),
+            F.round(
+                F.sum(
+                    F.round(F.coalesce("w", F.lit(0.0)) * F.lit(1e9)).cast("long")
+                )
+                / (F.count(F.lit(1)) * F.lit(1e9)),
+                9,
+            ).alias("__m"),
         )
     )
     logit = F.coalesce("__m", F.lit(0.0)) + F.lit(float(bias))
