@@ -84,6 +84,8 @@ _PRIORITY = [
     "intra_doc_line_dedup",
     "classifier_score",
     "hybrid_search",
+    "pq_encode",
+    "pq_topk",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

@@ -897,8 +897,123 @@ LIMIT {HYBRID_K}
 """
 
 
+# ---- product quantization (PQ) encode + asymmetric-distance search ----
+PQ_N_SUB = 4
+PQ_QUERY_IDS = [1, 2, 3]
+PQ_K = 5
+
+
+def q_pq_encode(spark, sf_dir):
+    """PQ compression: every embedding reduces to 4 subspace codes
+    against the seed codebook — codes joined to a string for the
+    cross-engine hash compare."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.similarity import pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_encode(
+        emb, "vec_id", "embedding", IVF_CENTROID_IDS, PQ_N_SUB, EMB_DIM
+    ).select("vec_id", F.array_join(F.col("codes"), "-").alias("codes_str"))
+
+
+def _pq_cte() -> str:
+    d_sub = EMB_DIM // PQ_N_SUB
+    cw_vals = ", ".join(
+        f"({cid}, {i})" for i, cid in enumerate(IVF_CENTROID_IDS)
+    )
+    j_vals = ", ".join(f"({j})" for j in range(PQ_N_SUB))
+    return f"""
+cw(cid, idx) AS (VALUES {cw_vals}),
+js(j) AS (VALUES {j_vals}),
+cb AS (
+  SELECT js.j AS subspace, cw.idx AS codeword,
+         e.embedding[js.j * {d_sub} + 1 : (js.j + 1) * {d_sub}] AS subvec
+  FROM embeddings e JOIN cw ON e.vec_id = cw.cid CROSS JOIN js
+),
+rws AS (
+  SELECT vec_id, js.j AS subspace,
+         embedding[js.j * {d_sub} + 1 : (js.j + 1) * {d_sub}] AS rowsub
+  FROM embeddings CROSS JOIN js
+),
+scored AS (
+  SELECT r.vec_id, r.subspace, c.codeword,
+         CAST(round(round(list_sum(list_transform(
+             list_zip(r.rowsub, c.subvec),
+             p -> (CAST(struct_extract(p, 1) AS DOUBLE)
+                   - CAST(struct_extract(p, 2) AS DOUBLE))
+                  * (CAST(struct_extract(p, 1) AS DOUBLE)
+                     - CAST(struct_extract(p, 2) AS DOUBLE)))), 9) * 1e9)
+           AS BIGINT) AS d2n
+  FROM rws r JOIN cb c ON r.subspace = c.subspace
+),
+best AS (
+  SELECT vec_id, subspace, codeword,
+         row_number() OVER (
+           PARTITION BY vec_id, subspace ORDER BY d2n, codeword) AS rn
+  FROM scored
+),
+codes AS (
+  SELECT vec_id,
+         array_to_string(list(codeword ORDER BY subspace), '-') AS codes_str
+  FROM best WHERE rn = 1 GROUP BY vec_id
+)"""
+
+
+PQ_ENCODE_SQL = f"""
+WITH {_pq_cte()}
+SELECT vec_id, codes_str FROM codes
+"""
+
+
+def q_pq_topk(spark, sf_dir):
+    """Asymmetric-distance PQ search: approximate neighbors from the
+    compressed codes only — the broadcast distance table + lookup-sum
+    shape real ANN serves at corpus scale."""
+    from betl_spark.operators.similarity import pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb, "vec_id", "embedding", PQ_QUERY_IDS, IVF_CENTROID_IDS,
+        PQ_N_SUB, EMB_DIM, k=PQ_K,
+    )
+
+
+PQ_TOPK_SQL = f"""
+WITH {_pq_cte()},
+best_codes AS (
+  SELECT vec_id AS neighbor_id, subspace, codeword
+  FROM best WHERE rn = 1
+),
+qtab AS (
+  SELECT s.vec_id AS query_id, s.subspace, s.codeword, s.d2n
+  FROM scored s
+  WHERE s.vec_id IN ({", ".join(str(i) for i in PQ_QUERY_IDS)})
+),
+adist AS (
+  SELECT q.query_id, b.neighbor_id,
+         round(SUM(q.d2n) / 1e9, 6) AS approx_dist
+  FROM best_codes b
+  JOIN qtab q ON b.subspace = q.subspace AND b.codeword = q.codeword
+  WHERE b.neighbor_id <> q.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id, approx_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY approx_dist, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM adist
+)
+SELECT query_id, neighbor_id, approx_dist, rank
+FROM ranked WHERE rank <= {PQ_K}
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "pq_encode": (q_pq_encode, PQ_ENCODE_SQL),
+    "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "hybrid_search": (q_hybrid_search, HYBRID_SEARCH_SQL),
     "intra_doc_line_dedup": (q_intra_doc_line_dedup, INTRA_DOC_LINE_DEDUP_SQL),
     "classifier_score": (q_classifier_score, CLASSIFIER_SCORE_SQL),

@@ -580,3 +580,170 @@ def semantic_dedup(
         )
         .select(F.col(id_col), F.col("cell_id"))
     )
+
+
+def pq_codebook(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codeword_ids: list[int],
+    n_sub: int,
+    dim: int,
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al. 2011, public: split
+    the vector into ``n_sub`` subspaces, quantize each against its own
+    small codeword set): (subspace, codeword, subvec) rows taken from
+    the ``codeword_ids`` seed rows — the same deterministic seeding rule
+    as the IVF index (swap in trained sub-centroids for recall, the
+    plan does not change). Size is n_sub·|codewords| rows — broadcast
+    material at any corpus scale.
+    """
+    if dim % n_sub != 0:
+        raise ValueError(f"n_sub={n_sub} must divide dim={dim}")
+    d_sub = dim // n_sub
+    seeds = df.filter(F.col(id_col).isin(codeword_ids)).select(
+        F.col(id_col), F.col(vec_col)
+    )
+    cw_idx = F.create_map(
+        *[F.lit(x) for cid, i in ((c, i) for i, c in enumerate(codeword_ids)) for x in (cid, i)]
+    )
+    parts = []
+    for j in range(n_sub):
+        parts.append(
+            seeds.select(
+                F.lit(j).alias("subspace"),
+                F.element_at(cw_idx, F.col(id_col)).alias("codeword"),
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _l2sq_nanos(a, b) -> F.Column:
+    """9dp-rounded squared L2 distance as exact integer nano-units —
+    engine-identical (see the dsir_scores determinism note)."""
+    d = F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.round(F.round(d, 9) * F.lit(1e9)).cast("long")
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codeword_ids: list[int],
+    n_sub: int,
+    dim: int,
+) -> DataFrame:
+    """PQ encoding: each vector compresses to ``n_sub`` small codes —
+    the nearest codeword per subspace (squared-L2, ties to the lower
+    codeword index). 64 floats become 4 bytes-ish of codes; at 100 TB
+    this is the representation the ANN index actually stores.
+
+    Scale shape: the codebook broadcasts; per row the work is
+    n_sub·|codewords| subvector distances (pure column HOFs); the only
+    shuffles carry (id, subspace, code) triples into the per-row code
+    array. Output: (id, codes array<int> ordered by subspace).
+    """
+    cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
+    d_sub = dim // n_sub
+    subs = []
+    for j in range(n_sub):
+        subs.append(
+            df.select(
+                F.col(id_col),
+                F.lit(j).alias("subspace"),
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("rowsub"),
+            )
+        )
+    rows = subs[0]
+    for p in subs[1:]:
+        rows = rows.unionByName(p)
+    scored = rows.join(F.broadcast(cb), "subspace").select(
+        id_col,
+        "subspace",
+        "codeword",
+        _l2sq_nanos(F.col("rowsub"), F.col("subvec")).alias("d2n"),
+    )
+    best = scored.groupBy(id_col, "subspace").agg(
+        F.min_by("codeword", F.struct("d2n", "codeword")).alias("code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    codeword_ids: list[int],
+    n_sub: int,
+    dim: int,
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: approximate top-k neighbors per
+    query using only the compressed codes. The per-query distance
+    TABLE (query-subvector to every codeword: |queries|·n_sub·|codes|
+    rows) broadcasts; each encoded row's approximate distance is a
+    code-array lookup-sum — no full-vector math touches the corpus at
+    query time, which is the entire point of PQ at scale.
+
+    Determinism: per-subspace distances are exact integer nano-units,
+    the per-row sum is an order-free BIGINT sum, and the final top-k
+    runs through the WindowGroupLimit-pruned rank (see
+    ``stats.top_n_per_group``). Output: (query_id, neighbor_id,
+    approx_dist 6dp, rank), self-matches excluded.
+    """
+    from betl_spark.operators.stats import top_n_per_group
+
+    cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
+    d_sub = dim // n_sub
+    q = df.filter(F.col(id_col).isin(query_ids))
+    qsubs = []
+    for j in range(n_sub):
+        qsubs.append(
+            q.select(
+                F.col(id_col).alias("query_id"),
+                F.lit(j).alias("subspace"),
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("qsub"),
+            )
+        )
+    qrows = qsubs[0]
+    for p in qsubs[1:]:
+        qrows = qrows.unionByName(p)
+    table = qrows.join(F.broadcast(cb), "subspace").select(
+        "query_id",
+        "subspace",
+        "codeword",
+        _l2sq_nanos(F.col("qsub"), F.col("subvec")).alias("d2n"),
+    )
+    encoded = pq_encode(df, id_col, vec_col, codeword_ids, n_sub, dim)
+    code_rows = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("subspace", "codeword"),
+    )
+    scored = (
+        code_rows.join(F.broadcast(table), ["subspace", "codeword"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum("d2n") / F.lit(1e9), 6).alias("approx_dist")
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    return top_n_per_group(
+        scored, ["query_id"], "approx_dist", k, "neighbor_id", ascending=True
+    ).select("query_id", "neighbor_id", "approx_dist", "rank")
