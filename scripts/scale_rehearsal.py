@@ -61,6 +61,14 @@ REHEARSAL = [
     "cohort_retention",
     "profile_documents",
     "zorder_key",
+    "top_docs_per_lang",
+    "psi_drift",
+    "window_funcs_events",
+    "intra_doc_line_dedup",
+    "classifier_score",
+    "hybrid_search",
+    "pq_encode",
+    "pq_topk",
 ]
 
 
