@@ -86,6 +86,7 @@ _PRIORITY = [
     "hybrid_search",
     "pq_encode",
     "pq_topk",
+    "corpus_curation_v2",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

@@ -1010,8 +1010,85 @@ FROM ranked WHERE rank <= {PQ_K}
 """
 
 
+# ---- end-to-end modern curation pipeline (round-6 capstone) ----
+CURATION_MIN_SCORE = 0.45
+
+
+def q_corpus_curation_v2(spark, sf_dir):
+    """The modern LLM curation recipe as ONE declarative plan:
+    quality-classifier gate (hashed linear head) → CCNet perplexity
+    selection (drop the tail bucket per language) → language-mixture
+    rebalance of the survivors. Every stage is an already-verified
+    operator; the composition stays one lazy Catalyst plan — the
+    corpus is scanned for scoring, and the selection/mixture stages
+    are broadcast-driven filters that never shuffle it."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import corpus, quality, sampling
+    from betl_spark.operators.stats import quantile_buckets
+
+    docs = table(spark, sf_dir, "documents")
+    weights = spark.range(CLF_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            )
+            / 1000.0
+        ).alias("w"),
+    )
+    clf = quality.classifier_score(
+        docs, "doc_id", "text", weights, bias=CLF_BIAS, buckets=CLF_BUCKETS
+    ).filter(F.col("score") >= CURATION_MIN_SCORE)
+    scores = corpus.lm_score(docs, "doc_id", "text", alpha=LM_ALPHA)
+    ppl = quantile_buckets(
+        scores.join(docs.select("doc_id", "lang"), "doc_id"),
+        "ppl",
+        group_cols=["lang"],
+    ).filter(F.col("bucket") != "tail")
+    kept = (
+        docs.select("doc_id", "lang")
+        .join(clf.select("doc_id"), "doc_id")
+        .join(ppl.select("doc_id"), "doc_id")
+    )
+    return sampling.mixture_sample(kept, "doc_id", "lang", MIX_WEIGHTS).select(
+        "doc_id", "lang"
+    )
+
+
+CORPUS_CURATION_V2_SQL = f"""
+WITH clf AS ({CLASSIFIER_SCORE_SQL}),
+ppl AS ({PERPLEXITY_BUCKETS_SQL}),
+kept AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d
+  JOIN clf ON d.doc_id = clf.doc_id AND clf.score >= {CURATION_MIN_SCORE}
+  JOIN ppl ON d.doc_id = ppl.doc_id AND ppl.bucket <> 'tail'
+),
+counts AS (SELECT lang AS s, COUNT(*) AS n FROM kept GROUP BY 1),
+w(s, wt) AS (VALUES {_W_VALUES}),
+lim AS (SELECT MIN(c.n / w.wt) AS c FROM counts c JOIN w ON c.s = w.s),
+th AS (
+  SELECT c.s,
+         CAST(FLOOR(LEAST(1.0, lim.c * w.wt / c.n) * 10000) AS BIGINT) AS th
+  FROM counts c JOIN w ON c.s = w.s CROSS JOIN lim
+)
+SELECT k.doc_id, k.lang
+FROM kept k JOIN th ON k.lang = th.s
+WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 10000 < th.th
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "corpus_curation_v2": (q_corpus_curation_v2, CORPUS_CURATION_V2_SQL),
     "pq_encode": (q_pq_encode, PQ_ENCODE_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),
     "hybrid_search": (q_hybrid_search, HYBRID_SEARCH_SQL),
