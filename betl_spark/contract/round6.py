@@ -669,8 +669,9 @@ tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb, COUNT(*) AS nbins FROM joined)
 SELECT j.bin, j.bin * {PSI_BIN} AS bin_lo, j.n_a, j.n_b,
        round(((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins)
               - (j.n_b + 1.0) / (t.tb + 1.0 * t.nbins))
-             * (ln((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins))
-                - ln((j.n_b + 1.0) / (t.tb + 1.0 * t.nbins))), 9) AS term
+             * (round(ln((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins)), 9)
+                - round(ln((j.n_b + 1.0) / (t.tb + 1.0 * t.nbins)), 9)),
+             9) AS term
 FROM joined j CROSS JOIN tot t
 """
 
@@ -746,17 +747,14 @@ CLF_BUCKETS = 256
 CLF_BIAS = -0.1
 
 
-def q_classifier_score(spark, sf_dir):
-    """fastText-style quality-filter application: deterministic
-    md5-derived pseudo-weights stand in for an externally trained
-    model (the application plumbing — hash, broadcast join, mean,
-    sigmoid — is what's under contract)."""
+def _clf_weights(spark):
+    """Deterministic md5-derived pseudo-weights in [-1, 1] — the shared
+    stand-in for an externally trained classifier head, used by BOTH
+    classifier_score and the curation capstone (one recipe, one place;
+    the oracles replay it from range()+md5)."""
     from pyspark.sql import functions as F
 
-    from betl_spark.operators import quality
-
-    docs = table(spark, sf_dir, "documents")
-    weights = spark.range(CLF_BUCKETS).select(
+    return spark.range(CLF_BUCKETS).select(
         F.col("id").alias("bucket"),
         (
             (
@@ -771,6 +769,19 @@ def q_classifier_score(spark, sf_dir):
             / 1000.0
         ).alias("w"),
     )
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-style quality-filter application: deterministic
+    md5-derived pseudo-weights stand in for an externally trained
+    model (the application plumbing — hash, broadcast join, mean,
+    sigmoid — is what's under contract)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import quality
+
+    docs = table(spark, sf_dir, "documents")
+    weights = _clf_weights(spark)
     return quality.classifier_score(
         docs, "doc_id", "text", weights, bias=CLF_BIAS, buckets=CLF_BUCKETS
     )
@@ -821,12 +832,15 @@ def q_hybrid_search(spark, sf_dir):
     a RAG index build runs at corpus scale."""
     from pyspark.sql import functions as F
 
-    from betl_spark.operators.similarity import cosine
+    from betl_spark.operators.similarity import _cosine_pre, _norm
 
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
+    # module discipline: norms precompute ONCE per side, never inside
+    # the per-row expression (identical float result)
     qv = emb.filter(F.col("vec_id") == HYBRID_QUERY_VEC_ID).select(
-        F.col("embedding").alias("qvec")
+        F.col("embedding").alias("qvec"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     toks = F.split(F.col("text"), " ")
     lex = F.round(
@@ -840,13 +854,20 @@ def q_hybrid_search(spark, sf_dir):
     )
     joined = (
         docs.select("doc_id", lex.alias("lex_score"))
-        .join(emb.select("vec_id", "embedding"), docs.doc_id == emb.vec_id)
+        .join(
+            emb.select(
+                "vec_id", "embedding", _norm(F.col("embedding")).alias("en")
+            ),
+            docs.doc_id == emb.vec_id,
+        )
         .crossJoin(F.broadcast(qv))
     )
     scored = joined.select(
         "doc_id",
         "lex_score",
-        cosine(F.col("embedding"), F.col("qvec")).alias("vec_score"),
+        _cosine_pre(
+            F.col("embedding"), F.col("qvec"), F.col("en"), F.col("qn")
+        ).alias("vec_score"),
     ).select(
         "doc_id",
         "lex_score",
@@ -1028,21 +1049,7 @@ def q_corpus_curation_v2(spark, sf_dir):
     from betl_spark.operators.stats import quantile_buckets
 
     docs = table(spark, sf_dir, "documents")
-    weights = spark.range(CLF_BUCKETS).select(
-        F.col("id").alias("bucket"),
-        (
-            (
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit("w:"), F.col("id"))), 1, 8),
-                    16,
-                    10,
-                ).cast("long")
-                % 2001
-                - 1000
-            )
-            / 1000.0
-        ).alias("w"),
-    )
+    weights = _clf_weights(spark)
     clf = quality.classifier_score(
         docs, "doc_id", "text", weights, bias=CLF_BIAS, buckets=CLF_BUCKETS
     ).filter(F.col("score") >= CURATION_MIN_SCORE)
@@ -1056,6 +1063,11 @@ def q_corpus_curation_v2(spark, sf_dir):
         docs.select("doc_id", "lang")
         .join(clf.select("doc_id"), "doc_id")
         .join(ppl.select("doc_id"), "doc_id")
+        # two consumers (mixture_sample's strata-count collect + the
+        # returned filter plan): checkpoint so the classifier+LM+
+        # quantile pipeline runs ONCE, not per consumer (the
+        # semantic_dedup `assigned` discipline)
+        .localCheckpoint(eager=False)
     )
     return sampling.mixture_sample(kept, "doc_id", "lang", MIX_WEIGHTS).select(
         "doc_id", "lang"

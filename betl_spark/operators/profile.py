@@ -109,12 +109,17 @@ def psi_drift(
     pb = (F.col("n_b") + F.lit(alpha)) / (
         F.col("tb") + F.lit(alpha) * F.col("nbins")
     )
+    # ln rounds to 9dp BEFORE the product (the family determinism
+    # discipline — see dsir_scores): p_a/p_b are exact-integer double
+    # divisions (IEEE-identical everywhere); only ln can differ by an
+    # ulp, and the pre-round removes it
+    la, lb = F.round(F.log(pa), 9), F.round(F.log(pb), 9)
     return joined.crossJoin(F.broadcast(totals)).select(
         "bin",
         "bin_lo",
         "n_a",
         "n_b",
-        F.round((pa - pb) * (F.log(pa) - F.log(pb)), 9).alias("term"),
+        F.round((pa - pb) * (la - lb), 9).alias("term"),
     )
 
 

@@ -441,11 +441,15 @@ def cell_pairs_arrow(
             ).astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(X, axis=1)
-        S = (X @ X.T) / np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = (X @ X.T) / np.outer(nrm, nrm)
         ids = pdf[id_col].to_numpy()
         iu, ju = np.triu_indices(len(ids), k=1)
         sims = np.round(S[iu, ju], 6)
-        m = sims >= threshold
+        # Spark orders NaN ABOVE every double, so the codegen filter
+        # keeps NaN-cosine pairs (zero-norm vectors); numpy's NaN >= x
+        # is False — match Spark so the backends agree on such corpora
+        m = (sims >= threshold) | np.isnan(sims)
         ia, ib = ids[iu[m]], ids[ju[m]]
         return pd.DataFrame(
             {
@@ -582,6 +586,21 @@ def semantic_dedup(
     )
 
 
+def _subspace_explode(vec_col: str, n_sub: int, dim: int):
+    """posexplode of the vector's n_sub contiguous slices — ONE scan
+    yields (subspace, sub) rows, where a per-subspace select/union loop
+    would scan the input n_sub times."""
+    d_sub = dim // n_sub
+    return F.posexplode(
+        F.array(
+            *[
+                F.slice(F.col(vec_col), j * d_sub + 1, d_sub)
+                for j in range(n_sub)
+            ]
+        )
+    ).alias("subspace", "sub")
+
+
 def pq_codebook(
     df: DataFrame,
     id_col: str,
@@ -600,26 +619,13 @@ def pq_codebook(
     """
     if dim % n_sub != 0:
         raise ValueError(f"n_sub={n_sub} must divide dim={dim}")
-    d_sub = dim // n_sub
-    seeds = df.filter(F.col(id_col).isin(codeword_ids)).select(
-        F.col(id_col), F.col(vec_col)
-    )
     cw_idx = F.create_map(
         *[F.lit(x) for cid, i in ((c, i) for i, c in enumerate(codeword_ids)) for x in (cid, i)]
     )
-    parts = []
-    for j in range(n_sub):
-        parts.append(
-            seeds.select(
-                F.lit(j).alias("subspace"),
-                F.element_at(cw_idx, F.col(id_col)).alias("codeword"),
-                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("subvec"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return df.filter(F.col(id_col).isin(codeword_ids)).select(
+        F.element_at(cw_idx, F.col(id_col)).alias("codeword"),
+        _subspace_explode(vec_col, n_sub, dim),
+    ).select("subspace", "codeword", F.col("sub").alias("subvec"))
 
 
 def _l2sq_nanos(a, b) -> F.Column:
@@ -643,6 +649,7 @@ def pq_encode(
     codeword_ids: list[int],
     n_sub: int,
     dim: int,
+    cb: DataFrame | None = None,
 ) -> DataFrame:
     """PQ encoding: each vector compresses to ``n_sub`` small codes —
     the nearest codeword per subspace (squared-L2, ties to the lower
@@ -654,20 +661,11 @@ def pq_encode(
     shuffles carry (id, subspace, code) triples into the per-row code
     array. Output: (id, codes array<int> ordered by subspace).
     """
-    cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
-    d_sub = dim // n_sub
-    subs = []
-    for j in range(n_sub):
-        subs.append(
-            df.select(
-                F.col(id_col),
-                F.lit(j).alias("subspace"),
-                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("rowsub"),
-            )
-        )
-    rows = subs[0]
-    for p in subs[1:]:
-        rows = rows.unionByName(p)
+    if cb is None:
+        cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
+    rows = df.select(
+        F.col(id_col), _subspace_explode(vec_col, n_sub, dim)
+    ).select(id_col, "subspace", F.col("sub").alias("rowsub"))
     scored = rows.join(F.broadcast(cb), "subspace").select(
         id_col,
         "subspace",
@@ -711,27 +709,22 @@ def pq_topk(
     from betl_spark.operators.stats import top_n_per_group
 
     cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
-    d_sub = dim // n_sub
-    q = df.filter(F.col(id_col).isin(query_ids))
-    qsubs = []
-    for j in range(n_sub):
-        qsubs.append(
-            q.select(
-                F.col(id_col).alias("query_id"),
-                F.lit(j).alias("subspace"),
-                F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("qsub"),
-            )
+    qrows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            _subspace_explode(vec_col, n_sub, dim),
         )
-    qrows = qsubs[0]
-    for p in qsubs[1:]:
-        qrows = qrows.unionByName(p)
+        .select("query_id", "subspace", F.col("sub").alias("qsub"))
+    )
     table = qrows.join(F.broadcast(cb), "subspace").select(
         "query_id",
         "subspace",
         "codeword",
         _l2sq_nanos(F.col("qsub"), F.col("subvec")).alias("d2n"),
     )
-    encoded = pq_encode(df, id_col, vec_col, codeword_ids, n_sub, dim)
+    # one codebook subplan shared with the encoder (no recompute)
+    encoded = pq_encode(df, id_col, vec_col, codeword_ids, n_sub, dim, cb=cb)
     code_rows = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode("codes").alias("subspace", "codeword"),
