@@ -518,34 +518,83 @@ def semantic_dedup(
     rows = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
-    assigned = (
-        rows.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            vec_col,
-            "_nrm",
-            "cell_id",
-            _cosine_pre(
-                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
-            ).alias("cell_sim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
+    if pair_backend == "arrow":
+        # Arrow assignment: the trained centroid model collects to the
+        # driver (bounded by k — it IS the index model, the same class
+        # of collect as MDM write-back) and each Arrow batch argmaxes
+        # against it with one matmul. Tiebreaks replicate the codegen
+        # max_by exactly: cosine 6dp HALF_UP (mimicked away-from-zero,
+        # numpy's default round is half-even), then the LOWER cell_id.
+        import pandas as pd
+
+        cent_rows = sorted(cents.collect(), key=lambda r: r.cell_id)
+        cell_ids = [int(r.cell_id) for r in cent_rows]
+        cmat = [list(r.cv) for r in cent_rows]
+        cnrm = [float(r.cn) for r in cent_rows]
+
+        def assign(it):
+            import numpy as np
+
+            C = np.asarray(cmat, dtype=np.float64)
+            cn = np.asarray(cnrm, dtype=np.float64)
+            ids_arr = np.asarray(cell_ids, dtype=np.int64)
+            for pdf in it:
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                nrm = np.linalg.norm(X, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (X @ C.T) / np.outer(nrm, cn)
+                S = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+                # argmax with lower-cell_id tiebreak: scan cells in
+                # ascending id order, strict > keeps the first winner
+                best = np.zeros(len(X), dtype=np.int64)
+                best_s = S[:, 0].copy()
+                for j in range(1, S.shape[1]):
+                    m = S[:, j] > best_s
+                    best[m] = j
+                    best_s[m] = S[m, j]
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy(),
+                        vec_col: pdf[vec_col],
+                        "_nrm": nrm,
+                        "cell_id": ids_arr[best],
+                    }
+                )
+
+        vec_type = df.schema[vec_col].dataType.simpleString()
+        assigned = rows.mapInPandas(
+            assign,
+            f"{id_col} long, {vec_col} {vec_type}, _nrm double, cell_id long",
+        ).localCheckpoint(eager=False)
+    else:
+        assigned = (
+            rows.crossJoin(F.broadcast(cents))
+            .select(
+                id_col,
+                vec_col,
+                "_nrm",
                 "cell_id",
-                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
-            ).alias("cell_id"),
-            F.first(vec_col).alias(vec_col),
-            F.first("_nrm").alias("_nrm"),
+                _cosine_pre(
+                    F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
+                ).alias("cell_sim"),
+            )
+            .groupBy(id_col)
+            .agg(
+                F.max_by(
+                    "cell_id",
+                    F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
+                ).alias("cell_id"),
+                F.first(vec_col).alias(vec_col),
+                F.first("_nrm").alias("_nrm"),
+            )
+            # three consumers read `assigned` (both pair-join sides + the
+            # survivor base); without this the centroid argmax recomputes
+            # per consumer (measured 3x cost at bench scale). localCheckpoint
+            # materializes it once to executor storage and truncates lineage
+            # (same pattern as duplicate_clusters); at cluster scale that is
+            # one corpus-sized write vs three argmax passes.
+            .localCheckpoint(eager=False)
         )
-        # three consumers read `assigned` (both pair-join sides + the
-        # survivor base); without this the centroid argmax recomputes
-        # per consumer (measured 3x cost at bench scale). localCheckpoint
-        # materializes it once to executor storage and truncates lineage
-        # (same pattern as duplicate_clusters); at cluster scale that is
-        # one corpus-sized write vs three argmax passes.
-        .localCheckpoint(eager=False)
-    )
     if pair_backend == "arrow":
         # Arrow/BLAS per-cell matmul (see cell_pairs_arrow): same pair
         # set modulo 6dp rounding-boundary ulps, several times faster —
