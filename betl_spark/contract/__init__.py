@@ -87,6 +87,7 @@ _PRIORITY = [
     "pq_encode",
     "pq_topk",
     "corpus_curation_v2",
+    "data_quality_gate",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

@@ -1098,8 +1098,59 @@ WHERE CAST(('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
 """
 
 
+# ---- declarative data-quality gate ----
+DQ_RULES = [
+    {"name": "doc_id_not_null", "type": "not_null", "col": "doc_id"},
+    {"name": "doc_id_unique", "type": "unique", "col": "doc_id"},
+    {"name": "n_chars_range", "type": "range", "col": "n_chars", "lo": 1, "hi": 100000},
+    {"name": "lang_known", "type": "in_set", "col": "lang",
+     "values": ["en", "de", "es", "fr", "zh"]},
+    {"name": "source_format", "type": "regex", "col": "source",
+     "pattern": "^src[0-9]+$"},
+]
+
+
+def q_data_quality_gate(spark, sf_dir):
+    """The expectations gate over the documents intake: five rule
+    families evaluated in ONE aggregation pass."""
+    from betl_spark.operators.profile import check_rules
+
+    docs = table(spark, sf_dir, "documents")
+    return check_rules(docs, DQ_RULES)
+
+
+DATA_QUALITY_GATE_SQL = """
+WITH v AS (
+  SELECT 'doc_id_not_null' AS rule, 'doc_id' AS col_name,
+         CAST(COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS BIGINT) AS n_violations
+  FROM documents
+  UNION ALL
+  SELECT 'doc_id_unique', 'doc_id',
+         CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'n_chars_range', 'n_chars',
+         CAST(COUNT(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lang_known', 'lang',
+         CAST(COUNT(CASE WHEN lang IS NULL
+                         OR lang NOT IN ('en','de','es','fr','zh') THEN 1 END) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'source_format', 'source',
+         CAST(COUNT(CASE WHEN source IS NULL
+                         OR NOT regexp_matches(source, '^src[0-9]+$') THEN 1 END) AS BIGINT)
+  FROM documents
+)
+SELECT rule, col_name AS "column", n_violations, n_violations = 0 AS passed
+FROM v
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "data_quality_gate": (q_data_quality_gate, DATA_QUALITY_GATE_SQL),
     "corpus_curation_v2": (q_corpus_curation_v2, CORPUS_CURATION_V2_SQL),
     "pq_encode": (q_pq_encode, PQ_ENCODE_SQL),
     "pq_topk": (q_pq_topk, PQ_TOPK_SQL),

@@ -173,3 +173,71 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Declarative data-quality gate: evaluate every rule in ONE
+    aggregation pass over the table and report violations per rule —
+    the expectations pattern (public: Great Expectations, dbt tests)
+    the reference's schema checks stop short of.
+
+    Each rule is a dict with ``name``, ``col`` and a ``type``:
+
+    - ``not_null``                      — col must have no NULLs
+    - ``unique``                        — col values must be distinct
+                                          (NULLs don't count as dups)
+    - ``range`` (``lo``/``hi`` opt.)    — numeric bounds, inclusive
+    - ``in_set`` (``values``)           — value whitelist
+    - ``regex`` (``pattern``)           — must match (rlike, partial)
+
+    Scale shape: all rules compile into one ``agg`` — conditional
+    counts combine map-side; each ``unique`` rule adds a distinct
+    aggregate (Catalyst plans multi-distinct via Expand — fine for a
+    handful of rules, and the alternative per-rule jobs would scan the
+    table |rules| times). Output: (rule, column, n_violations, passed),
+    one row per rule via an inline stack — O(rules) rows total.
+    """
+    aggs = []
+    for r in rules:
+        c, t = F.col(r["col"]), r["type"]
+        if t == "not_null":
+            v = F.count(F.when(c.isNull(), 1))
+        elif t == "unique":
+            v = F.count(c) - F.count_distinct(c)
+        elif t == "range":
+            cond = F.lit(False)
+            if "lo" in r:
+                cond = cond | (c < F.lit(r["lo"]))
+            if "hi" in r:
+                cond = cond | (c > F.lit(r["hi"]))
+            v = F.count(F.when(cond, 1))
+        elif t == "in_set":
+            v = F.count(F.when(~c.isin(r["values"]) | c.isNull(), 1))
+        elif t == "regex":
+            v = F.count(
+                F.when(~c.cast("string").rlike(r["pattern"]) | c.isNull(), 1)
+            )
+        else:
+            raise ValueError(f"unknown rule type: {t}")
+        aggs.append(v.cast("long").alias(f"__v{len(aggs)}"))
+    wide = df.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r["name"]).alias("rule"),
+                        F.lit(r["col"]).alias("column"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                    )
+                    for i, r in enumerate(rules)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select(
+        "s.rule",
+        "s.column",
+        "s.n_violations",
+        (F.col("s.n_violations") == 0).alias("passed"),
+    )

@@ -669,3 +669,42 @@ def test_pq_topk_recalls_clustered_neighbors(spark):
     assert by_q[1] == {0, 2, 3, 4}
     assert by_q[101] == {100, 102, 103, 104}
     assert by_q[201] == {200, 202, 203, 204}
+
+
+def test_check_rules_reports_violations(spark):
+    from betl_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame(
+        [(1, "en", 50), (2, "de", -5), (2, None, 200000), (None, "xx", 10)],
+        "id long, lang string, n long",
+    )
+    rules = [
+        {"name": "id_nn", "type": "not_null", "col": "id"},
+        {"name": "id_uq", "type": "unique", "col": "id"},
+        {"name": "n_rng", "type": "range", "col": "n", "lo": 0, "hi": 1000},
+        {"name": "lang_set", "type": "in_set", "col": "lang", "values": ["en", "de"]},
+        {"name": "lang_re", "type": "regex", "col": "lang", "pattern": "^[a-z]{2}$"},
+    ]
+    out = {r.rule: (r.n_violations, r.passed) for r in check_rules(df, rules).collect()}
+    assert out["id_nn"] == (1, False)       # one NULL id
+    assert out["id_uq"] == (1, False)       # id=2 twice
+    assert out["n_rng"] == (2, False)       # -5 and 200000
+    assert out["lang_set"] == (2, False)    # NULL and 'xx'
+    assert out["lang_re"] == (1, False)     # NULL fails, 'xx' matches
+    clean = check_rules(df.filter("id = 1"), rules)
+    assert all(r.passed for r in clean.collect())
+    with pytest.raises(ValueError):
+        check_rules(df, [{"name": "bad", "type": "nope", "col": "id"}])
+
+
+def test_check_rules_single_pass(spark):
+    from tests.test_plans import plan
+    from betl_spark.operators.profile import check_rules
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from betl_spark.contract.round6 import DQ_RULES
+    p = plan(check_rules(docs, DQ_RULES))
+    # one scan NODE of the table, not one per rule (count the numbered
+    # node headers; the tree echo repeats the text)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan", p)) == 1
