@@ -88,6 +88,7 @@ _PRIORITY = [
     "pq_topk",
     "corpus_curation_v2",
     "data_quality_gate",
+    "pack_sequences_bpe",
     # -- code changed this round: prior greens no longer representative --
     "tf_idf",
     "decontaminate_remove",

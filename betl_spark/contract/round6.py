@@ -1148,8 +1148,45 @@ FROM v
 """
 
 
+# ---- sequence packing by REAL tokenizer counts ----
+def q_pack_sequences_bpe(spark, sf_dir):
+    """Shard-local concat-and-chunk packing with the BPE token counts
+    as the budget currency — round 5's packer fed whitespace counts;
+    training batches are specified in real tokens."""
+    from betl_spark.operators import bpe, corpus
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", bpe.bpe_token_count("text").alias("n_tokens")
+    )
+    return corpus.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=2048, n_shards=16
+    )
+
+
+PACK_SEQUENCES_BPE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {_bpe_count_sql('text')} AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 16 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(CAST(n_tokens AS BIGINT)) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(FLOOR(CAST(start_offset AS DOUBLE) / 2048) AS BIGINT) AS chunk
+FROM c
+"""
+
+
 QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "pack_sequences_bpe": (q_pack_sequences_bpe, PACK_SEQUENCES_BPE_SQL),
     "data_quality_gate": (q_data_quality_gate, DATA_QUALITY_GATE_SQL),
     "corpus_curation_v2": (q_corpus_curation_v2, CORPUS_CURATION_V2_SQL),
     "pq_encode": (q_pq_encode, PQ_ENCODE_SQL),
