@@ -169,6 +169,36 @@ class Pipeline:
                 self._run_task(name, fn)
         return self.run_log
 
+    def dataflows_dag_spec(
+        self,
+        dataflows: list[Callable],
+        upstream: dict[str, list[str]] | None = None,
+    ) -> dict:
+        """The bespoke-dataflow counterpart of ``to_dag_spec``: export
+        the ``schedule_dataflows`` workload (explicit upstream dict,
+        the reference's createAndScheduleDFOperators contract) as the
+        same serializable {"tasks": [...]} shape — validated with the
+        scheduler's own rules, so a spec that exports is a spec that
+        runs.
+        """
+        upstream = upstream or {}
+        by_name = {fn.__name__: fn for fn in dataflows}
+        for name, deps in upstream.items():
+            unknown = [d for d in [name, *deps] if d not in by_name]
+            if unknown:
+                raise ValueError(f"unknown dataflow(s) in upstream: {unknown}")
+        return {
+            "tasks": [
+                {
+                    "task_id": f"dataflow_{fn.__name__}",
+                    "upstream": [
+                        f"dataflow_{d}" for d in upstream.get(fn.__name__, [])
+                    ],
+                }
+                for fn in dataflows
+            ]
+        }
+
     def to_dag_spec(self) -> dict:
         """The run plan as a serializable DAG spec — the engine's
         equivalent of the reference's Airflow mode (PipelineClass.py:

@@ -328,3 +328,35 @@ def test_pipeline_to_airflow_dag_raises_without_airflow(spark, tmp_path):
 
         with _pytest.raises(ImportError, match="to_dag_spec"):
             p.to_airflow_dag(dag=None)
+
+
+def test_dataflows_dag_spec_mirrors_scheduler_contract(spark, tmp_path):
+    from betl_spark.config import Conf
+    from betl_spark.pipeline import Pipeline
+    from betl_spark.schema.registry import SchemaRegistry
+
+    def extract(p):
+        pass
+
+    def load_dim(p):
+        pass
+
+    def load_fact(p):
+        pass
+
+    p = Pipeline(Conf(app_root=str(tmp_path)), registry=SchemaRegistry(), spark=spark)
+    spec = p.dataflows_dag_spec(
+        [extract, load_dim, load_fact],
+        upstream={"load_dim": ["extract"], "load_fact": ["load_dim"]},
+    )
+    assert spec == {
+        "tasks": [
+            {"task_id": "dataflow_extract", "upstream": []},
+            {"task_id": "dataflow_load_dim", "upstream": ["dataflow_extract"]},
+            {"task_id": "dataflow_load_fact", "upstream": ["dataflow_load_dim"]},
+        ]
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown dataflow"):
+        p.dataflows_dag_spec([extract], upstream={"extract": ["missing"]})
