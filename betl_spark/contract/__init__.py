@@ -37,76 +37,21 @@ _ALL = {
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
 # dict order is the verification schedule, rotated each round so no
-# query's green row goes stale beyond 2 rounds. Round 6 leads with the
-# nine queries whose last oracle row dates from round 2, then the new
-# round-6 queries (first oracle check this round), then every query
-# whose implementation changed this round (their r5 greens no longer
-# describe the shipped code), then the non-TPC-H operator queries last
-# verified in round 4. The priority list is now 60 names for 50 slots:
-# the final ten r4-greens (events_stream_dedupe, decontaminate_docs,
-# doc_length_quantiles, dedup_containment,
-# window_top_orders_per_segment, the set-op/cube/rollup/top-k static
-# SQL — all unchanged since r4 and re-checked every session by the
-# pytest oracle-parity suite, which runs ALL queries) wait for round 7,
-# where they rotate to the front. Also outside the
-# window: 17 static TPC-H SQL queries (same static/pytest argument)
-# and the round-5 greens (1 round old).
+# query's green row goes stale beyond 2 rounds. Round 7 leads with the
+# 38 queries whose last driver-side green dates from round 4 (2 rounds
+# old — the policy edge; they would breach it if deferred again): the
+# 21 operator/MDM/setop/static-SQL queries and the 17 static TPC-H
+# queries. Next come queries whose implementation changed this round
+# (their r6 greens no longer describe the shipped code), then new
+# round-7 queries (first oracle check; names not yet in _ALL are
+# skipped by the builder below), then round-5 greens whose code paths
+# the round touches (multimodal codec gating). The list below is sized
+# to exactly fill the 50-slot window once the new names land; the
+# remaining round-5 greens (1 round stale after this round's window,
+# refreshed by the pytest oracle-parity suite every session, which
+# replays ALL queries) rotate to the front in round 8.
 _PRIORITY = [
-    # -- greens last verified in round 2, rotated back in --
-    "star_schema_pipeline",
-    "delta_load_fact",
-    "write_readback",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q10_returned_items",
-    "hash_sample",
-    "split_assign",
-    # -- new round-6 queries (first oracle check this round; names not
-    #    yet in _ALL are skipped by the builder below) --
-    "semantic_dedup",
-    "token_count_bpe",
-    "mixture_rebalance_bpe",
-    "doc_length_histogram",
-    "ngram_lm_perplexity",
-    "dedup_bloom_incremental",
-    "dsir_scores",
-    "perplexity_buckets",
-    "chunk_documents",
-    "funnel_users",
-    "funnel_counts",
-    "cohort_retention",
-    "profile_documents",
-    "zorder_key",
-    "top_docs_per_lang",
-    "psi_drift",
-    "window_funcs_events",
-    "intra_doc_line_dedup",
-    "classifier_score",
-    "hybrid_search",
-    "pq_encode",
-    "pq_topk",
-    "corpus_curation_v2",
-    "data_quality_gate",
-    "pack_sequences_bpe",
-    # -- code changed this round: prior greens no longer representative --
-    "tf_idf",
-    "decontaminate_remove",
-    "line_dedup",
-    "quantile_band_filter",
-    "vocab_coverage",
-    "dedup_cluster_assign",
-    "near_dup_removal",
-    # -- round-4 greens (2 rounds), operator queries first --
-    "filter_ops",
-    "union_dedupe",
-    "join_keepcols",
-    "derive_columns",
-    "clean_values",
-    "set_nulls",
-    "unpivot_part",
-    "collapse_nk",
-    "sk_dimension",
+    # -- round-4 greens (2 rounds stale), operator queries first --
     "fact_fk_resolution",
     "date_dimension",
     "audit_dimension",
@@ -128,6 +73,39 @@ _PRIORITY = [
     "cube_revenue",
     "rollup_revenue",
     "top_customers",
+    # -- round-4 greens: the 17 static TPC-H queries --
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customer",
+    "tpch_q19_brand_revenue",
+    "tpch_q20_promotion_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # -- code changed this round: prior greens no longer representative --
+    "semantic_dedup",
+    "dedup_cluster_assign",
+    "near_dup_removal",
+    "cohort_retention",
+    "dedup_bloom_incremental",
+    # -- new round-7 queries (first oracle check) --
+    "semantic_dedup_2level",
+    "dedup_bloom_bucketed",
+    "semantic_dedup_medoid",
+    # -- round-5 greens whose code paths this round touches --
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
 ]
 
 QUERIES: dict = {}
