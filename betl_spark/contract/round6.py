@@ -521,7 +521,11 @@ def q_cohort_retention(spark, sf_dir):
 COHORT_RETENTION_SQL = f"""
 WITH ev AS (
   SELECT DISTINCT user_id,
-         CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / {WEEK_US}.0) AS BIGINT) AS p
+         -- exact integer binning: numerator is an exact multiple of the
+         -- period, so integer division is exact (epoch-micros overflow
+         -- double's 53-bit integer range, so no float math here)
+         (epoch_us(CAST(ts AS TIMESTAMP))
+          - epoch_us(CAST(ts AS TIMESTAMP)) % {WEEK_US}) // {WEEK_US} AS p
   FROM events
 ),
 first AS (SELECT user_id, MIN(p) AS cohort_period FROM ev GROUP BY 1),

@@ -129,13 +129,24 @@ def cohort_retention(
 
     Scale shape: distinct (user, period) and first-event-per-user are
     two groupBys sharing the user-key exchange; cohort sizes are a
-    bounded aggregate broadcast back. Both engines double-divide then
-    floor (IEEE-identical), so the oracle matches bit-for-bit.
+    bounded aggregate broadcast back.
+
+    Period binning is exact integer arithmetic — ``(ts - pmod(ts,
+    period)) / period`` on BIGINT with the division done in DECIMAL
+    (the numerator is an exact multiple of ``period``, so the quotient
+    is an exact integer). Epoch-micros (~1.7e18) exceed a double's
+    53-bit exact-integer range, so the earlier floor(double/period)
+    form could mis-bin events within ~256µs of a period boundary; the
+    oracle replays the same integer form.
 
     Output: (cohort_period, period_offset, n_users, cohort_size,
     retention_rate 6dp).
     """
-    p = F.floor(ts.cast("double") / F.lit(float(period))).cast("long")
+    tsl = ts.cast("long")
+    p = (
+        (tsl - F.pmod(tsl, F.lit(period))).cast("decimal(38,0)")
+        / F.lit(period)
+    ).cast("long")
     ev = events.select(F.col(user_col), p.alias("__p"))
     first = ev.groupBy(user_col).agg(F.min("__p").alias("cohort_period"))
     active = ev.distinct()

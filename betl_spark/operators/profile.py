@@ -190,6 +190,15 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
     - ``in_set`` (``values``)           — value whitelist
     - ``regex`` (``pattern``)           — must match (rlike, partial)
 
+    NULL semantics differ per rule type (and are overridable with a
+    per-rule ``nulls_violate`` bool): ``range`` treats NULL as PASS by
+    default (SQL comparison semantics — pair it with a ``not_null``
+    rule if NULLs should fail), while ``in_set`` and ``regex`` treat
+    NULL as a VIOLATION by default (a NULL is neither in the whitelist
+    nor a regex match). Set ``nulls_violate: True`` on a ``range``
+    rule to count NULLs as out-of-range, or ``False`` on
+    ``in_set``/``regex`` to let NULLs pass.
+
     Scale shape: all rules compile into one ``agg`` — conditional
     counts combine map-side; each ``unique`` rule adds a distinct
     aggregate (Catalyst plans multi-distinct via Expand — fine for a
@@ -210,13 +219,19 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
                 cond = cond | (c < F.lit(r["lo"]))
             if "hi" in r:
                 cond = cond | (c > F.lit(r["hi"]))
+            if r.get("nulls_violate", False):
+                cond = cond | c.isNull()
             v = F.count(F.when(cond, 1))
         elif t == "in_set":
-            v = F.count(F.when(~c.isin(r["values"]) | c.isNull(), 1))
+            cond = ~c.isin(r["values"])
+            if r.get("nulls_violate", True):
+                cond = cond | c.isNull()
+            v = F.count(F.when(cond, 1))
         elif t == "regex":
-            v = F.count(
-                F.when(~c.cast("string").rlike(r["pattern"]) | c.isNull(), 1)
-            )
+            cond = ~c.cast("string").rlike(r["pattern"])
+            if r.get("nulls_violate", True):
+                cond = cond | c.isNull()
+            v = F.count(F.when(cond, 1))
         else:
             raise ValueError(f"unknown rule type: {t}")
         aggs.append(v.cast("long").alias(f"__v{len(aggs)}"))

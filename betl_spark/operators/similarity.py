@@ -436,9 +436,16 @@ def cell_pairs_arrow(
         import numpy as np
 
         if len(pdf) < 2:
+            # empty frame typed from the source id column (not a
+            # hardcoded int64) so non-long id columns round-trip
+            empty_ids = pdf[id_col].iloc[:0]
             return pd.DataFrame(
-                {"id_a": [], "id_b": [], "cosine_sim": []}
-            ).astype({"id_a": "int64", "id_b": "int64", "cosine_sim": "float64"})
+                {
+                    "id_a": empty_ids,
+                    "id_b": empty_ids,
+                    "cosine_sim": pd.Series([], dtype="float64"),
+                }
+            )
         X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         nrm = np.linalg.norm(X, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -459,8 +466,9 @@ def cell_pairs_arrow(
             }
         )
 
+    id_type = assigned.schema[id_col].dataType.simpleString()
     return assigned.groupBy("cell_id").applyInPandas(
-        score, "id_a long, id_b long, cosine_sim double"
+        score, f"id_a {id_type}, id_b {id_type}, cosine_sim double"
     )
 
 
@@ -562,9 +570,11 @@ def semantic_dedup(
                 )
 
         vec_type = df.schema[vec_col].dataType.simpleString()
+        id_type = df.schema[id_col].dataType.simpleString()
         assigned = rows.mapInPandas(
             assign,
-            f"{id_col} long, {vec_col} {vec_type}, _nrm double, cell_id long",
+            f"{id_col} {id_type}, {vec_col} {vec_type},"
+            " _nrm double, cell_id long",
         ).localCheckpoint(eager=False)
     else:
         assigned = (

@@ -563,6 +563,31 @@ def test_semantic_dedup_arrow_backend_matches_codegen(spark):
     assert a == b
 
 
+def test_semantic_dedup_arrow_backend_preserves_id_type(spark):
+    # arrow backend derives the id field type from the input schema
+    # instead of hardcoding long — int ids must come back as int and
+    # match the codegen path's survivor set exactly
+    from betl_spark.operators import similarity
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        .filter(F.col("vec_id") < 400)
+        .selectExpr("cast(vec_id as int) as vec_id", "embedding")
+    )
+    seeds = [100, 200, 300]
+    code = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", seeds, threshold=0.3
+    )
+    arrow = similarity.semantic_dedup(
+        emb, "vec_id", "embedding", seeds, threshold=0.3,
+        pair_backend="arrow",
+    )
+    assert arrow.schema["vec_id"].dataType.simpleString() == "int"
+    assert {(r.vec_id, r.cell_id) for r in code.collect()} == {
+        (r.vec_id, r.cell_id) for r in arrow.collect()
+    }
+
+
 def test_intra_doc_line_dedup_semantics(spark):
     from betl_spark.operators import dedup
 
@@ -695,6 +720,36 @@ def test_check_rules_reports_violations(spark):
     assert all(r.passed for r in clean.collect())
     with pytest.raises(ValueError):
         check_rules(df, [{"name": "bad", "type": "nope", "col": "id"}])
+
+
+def test_check_rules_nulls_violate_knob(spark):
+    from betl_spark.operators.profile import check_rules
+
+    df = spark.createDataFrame(
+        [(1, "en", 50), (2, None, None)], "id long, lang string, n long"
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in check_rules(
+            df,
+            [
+                # default: range passes NULLs, in_set/regex fail them
+                {"name": "rng_dflt", "type": "range", "col": "n", "lo": 0},
+                {"name": "set_dflt", "type": "in_set", "col": "lang",
+                 "values": ["en"]},
+                # overridden per rule
+                {"name": "rng_strict", "type": "range", "col": "n",
+                 "lo": 0, "nulls_violate": True},
+                {"name": "set_lax", "type": "in_set", "col": "lang",
+                 "values": ["en"], "nulls_violate": False},
+                {"name": "re_lax", "type": "regex", "col": "lang",
+                 "pattern": "^en$", "nulls_violate": False},
+            ],
+        ).collect()
+    }
+    assert out["rng_dflt"] == 0 and out["rng_strict"] == 1
+    assert out["set_dflt"] == 1 and out["set_lax"] == 0
+    assert out["re_lax"] == 0
 
 
 def test_check_rules_single_pass(spark):
