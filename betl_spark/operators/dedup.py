@@ -565,7 +565,44 @@ def _edge_checksum(edges: DataFrame) -> tuple:
     return (row["n"], row["h"])
 
 
-def _cc_large_small_star(edges: DataFrame, max_iter: int) -> DataFrame:
+def _cc_union_find_local(e: DataFrame) -> DataFrame:
+    """Driver-side min-id union-find over a BOUNDED edge set — the
+    small-graph fast path of ``_cc_large_small_star``. Collect is via
+    Arrow (two columns), so the memory bound is ~16 bytes/edge plus the
+    node map; the caller gates entry on the exact edge count it already
+    holds from the convergence probe. Union-by-min keeps a component's
+    minimum id as its root at every step, so the output (node,
+    cluster_id=min reachable id) is identical to the distributed
+    contraction's fixpoint.
+    """
+    id_type = e.schema["src"].dataType.simpleString()
+    pdf = e.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return e.sparkSession.createDataFrame(
+        rows, f"node {id_type}, cluster_id {id_type}"
+    )
+
+
+def _cc_large_small_star(
+    edges: DataFrame, max_iter: int, small_graph_edges: int = 200_000
+) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", SoCC'14 — public algorithm): provably O(log² n) rounds
@@ -579,11 +616,33 @@ def _cc_large_small_star(edges: DataFrame, max_iter: int) -> DataFrame:
     neighbors contract onto that minimum. Each phase is one
     groupBy(node) + join — the same shuffle shape as a round of
     min-label, but the tree flattens geometrically.
+
+    Small-graph fast path: each distributed round carries a fixed
+    driver cost that has nothing to do with data volume — measured at
+    sf0.1, ~0.7s/round is Catalyst+AQE plan compilation inside the
+    ``localCheckpoint`` call and only ~0.2s is the probe job, so a
+    4-round contraction of a 4k-edge graph burns ~4s of pure fixed
+    overhead. When the exact edge count (already computed by the first
+    convergence probe) is ≤ ``small_graph_edges``, the edge list is
+    collected (Arrow; ≤ ~3 MB at the default bound) and resolved with
+    min-id union-find on the driver — the same class of bounded
+    collect as a broadcast join's build side, with identical output.
+    At 100 TB the near-dup graph far exceeds the bound and the
+    distributed contraction runs unconditionally; pass
+    ``small_graph_edges=0`` to force it (the plan-contract tests do).
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
+    # lazy checkpoint: the convergence probe below is the action that
+    # materializes it, so checkpoint + checksum share ONE job instead
+    # of an eager-checkpoint job followed by a checksum job — per-round
+    # scheduling overhead is the dominant cost of contraction on small
+    # graphs (bench: ~5s of semantic_dedup's 7.9s at sf0.1 was CC-round
+    # scheduling) and pure fixed cost at cluster scale
+    e = e.localCheckpoint(eager=False)
     prev = _edge_checksum(e)
-    for _ in range(max_iter):
+    if prev[0] <= small_graph_edges:
+        return _cc_union_find_local(e)
+    for i in range(max_iter):
         # ---- large star ----
         nbrs = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         mins = nbrs.groupBy("src").agg(
@@ -611,7 +670,12 @@ def _cc_large_small_star(edges: DataFrame, max_iter: int) -> DataFrame:
             .select(F.col("node").alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
-        e = contracted.localCheckpoint(eager=True)
+        e = contracted.localCheckpoint(eager=False)
+        # the probe is the round's ONLY action (it materializes the lazy
+        # checkpoint as a side effect); probing every round keeps the
+        # break at the earliest fixpoint — skipping probes was measured
+        # slower, the extra no-change contraction rounds cost more than
+        # the probe job they save
         cur = _edge_checksum(e)
         if cur == prev:
             break
@@ -631,6 +695,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     algorithm: str = "star",
+    small_graph_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: assigns every
     node the MINIMUM id reachable through the pair graph, i.e. a
@@ -653,13 +718,16 @@ def duplicate_clusters(
     Scale notes: each round is one shuffle join on node id, and
     ``localCheckpoint`` truncates the lineage so the plan doesn't grow
     exponentially with rounds. The convergence test is a cheap count
-    on the changed-label set.
+    on the changed-label set. Graphs whose exact edge count is ≤
+    ``small_graph_edges`` resolve with driver-side union-find instead
+    (see ``_cc_large_small_star`` — the per-round fixed cost is driver
+    plan compilation, pure overhead on a bounded graph); 0 disables.
 
     Output: (node, cluster_id) for every node appearing in ``pairs``.
     """
     if algorithm == "star":
         undirected = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        return _cc_large_small_star(undirected, max_iter)
+        return _cc_large_small_star(undirected, max_iter, small_graph_edges)
     if algorithm != "min_label":
         raise ValueError(f"algorithm must be 'min_label' or 'star', got {algorithm!r}")
     edges = (

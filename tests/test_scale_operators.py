@@ -391,6 +391,16 @@ def test_star_contraction_matches_min_label(spark):
     )
     star = sorted(map(tuple, dedup.duplicate_clusters(pairs).collect()))
     assert ml == star
+    # the default path resolved this bounded graph with driver
+    # union-find; the distributed star contraction (forced with
+    # small_graph_edges=0) must produce the identical assignment
+    dist = sorted(
+        map(
+            tuple,
+            dedup.duplicate_clusters(pairs, small_graph_edges=0).collect(),
+        )
+    )
+    assert dist == star
     by_cluster = {}
     for node, cid in star:
         by_cluster.setdefault(cid, set()).add(node)
