@@ -23,6 +23,7 @@ from betl_spark.contract.pipeline_e2e import QUERIES as _PIPELINE
 from betl_spark.contract.round3 import QUERIES as _ROUND3
 from betl_spark.contract.round5 import QUERIES as _ROUND5
 from betl_spark.contract.round6 import QUERIES as _ROUND6
+from betl_spark.contract.round7 import QUERIES as _ROUND7
 
 _ALL = {
     **_TPCH,
@@ -33,6 +34,7 @@ _ALL = {
     **_ROUND3,
     **_ROUND5,
     **_ROUND6,
+    **_ROUND7,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so

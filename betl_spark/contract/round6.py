@@ -43,8 +43,10 @@ round(
   6)
 """
 
-SEMANTIC_DEDUP_SQL = f"""
-WITH RECURSIVE cent AS (
+# training CTEs shared by the whole semantic-dedup family (round7
+# reuses them): seed centroids -> seed assignment -> one k-means
+# update (6dp-rounded means) -> trained wide centroids
+SEMANTIC_TRAIN_CTES = f"""cent AS (
   SELECT vec_id AS cell_id, embedding FROM embeddings
   WHERE vec_id IN ({", ".join(str(i) for i in IVF_CENTROID_IDS)})
 ),
@@ -67,16 +69,11 @@ trained AS (
 ),
 tcent AS (
   SELECT cell_id, list(cval ORDER BY pos) AS cv FROM trained GROUP BY cell_id
-),
-assign1 AS (
-  SELECT e.vec_id, e.embedding, c.cell_id,
-         row_number() OVER (
-           PARTITION BY e.vec_id ORDER BY {_COS_E_CV} DESC, c.cell_id
-         ) AS cell_rank
-  FROM embeddings e CROSS JOIN tcent c
-),
-corpus AS (SELECT vec_id, embedding, cell_id FROM assign1 WHERE cell_rank = 1),
-pairs AS (
+)"""
+
+# pair + connected-components CTEs shared by the family; expects a
+# `corpus(vec_id, embedding, cell_id, ...)` CTE upstream
+SEMANTIC_PAIR_CC_CTES = f"""pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM corpus a JOIN corpus b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
   WHERE {_COSINE_PAIR} >= {SEMANTIC_THRESHOLD}
@@ -92,7 +89,19 @@ reach AS (
   SELECT e.dst AS node, r.label AS label
   FROM reach r JOIN edges e ON e.src = r.node
 ),
-clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)"""
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {SEMANTIC_TRAIN_CTES},
+assign1 AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {_COS_E_CV} DESC, c.cell_id
+         ) AS cell_rank
+  FROM embeddings e CROSS JOIN tcent c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM assign1 WHERE cell_rank = 1),
+{SEMANTIC_PAIR_CC_CTES}
 SELECT c.vec_id, c.cell_id
 FROM corpus c LEFT JOIN clusters cl ON c.vec_id = cl.node
 WHERE cl.cluster_id IS NULL OR c.vec_id = cl.cluster_id

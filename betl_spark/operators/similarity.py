@@ -472,6 +472,31 @@ def cell_pairs_arrow(
     )
 
 
+def _trained_cents(
+    df: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]
+) -> DataFrame:
+    """One k-means update from the seed rows, reshaped to wide vectors:
+    (cell_id, cv, cn) — the trained centroid model the assignment
+    stages broadcast."""
+    return (
+        centroid_update(df, id_col, vec_col, centroid_ids)
+        .groupBy("cell_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                lambda s: s["centroid_val"],
+            ).alias("cv")
+        )
+        .select("cell_id", "cv", _norm(F.col("cv")).alias("cn"))
+    )
+
+
+# broadcasting the centroid model is safe up to ~10^5-10^6 centroids
+# (10^6 x 64 doubles ~ 0.5 GB); past that the single-level argmax stops
+# scaling — semantic_dedup raises and semantic_dedup_2level is the path
+MAX_BROADCAST_CENTROIDS = 200_000
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -479,6 +504,7 @@ def semantic_dedup(
     centroid_ids: list[int],
     threshold: float = 0.3,
     pair_backend: str = "codegen",
+    survivor: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, public): k-means cells bound the candidate space
@@ -498,11 +524,20 @@ def semantic_dedup(
        pair output into cluster ids;
     5. survivors = each cluster's minimum id + all unpaired rows.
 
-    Deviation from the paper, documented: the paper keeps the cluster
-    member with LOWEST cosine to its centroid; we keep the minimum id —
-    deterministic, engine-reproducible, and consistent with the rest of
-    the dedup ladder (``near_dup_removal``). The choice of survivor
-    does not change the dedup rate.
+    Survivor policy (``survivor``): the default ``"min_id"`` keeps the
+    cluster's minimum id — deterministic, engine-reproducible, and
+    consistent with the rest of the dedup ladder (``near_dup_removal``).
+    ``"min_centroid_sim"`` is the paper-faithful choice: keep the
+    member with the LOWEST cosine to its (trained) cell centroid,
+    tiebroken by minimum id. The choice of survivor never changes the
+    dedup rate — one row survives per cluster either way.
+
+    Scale guard: the single-level assignment broadcasts the whole
+    trained centroid model (and the arrow backend collects it), which
+    stops scaling past ~10^5-10^6 centroids under the k ∝ n sizing
+    rule; ``len(centroid_ids) > MAX_BROADCAST_CENTROIDS`` raises and
+    ``semantic_dedup_2level`` (coarse-quantized two-level assignment)
+    is the 10^6-10^7-centroid path.
 
     Output: (id, cell_id) for every surviving row. Stages 1-2 are lazy
     and recomputed per consuming action — persist the input upstream if
@@ -510,19 +545,13 @@ def semantic_dedup(
     (betl/dataflow/dfl_changeRow.py:23-34); this is a beyond-reference
     scale operator.
     """
-    from betl_spark.operators.dedup import duplicate_clusters
-
-    cents = (
-        centroid_update(df, id_col, vec_col, centroid_ids)
-        .groupBy("cell_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
-                lambda s: s["centroid_val"],
-            ).alias("cv")
+    if len(centroid_ids) > MAX_BROADCAST_CENTROIDS:
+        raise ValueError(
+            f"{len(centroid_ids)} centroids exceed the single-level "
+            f"broadcast bound ({MAX_BROADCAST_CENTROIDS}); use "
+            "semantic_dedup_2level (coarse-quantized assignment)"
         )
-        .select("cell_id", "cv", _norm(F.col("cv")).alias("cn"))
-    )
+    cents = _trained_cents(df, id_col, vec_col, centroid_ids)
     rows = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )
@@ -566,6 +595,7 @@ def semantic_dedup(
                         vec_col: pdf[vec_col],
                         "_nrm": nrm,
                         "cell_id": ids_arr[best],
+                        "cell_sim": best_s,
                     }
                 )
 
@@ -574,7 +604,7 @@ def semantic_dedup(
         assigned = rows.mapInPandas(
             assign,
             f"{id_col} {id_type}, {vec_col} {vec_type},"
-            " _nrm double, cell_id long",
+            " _nrm double, cell_id long, cell_sim double",
         ).localCheckpoint(eager=False)
     else:
         assigned = (
@@ -596,6 +626,9 @@ def semantic_dedup(
                 ).alias("cell_id"),
                 F.first(vec_col).alias(vec_col),
                 F.first("_nrm").alias("_nrm"),
+                # the winning cell's similarity IS the max — kept for
+                # the paper-faithful min_centroid_sim survivor policy
+                F.max("cell_sim").alias("cell_sim"),
             )
             # three consumers read `assigned` (both pair-join sides + the
             # survivor base); without this the centroid argmax recomputes
@@ -635,14 +668,201 @@ def semantic_dedup(
             )
             .filter(F.col("cosine_sim") >= threshold)
         )
+    return _pick_survivors(assigned, pairs, id_col, survivor)
+
+
+def _pick_survivors(
+    assigned: DataFrame, pairs: DataFrame, id_col: str, survivor: str
+) -> DataFrame:
+    """Shared survivor stage of the semantic-dedup family: connected
+    components over the pair graph, then one survivor per cluster plus
+    all unpaired rows. ``min_id`` keeps the cluster id itself (no extra
+    aggregate); ``min_centroid_sim`` (the SemDeDup paper's policy,
+    arXiv:2303.09540 §2) keeps the member LEAST similar to its trained
+    centroid (tiebreak min id) — one bounded groupBy over cluster
+    members plus a broadcast join-back of the O(|clusters|) winner map.
+    """
+    from betl_spark.operators.dedup import duplicate_clusters
+
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
-    return (
-        assigned.join(clusters, assigned[id_col] == clusters["node"], "left")
-        .filter(
+    member = assigned.join(
+        clusters, assigned[id_col] == clusters["node"], "left"
+    )
+    if survivor == "min_id":
+        return member.filter(
             F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+        ).select(F.col(id_col), F.col("cell_id"))
+    if survivor != "min_centroid_sim":
+        raise ValueError(
+            "survivor must be 'min_id' or 'min_centroid_sim', "
+            f"got {survivor!r}"
         )
+    winners = (
+        member.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.min_by(
+                id_col, F.struct(F.col("cell_sim"), F.col(id_col))
+            ).alias("__keep")
+        )
+    )
+    return (
+        member.join(F.broadcast(winners), "cluster_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("__keep")))
         .select(F.col(id_col), F.col("cell_id"))
     )
+
+
+def semantic_dedup_2level(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    coarse_ids: list[int],
+    threshold: float = 0.3,
+    survivor: str = "min_id",
+) -> DataFrame:
+    """``semantic_dedup`` with IVF-style TWO-LEVEL cell assignment —
+    the 10^6-10^7-centroid path the single-level operator's broadcast
+    guard points at.
+
+    Under the k ∝ n sizing rule a 100 TB corpus implies ~10^6-10^7
+    trained centroids; broadcasting (or driver-collecting) that model
+    per row stops scaling past ~10^6 x 64 doubles ≈ 0.5 GB. The
+    standard fix (IVF coarse quantization — same structure as Johnson
+    et al., "Billion-scale similarity search with GPUs", arXiv
+    1702.08734, public) quantizes the CENTROID SET itself:
+
+    1. train fine centroids from ``centroid_ids`` (one k-means update,
+       identical to ``semantic_dedup``);
+    2. the coarse model = the trained fine centroids whose seed ids
+       are in ``coarse_ids`` (⊂ centroid_ids, ~√k of them) — only THIS
+       bounded set broadcasts;
+    3. every fine centroid is assigned to its nearest coarse cell (a
+       k-row argmax — bounded);
+    4. every corpus row argmaxes against the broadcast coarse model
+       (map-side, corpus never shuffles), then resolves its fine cell
+       with an EQUI-join on coarse_id against the fine-centroid table —
+       the fine model is distributed by the join, never broadcast as a
+       whole, and hot coarse cells are AQE skew-split;
+    5. pairs / connected components / survivor selection are byte-for-
+       byte the ``semantic_dedup`` stages.
+
+    The assignment is approximate exactly like IVF nprobe=1: a row
+    whose true nearest fine centroid lives in a different coarse cell
+    lands in its best WITHIN-coarse-cell fine cell instead. That is
+    the documented trade for unbounded k — dedup still happens within
+    every fine cell, recall of cross-cell near-dups follows the same
+    curve as `ivf_topk`'s. Output: (id, cell_id) survivors, like
+    ``semantic_dedup``.
+    """
+    missing = set(coarse_ids) - set(centroid_ids)
+    if missing:
+        raise ValueError(f"coarse_ids must be ⊂ centroid_ids; extra: {missing}")
+    cents = _trained_cents(df, id_col, vec_col, centroid_ids)
+    coarse = cents.filter(F.col("cell_id").isin(coarse_ids)).select(
+        F.col("cell_id").alias("coarse_id"),
+        F.col("cv").alias("ccv"),
+        F.col("cn").alias("ccn"),
+    )
+    # fine centroid -> coarse cell (k rows, broadcast-argmax, bounded)
+    f2c = (
+        cents.crossJoin(F.broadcast(coarse))
+        .select(
+            "cell_id",
+            "cv",
+            "cn",
+            "coarse_id",
+            _cosine_pre(
+                F.col("cv"), F.col("ccv"), F.col("cn"), F.col("ccn")
+            ).alias("fsim"),
+        )
+        .groupBy("cell_id")
+        .agg(
+            F.max_by(
+                "coarse_id",
+                F.struct(F.col("fsim"), (-F.col("coarse_id")).alias("tb")),
+            ).alias("coarse_id"),
+            F.first("cv").alias("cv"),
+            F.first("cn").alias("cn"),
+        )
+    )
+    # corpus row -> coarse cell: broadcast argmax, map-side only
+    rows = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    r2c = (
+        rows.crossJoin(F.broadcast(coarse))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "coarse_id",
+            _cosine_pre(
+                F.col(vec_col), F.col("ccv"), F.col("_nrm"), F.col("ccn")
+            ).alias("csim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "coarse_id",
+                F.struct(F.col("csim"), (-F.col("coarse_id")).alias("tb")),
+            ).alias("coarse_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_nrm").alias("_nrm"),
+        )
+    )
+    # corpus row -> fine cell WITHIN its coarse cell: equi-join on
+    # coarse_id (the fine model is distributed by the join — this is
+    # the step that removes the whole-model broadcast), then argmax
+    assigned = (
+        r2c.join(f2c, "coarse_id")
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "cell_id",
+            _cosine_pre(
+                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
+            ).alias("cell_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
+            ).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_nrm").alias("_nrm"),
+            F.max("cell_sim").alias("cell_sim"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
+        "cell_id",
+    )
+    pairs = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return _pick_survivors(assigned, pairs, id_col, survivor)
 
 
 def _subspace_explode(vec_col: str, n_sub: int, dim: int):
