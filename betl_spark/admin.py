@@ -227,9 +227,9 @@ def _first_row_columns(store: Datastore, worksheet: str) -> list[str]:
     EXCEL is live: the stdlib SpreadsheetML parser (io/xlsx.py) reads
     the worksheet and the scan's own header rules (stop-at-empty-row,
     trailing-col trim, positional names for gaps) produce the columns,
-    so inferred schema and scan always agree. GSHEET uses injected
-    ``extra['rows']`` when present (the test seam) and otherwise stays
-    environment-gated — gspread + live creds are not in this container.
+    so inferred schema and scan always agree. GSHEET goes through
+    ``fetch_gsheet_rows`` — injected ``extra['rows']`` when present
+    (the sandbox/test seam), else the import-gated live gspread fetch.
     """
     if store.datastore_type == "EXCEL" and store.workbook:
         from betl_spark.io.readers import excel_table
@@ -237,15 +237,17 @@ def _first_row_columns(store: Datastore, worksheet: str) -> list[str]:
 
         names, _, _ = excel_table(read_worksheet_rows(store.workbook, worksheet), worksheet)
         return names
-    if store.datastore_type == "GSHEET" and store.extra.get("rows") is not None:
-        header = store.extra["rows"][0]
+    if store.datastore_type == "GSHEET":
+        from betl_spark.io.readers import fetch_gsheet_rows
+
+        header = fetch_gsheet_rows(store, worksheet)[0]
         # the reference SKIPS empty header cells but keeps reading
         # (betl/admin.py:293-295) — unlike EXCEL, which stops at the
         # first empty header (admin.py:316-329 else: break)
         return [str(h) for h in header if str(h) != ""]
     raise NotImplementedError(
-        f"{store.datastore_type} header fetch needs gspread "
-        "(reference betl/admin.py:285-336); not available in this environment"
+        f"{store.datastore_type} header fetch not implemented "
+        "(reference betl/admin.py:285-336)"
     )
 
 

@@ -202,22 +202,50 @@ def _read_sqlite_table(
     return spark.createDataFrame(rows, schema=T.StructType(fields))
 
 
-def _read_gsheet(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:
-    """GSheet scan: row-1 headers, all-string cells
-    (reference betl/io/gsheetIO.py:4-12). Driver-side fetch via gspread,
-    then parallelized into a DataFrame. gspread is not in this container;
-    a pre-fetched list-of-rows can be injected via ``extra['rows']`` for
-    tests.
+def fetch_gsheet_rows(datastore: Datastore, worksheet: str) -> list[list]:
+    """Live GSheet fetch via gspread (import-gated, like
+    ``Pipeline.to_airflow_dag``): service-account auth from
+    ``extra['api_key_file']`` (+ optional ``extra['api_scope']``), open
+    the spreadsheet named by ``workbook``, return
+    ``worksheet.get_all_values()`` — the exact recipe of the
+    reference's GsheetDatastore + readDataFromWorksheet
+    (betl/io/DatastoreClass_gsheet.py:9-41, betl/io/gsheetIO.py:4-12).
+    A pre-fetched list-of-rows in ``extra['rows']`` short-circuits the
+    network entirely (the sandbox/test seam).
     """
     rows = datastore.extra.get("rows")
-    if rows is None:
-        try:
-            import gspread  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "gspread not installed; inject pre-fetched rows via Datastore.extra['rows']"
-            ) from e
-        raise NotImplementedError("live GSheet fetch not wired in this environment")
+    if rows is not None:
+        return rows
+    try:
+        import gspread
+    except ImportError as exc:
+        raise NotImplementedError(
+            "gspread not installed; inject pre-fetched rows via "
+            "Datastore.extra['rows']"
+        ) from exc
+    key_file = datastore.extra.get("api_key_file")
+    if not datastore.workbook or not key_file:
+        raise ValueError(
+            f"GSHEET datastore {datastore.datastore_id}: live fetch needs "
+            "workbook=<spreadsheet name> and extra['api_key_file']=<service "
+            "account json> (reference betl/io/DatastoreClass_gsheet.py:11-17)"
+        )
+    scopes = datastore.extra.get("api_scope")
+    if scopes:
+        client = gspread.service_account(filename=key_file, scopes=scopes)
+    else:
+        client = gspread.service_account(filename=key_file)
+    return client.open(datastore.workbook).worksheet(worksheet).get_all_values()
+
+
+def _read_gsheet(spark: SparkSession, datastore: Datastore, worksheet: str) -> DataFrame:
+    """GSheet scan: row-1 headers, all-string cells
+    (reference betl/io/gsheetIO.py:4-12). Driver-side fetch via gspread
+    (``fetch_gsheet_rows`` — sheets are small config/mapping inputs, so
+    a driver fetch then ``createDataFrame`` is the right distribution
+    shape), or injected ``extra['rows']``.
+    """
+    rows = fetch_gsheet_rows(datastore, worksheet)
     header, *data = rows
     return spark.createDataFrame(
         [[("" if v is None else str(v)) for v in r] for r in data],

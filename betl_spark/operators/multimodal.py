@@ -2,11 +2,13 @@
 
 The Spark-side mechanics are real and tested — binary columns with a
 typed metadata struct, Arrow-batched ``mapInPandas`` decode/feature
-stages, partition-size control for large blobs. The actual codecs
-(PIL/librosa/ffmpeg) are not in this container, so decoding is stubbed:
-``decoder='fake'`` produces deterministic md5-derived features (so
-pipelines are end-to-end testable); ``decoder='real'`` raises
-NotImplementedError at the exact seam where a codec plugs in.
+stages, partition-size control for large blobs. Decoding has two
+backends: ``decoder='fake'`` (default) produces deterministic
+md5-derived features so pipelines are end-to-end testable with no
+codec dependencies; ``decoder='real'`` is import-gated on
+pillow/soundfile (not in this container — the gate raises ImportError
+only when the library is truly absent, and the wiring is covered by
+mocked-codec tests).
 
 At 100 TB: blobs dominate partition size — re-partition by
 ``maxRecordsPerFile``/``files.maxPartitionBytes`` so a batch of decoded
@@ -71,17 +73,77 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _codec_fns(need_audio: bool = True):
+    """Driver-side import gate for the real codecs (same pattern as
+    ``Pipeline.to_airflow_dag``): returns the bound callables
+    ``(image_open, audio_info)`` so the mapInPandas closure captures
+    the FUNCTIONS, not the modules — cloudpickle then ships test fakes
+    by value to the Python workers and real libraries by reference.
+    pillow is required; soundfile is optional (None when absent —
+    decoding an audio row without it raises with a clear message).
+    """
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise ImportError(
+            "decoder='real' needs pillow; use decoder='fake' (deterministic "
+            "md5-derived features) where codec libraries are unavailable"
+        ) from exc
+    audio_info = None
+    if need_audio:
+        try:
+            import soundfile
+
+            audio_info = soundfile.info
+        except ImportError:
+            audio_info = None
+    return Image.open, audio_info
+
+
 def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode binary media → shape/feature rows via Arrow-batched
-    ``mapInPandas`` (the production seam for PIL/ffmpeg decodes).
+    ``mapInPandas``.
 
-    'fake': deterministic md5-derived width/height/frames — exercises
-    the full batch path with stable outputs. 'real': NotImplementedError
-    (no codec libraries in this container)."""
+    'fake' (default): deterministic md5-derived width/height/frames —
+    exercises the full batch path with stable outputs, no codec
+    dependencies. 'real': pillow decodes image/video rows (width,
+    height, n_frames from multi-frame formats) and soundfile probes
+    audio rows (n_frames = sample frames); import-gated at the driver,
+    so the ImportError fires only when the library is truly absent."""
     if decoder == "real":
-        raise NotImplementedError(
-            "real decoders need PIL/librosa/ffmpeg, not present in this "
-            "container; plug them in here (batch shape is already correct)"
+        image_open, audio_info = _codec_fns()
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            for pdf in batches:
+                out = {k: [] for k in ("media_id", "width", "height", "n_frames", "feature_hash")}
+                for mid, c, mt in zip(
+                    pdf["media_id"], pdf["content"], pdf["media_type"]
+                ):
+                    raw = bytes(c) if c is not None else b""
+                    if mt == "audio":
+                        if audio_info is None:
+                            raise ImportError(
+                                "audio decode needs soundfile; install it or "
+                                "use decoder='fake'"
+                            )
+                        info = audio_info(io.BytesIO(raw))
+                        w = h = None
+                        nf = int(info.frames)
+                    else:
+                        img = image_open(io.BytesIO(raw))
+                        w, h = int(img.width), int(img.height)
+                        nf = int(getattr(img, "n_frames", 1))
+                    out["media_id"].append(mid)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(nf)
+                    out["feature_hash"].append(hashlib.md5(raw).hexdigest())
+                yield pd.DataFrame(out)
+
+        return df.select("media_id", "content", "media_type").mapInPandas(
+            run_real, _FEATURE_SCHEMA
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -125,14 +187,39 @@ def resize_plan(
     as ``decode_features``) and computes the target geometry — the
     real-codec seam is only the pixel resample itself. All arithmetic
     is plain IEEE double (min of ratios, floor), so an independent SQL
-    engine reproduces it bit-for-bit."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real resampling needs PIL/ffmpeg, not present in this "
-            "container; plug it in here (geometry + batch shape are done)"
-        )
+    engine reproduces it bit-for-bit.
 
+    'real' (import-gated on pillow): decodes each image, computes the
+    same geometry from the TRUE dimensions, and performs the actual
+    ``Image.resize`` so the resample executes in the Arrow batch —
+    output stays the geometry row (pixels flow onward in a production
+    sink stage, not through this plan)."""
     import math
+
+    if decoder == "real":
+        image_open, _ = _codec_fns(need_audio=False)
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            for pdf in batches:
+                rows = {k: [] for k in ("media_id", "orig_width", "orig_height", "width", "height", "scale")}
+                for mid, c in zip(pdf["media_id"], pdf["content"]):
+                    img = image_open(io.BytesIO(bytes(c) if c is not None else b""))
+                    ow, oh = int(img.width), int(img.height)
+                    scale = min(max_width / ow, max_height / oh, 1.0)
+                    w = max(1, math.floor(ow * scale))
+                    h = max(1, math.floor(oh * scale))
+                    img.resize((w, h))
+                    rows["media_id"].append(mid)
+                    rows["orig_width"].append(ow)
+                    rows["orig_height"].append(oh)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["scale"].append(scale)
+                yield pd.DataFrame(rows)
+
+        return df.select("media_id", "content").mapInPandas(run_real, _RESIZE_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
