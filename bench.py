@@ -23,6 +23,35 @@ import sys
 import time
 
 
+# Static-TPC-H normalization anchor: per-query min-of-2 seconds from
+# the ROUND-4 bench at sf0.1 (BENCH_r04.json; queries byte-identical
+# since). The round-6 drift analysis (SCALE.md "Round-6 finding")
+# showed cross-round totals are only comparable after normalizing by
+# this unchanged subset — the host's delivered throughput drifts
+# ~10-25% between rounds. Emitted as tpch_subset_total +
+# tpch_subset_ratio_vs_r4 in every bench so the comparison no longer
+# depends on prose.
+_R4_TPCH_ANCHOR = {
+    "tpch_q10_returned_items": 0.61,
+    "tpch_q11_important_parts": 0.63,
+    "tpch_q13_customer_distribution": 0.5,
+    "tpch_q15_top_supplier": 0.59,
+    "tpch_q16_supplier_count": 0.76,
+    "tpch_q17_small_qty_revenue": 0.5,
+    "tpch_q18_large_volume_customer": 1.15,
+    "tpch_q1_pricing_summary": 1.26,
+    "tpch_q20_promotion_suppliers": 0.51,
+    "tpch_q21_waiting_suppliers": 1.21,
+    "tpch_q2_min_cost_supplier": 0.72,
+    "tpch_q3_shipping_priority": 0.7,
+    "tpch_q4_order_priority": 0.62,
+    "tpch_q5_local_supplier": 0.98,
+    "tpch_q7_volume_shipping": 0.81,
+    "tpch_q8_market_share": 0.89,
+    "tpch_q9_product_type_profit": 0.8,
+}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -86,6 +115,14 @@ def main() -> None:
         "runs_per_query": N_RUNS,
         "first_run_total": round(sum(first_pass.values()), 4),
     }
+    # host-drift normalization (see _R4_TPCH_ANCHOR): only meaningful
+    # at the anchor's own scale factor
+    common = [q for q in _R4_TPCH_ANCHOR if q in timings]
+    if sf == 0.1 and common:
+        subset = sum(timings[q] for q in common)
+        anchor = sum(_R4_TPCH_ANCHOR[q] for q in common)
+        payload["tpch_subset_total"] = round(subset, 4)
+        payload["tpch_subset_ratio_vs_r4"] = round(subset / anchor, 4)
     if errors:
         payload["errors"] = errors
     # full per-query timings for the judge (the stdout line is size-capped)
