@@ -11,12 +11,14 @@ from __future__ import annotations
 
 from betl_spark.contract.common import table
 from betl_spark.contract.round6 import (
+    DEDUP_BLOOM_INCREMENTAL_SQL,
+    REF_CUTOFF,
     SEMANTIC_PAIR_CC_CTES,
     SEMANTIC_THRESHOLD,
     SEMANTIC_TRAIN_CTES,
     _COS_E_CV,
 )
-from betl_spark.contract.scale import IVF_CENTROID_IDS
+from betl_spark.contract.scale import IVF_CENTROID_IDS, MUTANT_OFFSET
 
 # coarse model = every 3rd trained centroid (~sqrt(k) of them at real
 # scale; 3 of 8 here) — the only piece the two-level assignment
@@ -132,7 +134,52 @@ WHERE cl.cluster_id IS NULL OR c.vec_id = k.keep_id
 """
 
 
+def q_dedup_bloom_bucketed(spark, sf_dir):
+    """Incremental exact dedup against a reference corpus stored as a
+    content_hash-BUCKETED table (the daily-ingest storage contract):
+    the exact anti join reads the bucket layout instead of shuffling
+    the corpus — only the ingest batch exchanges. Same batch/ref split
+    and same answer as ``dedup_bloom_incremental``; the storage layout
+    changes the plan, never the result (plan property pinned in
+    tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.io.writers import write_bucketed
+    from betl_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    write_bucketed(
+        docs.filter(F.col("doc_id") < REF_CUTOFF).select(
+            "doc_id", dedup.content_hash(["text"]).alias("content_hash")
+        ),
+        "dedup_ref_bucketed",
+        ["content_hash"],
+        8,
+        sort_cols=["content_hash"],
+    )
+    batch = (
+        docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + MUTANT_OFFSET).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") >= REF_CUTOFF).select("doc_id", "text")
+        )
+    )
+    return dedup.exact_dedup_against(
+        batch,
+        spark.table("dedup_ref_bucketed"),
+        "doc_id",
+        ["text"],
+        ref_hash_col="content_hash",
+    )
+
+
+# storage layout never changes the answer — the oracle is identical to
+# the non-bucketed variant's
+DEDUP_BLOOM_BUCKETED_SQL = DEDUP_BLOOM_INCREMENTAL_SQL
+
+
 QUERIES = {
+    "dedup_bloom_bucketed": (q_dedup_bloom_bucketed, DEDUP_BLOOM_BUCKETED_SQL),
     "semantic_dedup_2level": (
         q_semantic_dedup_2level,
         SEMANTIC_DEDUP_2LEVEL_SQL,

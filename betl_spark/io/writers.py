@@ -74,6 +74,49 @@ def _write(df, path, mode, partition_by, fmt):
     writer.format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a dataset as a BUCKETED catalog table — rows are
+    hash-clustered into ``n_buckets`` files per partition by
+    ``bucket_cols`` at write time, so every later join or aggregation
+    keyed on those columns reads the layout instead of shuffling: the
+    planner drops the Exchange on this side entirely (the other side
+    shuffles to the bucket count). This is the storage half of the
+    incremental-dedup contract: a reference corpus bucketed by
+    ``content_hash`` turns the daily batch-vs-corpus anti join into a
+    batch-only shuffle — at 100 TB the corpus-side exchange IS the
+    job, so the one-time bucketed write amortizes after the first
+    ingest. Bucketing requires the catalog (``saveAsTable``), not a
+    bare path — Spark persists the bucket spec in table metadata.
+    ``sort_cols`` additionally sorts within each bucket file
+    (sort-merge joins then skip the sort)."""
+    eff_mode = "overwrite" if mode == "replace" else mode
+    if eff_mode == "overwrite":
+        # a managed table from a PREVIOUS session leaves its location
+        # behind while the (in-memory) catalog entry is gone; overwrite
+        # must win in both worlds
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+        if wh.scheme in ("", "file"):
+            shutil.rmtree(
+                f"{wh.path.rstrip('/')}/{table_name.lower()}", ignore_errors=True
+            )
+    writer = df.write.mode(eff_mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

@@ -264,6 +264,7 @@ def exact_dedup_against(
     content_cols: list[str],
     prefilter_bits: int = 20,
     prefilter_hashes: int = 2,
+    ref_hash_col: str | None = None,
 ) -> DataFrame:
     """Incremental EXACT dedup: drop new-batch rows whose content
     already exists in the reference corpus, with a Bloom-style
@@ -287,18 +288,31 @@ def exact_dedup_against(
     EXACT — identical to a plain anti join — while the expensive join
     only sees the pre-pruned sliver of the batch.
 
-    At 100 TB the ref side of the exact join still shuffles its
-    (hash) column once; store the reference corpus bucketed by
-    content_hash to eliminate that exchange entirely. The batch is
-    scanned twice (once per branch of the union) with columns pruned;
-    persist it upstream if the scan dominates.
+    At 100 TB the ref side of the exact join would shuffle its hash
+    column once per ingest — that exchange IS the job at corpus scale.
+    Eliminate it by storing the reference corpus as a table BUCKETED by
+    its precomputed content-hash column (``io.writers.write_bucketed``)
+    and passing that column's name as ``ref_hash_col``: the planner
+    then reads the bucket layout instead of shuffling (only the batch
+    side exchanges, to the bucket count), and the ref scan prunes to
+    the single hash column. ``tests/test_plans.py`` pins the
+    no-ref-exchange property. (The Bloom bucket-set aggregation still
+    shuffles its bounded output — ≤2^bits rows — which is noise.) The
+    batch is scanned twice (once per branch of the union) with columns
+    pruned; persist it upstream if the scan dominates.
 
     Output: the surviving ``df_new`` rows, original schema.
     """
     m = 1 << prefilter_bits
     h = content_hash(content_cols)
     batch = df_new.withColumn("__ch", h)
-    ref_h = df_ref.select(h.alias("__ch"))
+    if ref_hash_col is not None:
+        # pre-hashed (typically bucketed) reference: alias keeps the
+        # scan's hash-clustered output partitioning (alias-aware), so
+        # the distinct + anti join run exchange-free on this side
+        ref_h = df_ref.select(F.col(ref_hash_col).alias("__ch"))
+    else:
+        ref_h = df_ref.select(h.alias("__ch"))
     if prefilter_hashes < 1:  # prefilter disabled: plain exact anti join
         return batch.join(ref_h.distinct(), "__ch", "left_anti").drop("__ch")
 

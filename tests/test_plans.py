@@ -232,3 +232,65 @@ def test_semantic_dedup_has_no_all_pairs_join(spark):
     assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
     # the pair join is a real equi-join keyed on cell_id
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+
+
+def test_bucketed_ref_exact_dedup_has_no_ref_side_exchange(spark):
+    """The incremental-dedup storage contract: a reference corpus
+    stored BUCKETED by its content-hash column joins without a
+    ref-side Exchange — the planner reads the bucket layout for both
+    the distinct and the anti join, so only the (small) ingest batch
+    shuffles. At 100 TB the corpus-side exchange is the job; this plan
+    property is what the one-time bucketed write buys every ingest."""
+    from betl_spark.io.writers import write_bucketed
+    from betl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ref_src = docs.filter("doc_id < 300")
+    write_bucketed(
+        ref_src.select(
+            "doc_id", dedup.content_hash(["text"]).alias("content_hash")
+        ),
+        "t_plans_ref_bucketed",
+        ["content_hash"],
+        8,
+        sort_cols=["content_hash"],
+    )
+    batch = docs.filter("doc_id >= 300").select("doc_id", "text")
+    bucketed = dedup.exact_dedup_against(
+        batch,
+        spark.table("t_plans_ref_bucketed"),
+        "doc_id",
+        ["text"],
+        ref_hash_col="content_hash",
+    )
+    plain = dedup.exact_dedup_against(batch, ref_src, "doc_id", ["text"])
+    # disable auto-broadcast for the plan compare: at test scale the
+    # tiny ref side broadcasts, which hides the very exchange the
+    # bucketing contract is about (at 100 TB the corpus can't broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pb, pp = plan(bucketed), plan(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the bucketed layout is actually read (not planned around) ...
+    assert "Bucketed: true" in pb and "SelectedBucketsCount" in pb
+    # ... and the anti join's REF side no longer exchanges: the plain
+    # plan shuffles the content hash twice (batch side + ref distinct),
+    # the bucketed plan only once (batch side). The Bloom bucket-set
+    # aggregates keep their exchanges — bounded output, different key.
+    def ch_exchanges(p: str) -> int:
+        return len(
+            re.findall(
+                r"\(\d+\) Exchange\nInput[^\n]*\nArguments: hashpartitioning\(__ch",
+                p,
+            )
+        )
+
+    assert ch_exchanges(pp) == 2, pp
+    assert ch_exchanges(pb) == 1, pb
+    assert n_exchanges(pb) < n_exchanges(pp)
+    # layout must never change the answer
+    assert sorted(r.doc_id for r in bucketed.collect()) == sorted(
+        r.doc_id for r in plain.collect()
+    )
