@@ -82,6 +82,99 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def ann_skew_rehearsal() -> None:
+    """Empirical check of `ivf_topk`'s docstring claim that hot-centroid
+    cell skew "is AQE's skew-join case" (operators/similarity.py):
+    build a power-law cell assignment over the sf1 embeddings (u³
+    quantization puts ~25% of the corpus in cell 0 — the whale-cell
+    shape a trained IVF index gets from a dense region), run the probe
+    equi-join on cell_id with a non-broadcastable query side, and time
+    it with AQE skew-join splitting ON vs OFF.
+
+    The skew thresholds are lowered so the mechanism engages at MB
+    scale (at 100 TB the defaults — 256 MB partitions — engage on their
+    own); what's under test is that the PLAN responds: the final
+    adaptive plan must mark the join skew=true and wall time must not
+    regress vs the unsplit whale partition.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from betl_spark.session import build_spark
+
+    K = 64
+    spark = build_spark(
+        "betl_spark_ann_skew",
+        extra_conf={
+            # engage skew handling at rehearsal scale
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            # the probe side must not broadcast or there is no shuffle
+            # join to skew-split (the broadcast path is ivf_topk's
+            # small-query regime, already covered by the contract query)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    # the sf1 parquet is ONE file -> one mapper -> AQE cannot split a
+    # skewed reduce partition below a single map output (split unit =
+    # per-mapper shuffle blocks). Real 100 TB corpora have thousands of
+    # mappers; 32 upstream partitions model that.
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet").repartition(32)
+    u = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1_000_000)) / 1_000_000.0
+    cell = F.floor(F.pow(u, 3) * K).cast("int").alias("cell_id")
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv"), cell)
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(211)) == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), cell
+    )
+    occupancy = corpus.groupBy("cell_id").count().orderBy(F.desc("count"))
+    top = occupancy.first()
+    n = corpus.count()
+    print(f"corpus {n} rows, hottest cell {top['cell_id']} holds {top['count']} ({100*top['count']/n:.0f}%)")
+
+    def probe():
+        dot = F.aggregate(
+            F.zip_with("qv", "nv", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            corpus.join(queries, "cell_id")
+            .select("query_id", "neighbor_id", dot.alias("score"))
+            .groupBy("query_id")
+            .agg(F.max("score").alias("best"))
+        )
+
+    results = {}
+    for skew_on in (False, True):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+        best = float("inf")
+        last_plan = ""
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = probe()
+            # collect (tiny: one row per query) so THIS queryExecution
+            # finalizes — a noop write executes a clone, leaving
+            # isFinalPlan=false and no skew markers to inspect
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+            last_plan = df._jdf.queryExecution().executedPlan().toString()
+            gc.collect()
+        marked = bool(_re.search(r"skew=true", last_plan))
+        results[skew_on] = (best, marked)
+        print(f"skewJoin={'on' if skew_on else 'off'}: {best:.2f}s  plan skew-marked: {marked}")
+
+    off_t, _ = results[False]
+    on_t, on_marked = results[True]
+    print()
+    print("| rehearsal | skewJoin off (s) | skewJoin on (s) | plan skew=true |")
+    print("|---|---|---|---|")
+    print(f"| `ann_probe_power_law_cells` (sf1) | {off_t:.2f} | {on_t:.2f} | {on_marked} |")
+    assert on_marked, "AQE did not mark the whale partition as skewed"
+    spark.stop()
+
+
 def main() -> None:
     from betl_spark.contract import QUERIES
     from betl_spark.session import build_spark
@@ -149,4 +242,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--ann-skew" in sys.argv:
+        ann_skew_rehearsal()
+    else:
+        main()
