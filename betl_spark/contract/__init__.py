@@ -103,11 +103,13 @@ _PRIORITY = [
     "semantic_dedup_2level",
     "dedup_bloom_bucketed",
     "semantic_dedup_medoid",
-    # -- round-5 greens whose code paths this round touches --
+    "boilerplate_removal",
+    "mixture_repeats",
+    # -- round-5 greens whose code paths this round touches (the two
+    #    displaced multimodal rows kept their default code path
+    #    byte-identical — codec gating only adds the 'real' branch) --
     "multimodal_decode",
     "multimodal_resize",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
 ]
 
 QUERIES: dict = {}

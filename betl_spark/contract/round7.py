@@ -10,6 +10,7 @@ oracle replays identical arithmetic in DuckDB.
 from __future__ import annotations
 
 from betl_spark.contract.common import table
+from betl_spark.contract.round5 import MIX_WEIGHTS, _W_VALUES
 from betl_spark.contract.round6 import (
     DEDUP_BLOOM_INCREMENTAL_SQL,
     REF_CUTOFF,
@@ -178,8 +179,139 @@ def q_dedup_bloom_bucketed(spark, sf_dir):
 DEDUP_BLOOM_BUCKETED_SQL = DEDUP_BLOOM_INCREMENTAL_SQL
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """C4/RefinedWeb-style cross-document boilerplate stripping: the
+    corpus is composed with a deterministic per-source nav header and a
+    global footer (the testdata's documents are single-line, so the
+    boilerplate is injected by the query itself — same rows both
+    engines see), and lines present in ≥5 distinct documents of a
+    source are removed from every document of that source."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup
+
+    docs = table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("NAV "),
+            F.col("source"),
+            F.lit("\n"),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nCOPYRIGHT FOOTER"),
+        ).alias("text"),
+    )
+    return dedup.boilerplate_line_removal(
+        aug, "doc_id", "text", group_col="source", min_docs=5
+    )
+
+
+BOILERPLATE_REMOVAL_SQL = """
+WITH aug AS (
+  SELECT doc_id, source,
+         'NAV ' || source || chr(10) || coalesce(text, '')
+         || chr(10) || 'COPYRIGHT FOOTER' AS text
+  FROM documents
+),
+d AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM aug),
+lines AS (
+  SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+         ls[CAST(u.i AS INT) + 1] AS line
+  FROM d, unnest(range(len(ls))) AS u(i)
+),
+sizes AS (SELECT source, COUNT(*) AS n_docs FROM aug GROUP BY 1),
+census AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY 1, 2
+),
+freq AS (
+  SELECT c.source, c.line
+  FROM census c JOIN sizes s ON c.source = s.source
+  WHERE c.n >= GREATEST(5, CEIL(0.0 * s.n_docs))
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN freq f ON l.source = f.source AND l.line = f.line
+  WHERE f.line IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS kept
+  FROM kept GROUP BY 1
+)
+SELECT a.doc_id, a.source, coalesce(r.text, '') AS text,
+       CAST(coalesce(r.kept, 0) AS BIGINT) AS n_lines_kept,
+       CAST(len(string_split(a.text, chr(10))) - coalesce(r.kept, 0) AS BIGINT)
+         AS n_lines_dropped
+FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+"""
+
+
+MIX_REPEAT_MAX_EPOCHS = 3.0
+
+
+def q_mixture_repeats(spark, sf_dir):
+    """Data-constrained mixture (Muennighoff et al. 2023): hit 2× the
+    corpus's token volume at the round-5 mixture weights by repeating
+    scarce strata, capped at 3 epochs; a hash-deterministic fraction of
+    keys takes the final partial epoch. One row per (doc, epoch)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    total = docs.agg(F.sum(F.col("n_chars").cast("long"))).first()[0]
+    return sampling.mixture_with_repeats(
+        docs,
+        "doc_id",
+        "lang",
+        MIX_WEIGHTS,
+        budget=2 * int(total),
+        max_epochs=MIX_REPEAT_MAX_EPOCHS,
+        weight_col="n_chars",
+    )
+
+
+# DOUBLE casts mirror the operator's IEEE arithmetic exactly:
+# epochs = min(cap, w * budget / T_s), floor-quantized thresholds
+MIXTURE_REPEATS_SQL = f"""
+WITH avail AS (
+  SELECT lang AS s, SUM(CAST(n_chars AS BIGINT)) AS t
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT 2 * SUM(CAST(n_chars AS BIGINT)) AS b FROM documents),
+w(s, wt) AS (VALUES {_W_VALUES}),
+ep AS (
+  SELECT a.s,
+         LEAST({MIX_REPEAT_MAX_EPOCHS},
+               CAST(w.wt AS DOUBLE) * CAST(tot.b AS DOUBLE)
+               / CAST(a.t AS DOUBLE)) AS epochs
+  FROM avail a JOIN w ON a.s = w.s CROSS JOIN tot
+  WHERE w.wt > 0 AND a.t > 0
+),
+th AS (
+  SELECT s, CAST(FLOOR(epochs) AS BIGINT) AS nfull,
+         CAST(FLOOR((epochs - FLOOR(epochs)) * 10000) AS BIGINT) AS xth
+  FROM ep
+),
+rep AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         th.nfull + CASE
+           WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 10000 < th.xth
+           THEN 1 ELSE 0 END AS r
+  FROM documents d JOIN th ON d.lang = th.s
+)
+SELECT doc_id, lang, n_chars, CAST(u.i AS INT) + 1 AS epoch
+FROM rep, unnest(range(r)) AS u(i)
+WHERE r > 0
+"""
+
+
 QUERIES = {
     "dedup_bloom_bucketed": (q_dedup_bloom_bucketed, DEDUP_BLOOM_BUCKETED_SQL),
+    "boilerplate_removal": (q_boilerplate_removal, BOILERPLATE_REMOVAL_SQL),
+    "mixture_repeats": (q_mixture_repeats, MIXTURE_REPEATS_SQL),
     "semantic_dedup_2level": (
         q_semantic_dedup_2level,
         SEMANTIC_DEDUP_2LEVEL_SQL,

@@ -843,6 +843,98 @@ def line_dedup(
     )
 
 
+def boilerplate_line_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str | None = None,
+    min_docs: int = 5,
+    min_doc_frac: float = 0.0,
+    sep: str = "\n",
+) -> DataFrame:
+    """CROSS-document boilerplate removal: a line appearing in ≥
+    max(``min_docs``, ceil(``min_doc_frac`` × group size)) DISTINCT
+    documents of its group (``group_col``, e.g. source/site; None =
+    whole corpus) is stripped from every document. This is the corpus
+    face of line dedup — C4 drops lines duplicated across its corpus,
+    RefinedWeb strips per-site headers/footers/cookie banners; the
+    intra-document rung (``intra_doc_line_dedup``) cannot see a footer
+    that appears once per page across ten thousand pages.
+
+    Scale shape: posexplode lines once; the boilerplate census is a
+    distinct + count over (group, line) — the exchange carries (group,
+    line-text, id) and combines map-side after the distinct; group
+    sizes are an O(groups) broadcast. The frequent-line set joins back
+    by (group, line) equi-join (bounded in practice — boilerplate is
+    repetition by definition — but never ASSUMED broadcastable: AQE
+    decides). Reassembly is one doc-key shuffle: collect_list of
+    (pos, line) structs, array_sort, join — order exactly preserved.
+    Documents whose every line is boilerplate survive with text ''
+    (the line_dedup NULL rule: no document silently disappears).
+
+    Output: (id, [group], text stripped, n_lines_kept,
+    n_lines_dropped). Exact by construction — DuckDB replays the same
+    census and reassembly, so the operator is oracle-verifiable.
+    """
+    gcols = [group_col] if group_col else []
+    lines = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in gcols],
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+        ).alias("__pos", "__line"),
+    )
+    sizes = df.groupBy(*[F.col(c) for c in gcols]).agg(
+        F.count(F.lit(1)).alias("__n_docs")
+    )
+    census = (
+        lines.select(*gcols, "__line", id_col)
+        .distinct()
+        .groupBy(*gcols, "__line")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    if gcols:
+        census = census.join(F.broadcast(sizes), gcols)
+    else:
+        census = census.crossJoin(F.broadcast(sizes))
+    frequent = census.filter(
+        F.col("__n")
+        >= F.greatest(
+            F.lit(min_docs),
+            F.ceil(F.lit(float(min_doc_frac)) * F.col("__n_docs")),
+        )
+    ).select(*gcols, "__line", F.lit(1).alias("__bp"))
+    kept = lines.join(frequent, [*gcols, "__line"], "left").filter(
+        F.col("__bp").isNull()
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_orig = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
+    )
+    return (
+        df.select(F.col(id_col), *[F.col(c) for c in gcols], n_orig.alias("__orig"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in gcols],
+            F.coalesce(F.col("__text"), F.lit("")).alias(text_col),
+            F.coalesce(F.col("__kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("__orig") - F.coalesce(F.col("__kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )
+
+
 def intra_doc_line_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:

@@ -165,6 +165,73 @@ def mixture_sample(
     )
 
 
+def mixture_with_repeats(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+    budget: int,
+    max_epochs: float = 4.0,
+    weight_col: str | None = None,
+    buckets: int = 10000,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Data-constrained mixture: hit a target volume ``budget`` (docs,
+    or tokens via ``weight_col``) at target stratum ``weights`` by
+    REPEATING scarce strata — the upsampling face of ``mixture_sample``
+    (which only downsamples to the limiting stratum). Repetition is
+    capped at ``max_epochs`` (beyond ~4 epochs repeated data stops
+    helping — Muennighoff et al., "Scaling Data-Constrained Language
+    Models", arXiv:2305.16264, public), so a stratum that cannot fill
+    its target under the cap just contributes everything it has
+    max_epochs times; the shortfall is visible in the epoch counts
+    rather than silently rebalanced.
+
+    Per stratum s with available volume T_s:
+        epochs_s = min(max_epochs, w_s · budget / T_s)
+    Every doc repeats floor(epochs_s) times, and a hash-deterministic
+    frac(epochs_s) of keys (floor-quantized to the bucket grid, the
+    ``hash_bucket`` recipe — reproducible from any engine) repeats one
+    extra time. Output = input rows × repeats with ``epoch_col`` =
+    1..n, so packing/shuffling downstream treats repeats as distinct
+    rows. Strata without a positive weight are dropped.
+
+    Scale shape: one stratum aggregate (map-side combinable, O(strata)
+    collect — same bound as ``mixture_sample``), then a map-only
+    explode(sequence) projection over the corpus: no join, no second
+    shuffle, and the blow-up factor is bounded by ``max_epochs``.
+    """
+    agg = (
+        F.count(F.lit(1)).alias("n")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).alias("n")
+    )
+    avail = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(stratum_col).alias("s")).agg(agg).collect()
+    }
+    import math
+
+    n_full = F.lit(0)
+    extra_th = F.lit(0)
+    for s in sorted(weights):
+        w, t = weights[s], avail.get(s) or 0
+        if w <= 0 or t <= 0:
+            continue
+        epochs = min(float(max_epochs), w * budget / t)
+        full = math.floor(epochs)
+        th = math.floor((epochs - full) * buckets)
+        n_full = F.when(F.col(stratum_col) == s, F.lit(int(full))).otherwise(n_full)
+        extra_th = F.when(F.col(stratum_col) == s, F.lit(int(th))).otherwise(extra_th)
+    repeats = n_full + (hash_bucket(key_col, buckets) < extra_th).cast("int")
+    return (
+        df.withColumn("__rep", repeats)
+        .filter(F.col("__rep") > 0)
+        .withColumn(epoch_col, F.explode(F.sequence(F.lit(1), F.col("__rep"))))
+        .drop("__rep")
+    )
+
+
 def shard_assign(
     df: DataFrame, key_col: str, n_shards: int, shard_col: str = "shard"
 ) -> DataFrame:

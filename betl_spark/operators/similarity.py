@@ -759,7 +759,13 @@ def semantic_dedup_2level(
     missing = set(coarse_ids) - set(centroid_ids)
     if missing:
         raise ValueError(f"coarse_ids must be ⊂ centroid_ids; extra: {missing}")
-    cents = _trained_cents(df, id_col, vec_col, centroid_ids)
+    # three consumers read the trained model (both coarse broadcasts +
+    # the fine-to-coarse argmax); without this the k-means update — a
+    # corpus-wide argmax — recomputes per consumer. The model is k rows,
+    # so the checkpoint is bounded.
+    cents = _trained_cents(df, id_col, vec_col, centroid_ids).localCheckpoint(
+        eager=False
+    )
     coarse = cents.filter(F.col("cell_id").isin(coarse_ids)).select(
         F.col("cell_id").alias("coarse_id"),
         F.col("cv").alias("ccv"),

@@ -102,3 +102,105 @@ def test_semantic_dedup_2level_has_no_all_pairs_join(spark):
     nlj = re.findall(r"\(\d+\) (\w*NestedLoopJoin)", p)
     assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
     assert re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", p)
+
+
+def test_boilerplate_line_removal_semantics(spark):
+    from betl_spark.operators import dedup
+
+    rows = [
+        # site A: header repeats in 3 docs (>= min_docs), bodies unique
+        (1, "A", "HDR\nbody one\nFTR"),
+        (2, "A", "HDR\nbody two\nFTR"),
+        (3, "A", "HDR\nbody three\nFTR"),
+        # doc of ONLY boilerplate must survive as ''
+        (4, "A", "HDR\nFTR"),
+        # site B: same header text but only 1 doc -> NOT boilerplate there
+        (5, "B", "HDR\nbody five"),
+        (6, "B", None),  # NULL text -> '' (one empty line, kept)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_line_removal(
+            df, "doc_id", "text", group_col="source", min_docs=3
+        ).collect()
+    }
+    assert out[1].text == "body one" and out[1].n_lines_dropped == 2
+    assert out[2].text == "body two" and out[2].n_lines_kept == 1
+    assert out[4].text == "" and out[4].n_lines_kept == 0
+    assert out[4].n_lines_dropped == 2
+    # group isolation: B's lone HDR survives
+    assert out[5].text == "HDR\nbody five" and out[5].n_lines_dropped == 0
+    assert out[6].text == "" and out[6].n_lines_kept == 1
+    # order preservation with an interleaved boilerplate line
+    df2 = spark.createDataFrame(
+        [(i, "C", f"u{i}a\nBP\nu{i}b") for i in range(5)],
+        "doc_id long, source string, text string",
+    )
+    out2 = dedup.boilerplate_line_removal(
+        df2, "doc_id", "text", group_col="source", min_docs=5
+    ).collect()
+    assert all(r.text == f"u{r.doc_id}a\nu{r.doc_id}b" for r in out2)
+
+
+def test_boilerplate_min_doc_frac_threshold(spark):
+    from betl_spark.operators import dedup
+
+    # 10 docs; 'X' in 4 of them: frac 0.5 -> threshold 5 -> kept;
+    # frac 0.3 -> threshold 3 -> stripped
+    rows = [(i, ("X\n" if i < 4 else "") + f"u{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    keep = dedup.boilerplate_line_removal(
+        df, "doc_id", "text", min_docs=1, min_doc_frac=0.5
+    )
+    strip = dedup.boilerplate_line_removal(
+        df, "doc_id", "text", min_docs=1, min_doc_frac=0.3
+    )
+    assert sum(r.n_lines_dropped for r in keep.collect()) == 0
+    assert sum(r.n_lines_dropped for r in strip.collect()) == 4
+
+
+def test_mixture_with_repeats_epoch_math(spark):
+    from betl_spark.operators import sampling
+
+    # stratum a: 10 docs, weight demands 2.5 epochs (uncapped);
+    # stratum b: 10 docs, demand exceeds the 3-epoch cap;
+    # stratum c: no weight -> dropped
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.mixture_with_repeats(
+        df, "doc_id", "lang", {"a": 0.25, "b": 0.75}, budget=100,
+        max_epochs=3.0,
+    )
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # a: epochs = min(3, .25*100/10) = 2.5 -> 10*2 + ~half extra
+    assert 20 <= per["a"] <= 30
+    # b: epochs = min(3, .75*100/10) = 3.0 exactly -> every doc x3
+    assert per["b"] == 30
+    assert "c" not in per
+    # epochs are 1..n and deterministic across runs
+    again = sampling.mixture_with_repeats(
+        df, "doc_id", "lang", {"a": 0.25, "b": 0.75}, budget=100,
+        max_epochs=3.0,
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    assert out.agg(F.min("epoch"), F.max("epoch")).first() == (1, 3)
+
+
+def test_mixture_with_repeats_map_only_plan(spark):
+    # after the O(strata) rate collect, the corpus-side plan is a pure
+    # explode projection: no join, no window, no shuffle
+    from tests.test_plans import n_exchanges, plan
+    from betl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = sampling.mixture_with_repeats(
+        docs, "doc_id", "lang", {"en": 0.6, "fr": 0.4}, budget=10000,
+        weight_col="n_chars",
+    )
+    p = plan(out)
+    assert "Join" not in p and "Window" not in p
+    assert n_exchanges(p) == 0, p
