@@ -69,6 +69,12 @@ REHEARSAL = [
     "hybrid_search",
     "pq_encode",
     "pq_topk",
+    # round-7 additions
+    "semantic_dedup_2level",
+    "semantic_dedup_medoid",
+    "dedup_bloom_bucketed",
+    "boilerplate_removal",
+    "mixture_repeats",
 ]
 
 
