@@ -204,3 +204,13 @@ def test_mixture_with_repeats_map_only_plan(spark):
     p = plan(out)
     assert "Join" not in p and "Window" not in p
     assert n_exchanges(p) == 0, p
+
+
+def test_bench_anchor_queries_still_registered():
+    # the cross-round normalization subset must survive renames: every
+    # anchor query name has to stay a registered contract query
+    import bench
+    from betl_spark.contract import QUERIES
+
+    missing = [q for q in bench._R4_TPCH_ANCHOR if q not in QUERIES]
+    assert missing == [], missing
