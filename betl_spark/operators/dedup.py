@@ -737,7 +737,10 @@ def duplicate_clusters(
     (see ``_cc_large_small_star`` — the per-round fixed cost is driver
     plan compilation, pure overhead on a bounded graph); 0 disables.
 
-    Output: (node, cluster_id) for every node appearing in ``pairs``.
+    Output: (node, cluster_id) for every node appearing in ``pairs``
+    with at least one REAL neighbor — self-pairs (x, x) are not a
+    duplicate relationship and are ignored by all three paths
+    (property-tested to agree on arbitrary graphs).
     """
     if algorithm == "star":
         undirected = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -747,6 +750,10 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # a self-pair (x, x) is not a duplicate relationship: drop it
+        # here exactly like the star/union-find paths do, so all three
+        # algorithms emit the same node set (property-tested)
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

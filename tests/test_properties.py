@@ -262,3 +262,33 @@ def test_line_dedup_matches_python_reference(spark):
             for r in out.collect()
         }
         assert got == want, (trial, min_docs, docs, got, want)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_three_paths_agree(spark, edges):
+    """duplicate_clusters has three execution paths — driver union-find
+    (small graphs), distributed large/small-star contraction, and
+    min-label propagation. On ANY pair graph (self-loops, duplicates,
+    chains, whale stars — whatever hypothesis draws) all three must
+    assign identical (node -> min reachable id) labels."""
+    from betl_spark.operators import dedup
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    uf = sorted(map(tuple, dedup.duplicate_clusters(pairs).collect()))
+    star = sorted(
+        map(
+            tuple,
+            dedup.duplicate_clusters(pairs, small_graph_edges=0).collect(),
+        )
+    )
+    ml = sorted(
+        map(tuple, dedup.duplicate_clusters(pairs, algorithm="min_label").collect())
+    )
+    assert uf == star == ml
