@@ -105,11 +105,11 @@ _PRIORITY = [
     "semantic_dedup_medoid",
     "boilerplate_removal",
     "mixture_repeats",
-    # -- round-5 greens whose code paths this round touches (the two
-    #    displaced multimodal rows kept their default code path
-    #    byte-identical — codec gating only adds the 'real' branch) --
-    "multimodal_decode",
-    "multimodal_resize",
+    "stratified_fixed_n",
+    "semantic_decontaminate",
+    # (the displaced multimodal round-5 greens kept their default code
+    # path byte-identical — codec gating only adds the 'real' branch —
+    # so they rotate forward in round 8 with the rest of round 5)
 ]
 
 QUERIES: dict = {}

@@ -308,10 +308,86 @@ WHERE r > 0
 """
 
 
+FIXED_N_PER_LANG = 20
+
+
+def q_stratified_fixed_n(spark, sf_dir):
+    """Exactly-N deterministic per-stratum sample: 20 documents per
+    language, ranked by key hash (WindowGroupLimit plan shape)."""
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_fixed_n(docs, "doc_id", "lang", FIXED_N_PER_LANG)
+
+
+STRATIFIED_FIXED_N_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           AS hh
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY hh, doc_id
+         ) AS INTEGER) AS rank
+  FROM h
+)
+SELECT doc_id, lang, rank FROM ranked WHERE rank <= {FIXED_N_PER_LANG}
+"""
+
+
+DECONTAM_BENCH_MAX_ID = 10
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-level benchmark decontamination: corpus rows within
+    the same trained cell and cosine ≥ threshold of any of the 10
+    benchmark vectors are removed (the benchmark rows themselves are
+    self-contaminated at cosine 1.0 and drop out)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < DECONTAM_BENCH_MAX_ID)
+    return similarity.semantic_decontaminate(
+        emb, bench, "vec_id", "embedding", IVF_CENTROID_IDS,
+        threshold=SEMANTIC_THRESHOLD,
+    )
+
+
+SEMANTIC_DECONTAMINATE_SQL = f"""
+WITH RECURSIVE {SEMANTIC_TRAIN_CTES},
+assign1 AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {_COS_E_CV} DESC, c.cell_id
+         ) AS cell_rank
+  FROM embeddings e CROSS JOIN tcent c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM assign1 WHERE cell_rank = 1),
+bench AS (SELECT * FROM corpus WHERE vec_id < {DECONTAM_BENCH_MAX_ID}),
+contaminated AS (
+  SELECT DISTINCT a.vec_id
+  FROM corpus a JOIN bench b ON a.cell_id = b.cell_id
+  WHERE {{cos}} >= {SEMANTIC_THRESHOLD}
+)
+SELECT c.vec_id, c.cell_id FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.vec_id = c.vec_id)
+""".replace("{cos}", _cos_sql("a.embedding", "b.embedding"))
+
+
 QUERIES = {
     "dedup_bloom_bucketed": (q_dedup_bloom_bucketed, DEDUP_BLOOM_BUCKETED_SQL),
     "boilerplate_removal": (q_boilerplate_removal, BOILERPLATE_REMOVAL_SQL),
     "mixture_repeats": (q_mixture_repeats, MIXTURE_REPEATS_SQL),
+    "stratified_fixed_n": (q_stratified_fixed_n, STRATIFIED_FIXED_N_SQL),
+    "semantic_decontaminate": (
+        q_semantic_decontaminate,
+        SEMANTIC_DECONTAMINATE_SQL,
+    ),
     "semantic_dedup_2level": (
         q_semantic_dedup_2level,
         SEMANTIC_DEDUP_2LEVEL_SQL,

@@ -165,6 +165,38 @@ def mixture_sample(
     )
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY-n deterministic sample per stratum. The fraction-based
+    ``stratified_hash_sample`` keeps ~f·|s| rows (hash membership, so
+    the count is approximate); evaluation sets, few-shot pools, and
+    per-language probe sets need exactly N. Rows rank within their
+    stratum by the key's md5-derived hash (uniform and
+    engine-reproducible — the un-modded ``hash_bucket`` recipe) with
+    the key itself as tiebreak, and rank ≤ n survive.
+
+    Scale shape: this is ``stats.top_n_per_group`` under a hash order,
+    so Spark's WindowGroupLimit rewrite applies — a map-side partial
+    group-limit runs before the exchange and the shuffle carries ≤
+    n·partitions rows per stratum, never the whole stratum. Output:
+    the original rows + their 1-based ``rank``.
+    """
+    from betl_spark.operators.stats import top_n_per_group
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("__h")
+    )
+    return top_n_per_group(
+        df.select("*", h), [stratum_col], "__h", n, key_col, ascending=True
+    ).drop("__h")
+
+
 def mixture_with_repeats(
     df: DataFrame,
     key_col: str,

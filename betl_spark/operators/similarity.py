@@ -497,6 +497,99 @@ def _trained_cents(
 MAX_BROADCAST_CENTROIDS = 200_000
 
 
+def _assign_cells(
+    df: DataFrame, id_col: str, vec_col: str, cents: DataFrame
+) -> DataFrame:
+    """Broadcast-argmax cell assignment against a trained centroid
+    model: |cells| cosines per row, map-side combinable max_by, the
+    corpus never shuffles. Output (id, vec, _nrm, cell_id, cell_sim)."""
+    rows = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    return (
+        rows.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "cell_id",
+            _cosine_pre(
+                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
+            ).alias("cell_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
+            ).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_nrm").alias("_nrm"),
+            F.max("cell_sim").alias("cell_sim"),
+        )
+    )
+
+
+def semantic_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.3,
+) -> DataFrame:
+    """EMBEDDING-level benchmark decontamination: remove corpus rows
+    semantically near ANY benchmark row — the semantic complement of
+    the n-gram `decontaminate` family (paraphrased test questions slip
+    past lexical n-gram matching; embedding cosine catches them).
+
+    Same candidate-bounding trick as ``semantic_dedup``: both sides
+    assign to the SAME trained cells (one k-means update from
+    ``centroid_ids`` over the corpus), and cosine only runs on
+    same-cell (corpus × bench) pairs — batch×ref, never corpus×corpus,
+    and the benchmark side is small by definition so the candidate
+    join broadcasts. Contaminated ids reduce to a distinct set and
+    remove via anti join. Like IVF nprobe=1, a contaminated row whose
+    nearest cell differs from its benchmark twin's is missed — the
+    recall/cost trade the cell bound buys; raise k (finer cells) for
+    precision, or run the exact n-gram family alongside.
+
+    Output: surviving (id, cell_id) corpus rows, like
+    ``semantic_dedup``.
+    """
+    if len(centroid_ids) > MAX_BROADCAST_CENTROIDS:
+        raise ValueError(
+            f"{len(centroid_ids)} centroids exceed the single-level "
+            f"broadcast bound ({MAX_BROADCAST_CENTROIDS})"
+        )
+    cents = _trained_cents(df, id_col, vec_col, centroid_ids).localCheckpoint(
+        eager=False
+    )
+    assigned = _assign_cells(df, id_col, vec_col, cents).localCheckpoint(
+        eager=False
+    )
+    bench_assigned = _assign_cells(bench, id_col, vec_col, cents).select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("bv"),
+        F.col("_nrm").alias("bn"),
+        "cell_id",
+    )
+    contaminated = (
+        assigned.join(F.broadcast(bench_assigned), "cell_id")
+        .filter(
+            _cosine_pre(
+                F.col(vec_col), F.col("bv"), F.col("_nrm"), F.col("bn")
+            )
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return assigned.join(contaminated, id_col, "left_anti").select(
+        F.col(id_col), F.col("cell_id")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -607,36 +700,15 @@ def semantic_dedup(
             " _nrm double, cell_id long, cell_sim double",
         ).localCheckpoint(eager=False)
     else:
-        assigned = (
-            rows.crossJoin(F.broadcast(cents))
-            .select(
-                id_col,
-                vec_col,
-                "_nrm",
-                "cell_id",
-                _cosine_pre(
-                    F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
-                ).alias("cell_sim"),
-            )
-            .groupBy(id_col)
-            .agg(
-                F.max_by(
-                    "cell_id",
-                    F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
-                ).alias("cell_id"),
-                F.first(vec_col).alias(vec_col),
-                F.first("_nrm").alias("_nrm"),
-                # the winning cell's similarity IS the max — kept for
-                # the paper-faithful min_centroid_sim survivor policy
-                F.max("cell_sim").alias("cell_sim"),
-            )
-            # three consumers read `assigned` (both pair-join sides + the
-            # survivor base); without this the centroid argmax recomputes
-            # per consumer (measured 3x cost at bench scale). localCheckpoint
-            # materializes it once to executor storage and truncates lineage
-            # (same pattern as duplicate_clusters); at cluster scale that is
-            # one corpus-sized write vs three argmax passes.
-            .localCheckpoint(eager=False)
+        # three consumers read `assigned` (both pair-join sides + the
+        # survivor base); without the checkpoint the centroid argmax
+        # recomputes per consumer (measured 3x cost at bench scale).
+        # localCheckpoint materializes it once to executor storage and
+        # truncates lineage (same pattern as duplicate_clusters); at
+        # cluster scale that is one corpus-sized write vs three argmax
+        # passes.
+        assigned = _assign_cells(df, id_col, vec_col, cents).localCheckpoint(
+            eager=False
         )
     if pair_backend == "arrow":
         # Arrow/BLAS per-cell matmul (see cell_pairs_arrow): same pair

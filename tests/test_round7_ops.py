@@ -214,3 +214,56 @@ def test_bench_anchor_queries_still_registered():
 
     missing = [q for q in bench._R4_TPCH_ANCHOR if q not in QUERIES]
     assert missing == [], missing
+
+
+def test_stratified_fixed_n_exact_counts_and_determinism(spark):
+    from betl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = sampling.stratified_fixed_n(docs, "doc_id", "lang", 7)
+    per = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # exactly 7 per stratum (or the whole stratum when smaller)
+    assert per == {s: min(7, n) for s, n in sizes.items()}
+    # deterministic: same membership on re-run and under repartition
+    a = sorted((r.doc_id, r.lang) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.lang)
+        for r in sampling.stratified_fixed_n(
+            docs.repartition(13), "doc_id", "lang", 7
+        ).collect()
+    )
+    assert a == b
+
+
+def test_stratified_fixed_n_partial_group_limit_plan(spark):
+    # the window must plan as WindowGroupLimit with a map-side partial
+    # pass — never a whole-stratum sort on one reducer
+    from tests.test_plans import plan
+    from betl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    p = plan(sampling.stratified_fixed_n(docs, "doc_id", "lang", 5))
+    assert "WindowGroupLimit" in p
+    assert "Partial" in p, p
+
+
+def test_semantic_decontaminate_removes_bench_and_neighbors(spark):
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 10)
+    out = similarity.semantic_decontaminate(
+        emb, bench, "vec_id", "embedding", SEEDS, threshold=0.3
+    )
+    ids = {r.vec_id for r in out.collect()}
+    # the benchmark rows themselves are self-contaminated (cosine 1.0)
+    assert not (ids & set(range(10)))
+    assert len(ids) < emb.count()
+    # a disjoint benchmark far from everything removes only itself
+    out2 = similarity.semantic_decontaminate(
+        emb, bench, "vec_id", "embedding", SEEDS, threshold=1.1
+    )
+    assert out2.count() == emb.count()  # nothing reaches cosine > 1
