@@ -93,10 +93,12 @@ _PRIORITY = [
     "tpch_q20_promotion_suppliers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
-    # -- code changed this round: prior greens no longer representative --
+    # -- code changed this round: prior greens no longer representative
+    #    (near_dup_removal shares the exact CC path dedup_cluster_assign
+    #    + semantic_dedup re-verify, and the three-path equality is
+    #    property-tested, so it cedes its slot to a new query) --
     "semantic_dedup",
     "dedup_cluster_assign",
-    "near_dup_removal",
     "cohort_retention",
     "dedup_bloom_incremental",
     # -- new round-7 queries (first oracle check) --
@@ -107,6 +109,7 @@ _PRIORITY = [
     "mixture_repeats",
     "stratified_fixed_n",
     "semantic_decontaminate",
+    "ivf_topk_indexed",
     # (the displaced multimodal round-5 greens kept their default code
     # path byte-identical — codec gating only adds the 'real' branch —
     # so they rotate forward in round 8 with the rest of round 5)

@@ -19,7 +19,12 @@ from betl_spark.contract.round6 import (
     SEMANTIC_TRAIN_CTES,
     _COS_E_CV,
 )
-from betl_spark.contract.scale import IVF_CENTROID_IDS, MUTANT_OFFSET
+from betl_spark.contract.scale import (
+    IVF_CENTROID_IDS,
+    IVF_NPROBE,
+    MUTANT_OFFSET,
+    SIMILARITY_ANN_IVF_SQL,
+)
 
 # coarse model = every 3rd trained centroid (~sqrt(k) of them at real
 # scale; 3 of 8 here) — the only piece the two-level assignment
@@ -379,6 +384,27 @@ WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.vec_id = c.vec_id)
 """.replace("{cos}", _cos_sql("a.embedding", "b.embedding"))
 
 
+def q_ivf_topk_indexed(spark, sf_dir):
+    """ANN top-k over a PERSISTED IVF index: build once (corpus
+    partitioned by cell_id + stored centroids), then probe with a
+    partition-pruned scan. Identical semantics — and the identical
+    DuckDB oracle — as the live `similarity_ann_ivf` query; only the
+    storage/plan differ (file-level pruning, plan-pinned)."""
+    import tempfile
+
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+    similarity.build_ivf_index(
+        emb, "vec_id", "embedding", IVF_CENTROID_IDS, path
+    )
+    return similarity.ivf_topk_indexed(
+        spark, path, "vec_id", "embedding", list(range(10)),
+        k=5, nprobe=IVF_NPROBE,
+    )
+
+
 QUERIES = {
     "dedup_bloom_bucketed": (q_dedup_bloom_bucketed, DEDUP_BLOOM_BUCKETED_SQL),
     "boilerplate_removal": (q_boilerplate_removal, BOILERPLATE_REMOVAL_SQL),
@@ -388,6 +414,7 @@ QUERIES = {
         q_semantic_decontaminate,
         SEMANTIC_DECONTAMINATE_SQL,
     ),
+    "ivf_topk_indexed": (q_ivf_topk_indexed, SIMILARITY_ANN_IVF_SQL),
     "semantic_dedup_2level": (
         q_semantic_dedup_2level,
         SEMANTIC_DEDUP_2LEVEL_SQL,

@@ -274,6 +274,138 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    path: str,
+) -> None:
+    """One-time IVF index build — the persisted form of ``ivf_topk``'s
+    assignment pass (its docstring's "at 100 TB the cell assignment is
+    a one-time index build you persist partitioned BY cell_id"): every
+    corpus row is assigned to its nearest centroid cell (identical
+    argmax rule) and written PARTITIONED BY cell_id with its
+    precomputed norm, so every later probe prunes to its nprobe cells'
+    files at the SCAN — no assignment recompute, no full-corpus read.
+    The centroid rows persist alongside (``<path>/centroids``) so a
+    probe session rebuilds nothing.
+    """
+    cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+    rows = df.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
+    )
+    assigned = (
+        rows.crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            vec_col,
+            "_nrm",
+            "cell_id",
+            _cosine_pre(
+                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
+            ).alias("cell_sim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                "cell_id",
+                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
+            ).alias("cell_id"),
+            F.first(vec_col).alias(vec_col),
+            F.first("_nrm").alias("_nrm"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{path}/corpus"
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe a persisted IVF index (``build_ivf_index``): identical
+    output to ``ivf_topk`` on the same corpus/centroids/params, but the
+    corpus side reads ONLY the probed cells' files — the distinct probe
+    cell ids (bounded by |queries|·nprobe) are collected and pushed as
+    a partition filter, so the scan's PartitionFilters prune everything
+    else (plan-pinned in tests). The query-vector lookup is one
+    column-pruned pass (id + vector only); the expensive candidate
+    join touches nprobe/|cells| of the data, now at the FILE level,
+    not just the row level.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    corpus_all = spark.read.parquet(f"{path}/corpus").withColumn(
+        "cell_id", F.col("cell_id").cast("long")
+    )
+    qrows = corpus_all.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("_nrm").alias("qn"),
+    )
+    qw = Window.partitionBy("query_id").orderBy(
+        F.desc("cell_sim"), F.asc("cell_id")
+    )
+    queries = (
+        qrows.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "cell_id",
+            _cosine_pre(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias(
+                "cell_sim"
+            ),
+        )
+        .withColumn("cell_rank", F.row_number().over(qw))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("query_id", "qv", "qn", "cell_id")
+        .localCheckpoint(eager=False)
+    )
+    # bounded collect (|queries| x nprobe cell ids) -> LITERAL partition
+    # filter, the whole point of the partitioned layout
+    probe_cells = sorted({r.cell_id for r in queries.select("cell_id").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell_id").isin([int(c) for c in probe_cells]))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nv"),
+            F.col("_nrm").alias("nn"),
+            F.col("cell_id").cast("long").alias("cell_id"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
     """Unit-normalize an embedding column (prerequisite for dot-product
     ANN indexes): the norm is computed ONCE per row in its own column

@@ -267,3 +267,25 @@ def test_semantic_decontaminate_removes_bench_and_neighbors(spark):
         emb, bench, "vec_id", "embedding", SEEDS, threshold=1.1
     )
     assert out2.count() == emb.count()  # nothing reaches cosine > 1
+
+
+def test_ivf_index_probe_matches_live_and_prunes(spark, tmp_path):
+    from tests.test_plans import plan
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "vec_id", "embedding", SEEDS, path)
+    idx = similarity.ivf_topk_indexed(
+        spark, path, "vec_id", "embedding", list(range(10)), k=5, nprobe=2
+    )
+    live = similarity.ivf_topk(
+        emb, "vec_id", "embedding", list(range(10)),
+        centroid_ids=SEEDS, k=5, nprobe=2,
+    )
+    assert sorted(map(tuple, idx.collect())) == sorted(map(tuple, live.collect()))
+    # the candidate scan prunes at the FILE level: literal cell ids in
+    # PartitionFilters (not just a row filter after reading everything)
+    p = plan(idx)
+    import re
+    assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", p), p
