@@ -75,6 +75,9 @@ REHEARSAL = [
     "dedup_bloom_bucketed",
     "boilerplate_removal",
     "mixture_repeats",
+    "stratified_fixed_n",
+    "semantic_decontaminate",
+    "ivf_topk_indexed",
 ]
 
 
