@@ -37,8 +37,8 @@ REHEARSAL = [
     "scd2_dimension",
     "tpch_q21_waiting_suppliers",
     "tpch_q18_large_volume_customer",
-    "similarity_topk_bruteforce",
-    "embedding_near_dups",
+    "similarity_topk",
+    "dedup_embedding_cosine",
     "tpch_q1_pricing_summary",
     # round-5 additions
     "events_stream_join",
