@@ -883,35 +883,42 @@ def boilerplate_line_removal(
     n_lines_dropped). Exact by construction — DuckDB replays the same
     census and reassembly, so the operator is oracle-verifiable.
     """
-    gcols = [group_col] if group_col else []
+    # internal grouping key: NULL group values coalesce to a sentinel
+    # (same rule as content_hash's NULL sentinel) — a plain equi-join
+    # on a NULL group key never matches, so boilerplate inside a
+    # NULL-group slice would silently never strip
+    if group_col:
+        gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00NULL"))
+        gcols = [group_col]
+    else:
+        gkey = F.lit("")
+        gcols = []
     lines = df.select(
         F.col(id_col),
         *[F.col(c) for c in gcols],
+        gkey.alias("__grp"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\\Q" + sep + "\\E")
         ).alias("__pos", "__line"),
     )
-    sizes = df.groupBy(*[F.col(c) for c in gcols]).agg(
+    sizes = df.groupBy(gkey.alias("__grp")).agg(
         F.count(F.lit(1)).alias("__n_docs")
     )
     census = (
-        lines.select(*gcols, "__line", id_col)
+        lines.select("__grp", "__line", id_col)
         .distinct()
-        .groupBy(*gcols, "__line")
+        .groupBy("__grp", "__line")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .join(F.broadcast(sizes), "__grp")
     )
-    if gcols:
-        census = census.join(F.broadcast(sizes), gcols)
-    else:
-        census = census.crossJoin(F.broadcast(sizes))
     frequent = census.filter(
         F.col("__n")
         >= F.greatest(
             F.lit(min_docs),
             F.ceil(F.lit(float(min_doc_frac)) * F.col("__n_docs")),
         )
-    ).select(*gcols, "__line", F.lit(1).alias("__bp"))
-    kept = lines.join(frequent, [*gcols, "__line"], "left").filter(
+    ).select("__grp", "__line", F.lit(1).alias("__bp"))
+    kept = lines.join(frequent, ["__grp", "__line"], "left").filter(
         F.col("__bp").isNull()
     )
     rebuilt = kept.groupBy(id_col).agg(

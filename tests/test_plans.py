@@ -294,3 +294,37 @@ def test_bucketed_ref_exact_dedup_has_no_ref_side_exchange(spark):
     assert sorted(r.doc_id for r in bucketed.collect()) == sorted(
         r.doc_id for r in plain.collect()
     )
+
+
+def test_semantic_decontaminate_is_batch_vs_bench_only(spark):
+    """Embedding decontamination must never pair corpus x corpus: the
+    only joins are the broadcast centroid argmaxes, the broadcast
+    bench-candidate join on cell_id, and the anti join removing
+    contaminated ids. A CartesianProduct or non-broadcast nested loop
+    means all-pairs leaked in."""
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 10)
+    df = similarity.semantic_decontaminate(
+        emb, bench, "vec_id", "embedding", [100, 200, 300, 400], threshold=0.3
+    )
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    nlj = re.findall(r"\(\d+\) (\w*NestedLoopJoin)", p)
+    assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
+
+
+def test_boilerplate_removal_has_no_cartesian(spark):
+    from betl_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(
+        dedup.boilerplate_line_removal(
+            docs, "doc_id", "text", group_col="source", min_docs=5
+        )
+    )
+    assert "CartesianProduct" not in p
+    # frequent-set and group-size joins are equi-joins / broadcasts
+    nlj = re.findall(r"\(\d+\) (\w*NestedLoopJoin)", p)
+    assert all(j == "BroadcastNestedLoopJoin" for j in nlj)

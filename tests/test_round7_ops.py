@@ -289,3 +289,23 @@ def test_ivf_index_probe_matches_live_and_prunes(spark, tmp_path):
     p = plan(idx)
     import re
     assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", p), p
+
+
+def test_boilerplate_strips_inside_null_group(spark):
+    # NULL group values must still form a group (equi-joins never match
+    # NULL keys, so without the internal sentinel this boilerplate
+    # would silently survive)
+    from betl_spark.operators import dedup
+
+    rows = [(i, None, f"BP\nu{i}") for i in range(5)] + [
+        (9, "A", "BP\nu9")  # BP appears once in group A -> kept there
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.boilerplate_line_removal(
+            df, "doc_id", "text", group_col="source", min_docs=5
+        ).collect()
+    }
+    assert all(out[i].text == f"u{i}" for i in range(5))
+    assert out[9].text == "BP\nu9"
