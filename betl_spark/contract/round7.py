@@ -384,6 +384,82 @@ WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.vec_id = c.vec_id)
 """.replace("{cos}", _cos_sql("a.embedding", "b.embedding"))
 
 
+N_SHUFFLE_SHARDS = 16
+
+
+def q_training_shuffle(spark, sf_dir):
+    """Seeded deterministic global shuffle: (shard, position) ordering
+    that is a pure function of (doc_id, seed) — reproducible training
+    order across engines and re-runs."""
+    from betl_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.deterministic_shuffle(
+        docs, "doc_id", N_SHUFFLE_SHARDS, seed=7
+    )
+
+
+TRAINING_SHUFFLE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5('7:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT)
+              % {N_SHUFFLE_SHARDS} AS INTEGER) AS shard,
+         CAST(('0x' || substr(hx, 9, 8)) AS BIGINT) AS ord
+  FROM h
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard ORDER BY ord, doc_id
+       ) AS BIGINT) AS position
+FROM s
+"""
+
+
+def q_dedup_cluster_histogram(spark, sf_dir):
+    """Duplicate-cluster size histogram over the embedding near-dup
+    graph — the whale-component report (same pair recipe as
+    `dedup_cluster_assign`)."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import dedup, similarity
+
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    pairs = similarity.embedding_near_dups(
+        emb, "vec_id", "embedding", threshold=0.2
+    )
+    return dedup.duplicate_cluster_sizes(pairs)
+
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE a.vec_id < 150 AND b.vec_id < 150
+    AND {{cos}} >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT cluster_id, COUNT(*) AS cluster_size FROM clusters GROUP BY 1
+)
+SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
+""".replace("{cos}", _cos_sql("a.embedding", "b.embedding"))
+
+
 def q_ivf_topk_indexed(spark, sf_dir):
     """ANN top-k over a PERSISTED IVF index: build once (corpus
     partitioned by cell_id + stored centroids), then probe with a
@@ -415,6 +491,11 @@ QUERIES = {
         SEMANTIC_DECONTAMINATE_SQL,
     ),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SIMILARITY_ANN_IVF_SQL),
+    "training_shuffle": (q_training_shuffle, TRAINING_SHUFFLE_SQL),
+    "dedup_cluster_histogram": (
+        q_dedup_cluster_histogram,
+        DEDUP_CLUSTER_HISTOGRAM_SQL,
+    ),
     "semantic_dedup_2level": (
         q_semantic_dedup_2level,
         SEMANTIC_DEDUP_2LEVEL_SQL,

@@ -949,6 +949,33 @@ def boilerplate_line_removal(
     )
 
 
+def duplicate_cluster_sizes(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    **cluster_kwargs,
+) -> DataFrame:
+    """Dedup observability: the cluster-SIZE histogram of the duplicate
+    graph — (cluster_size, n_clusters), e.g. "12,000 pairs collapse to
+    9,800 two-member clusters and one 140-member whale". The whale tail
+    is the operational signal: a single huge component means boilerplate
+    or a template storm, and it is what makes O(diameter) clustering
+    algorithms blow up — this report is how you SEE it before it costs
+    a cluster-day.
+
+    Scale shape: ``duplicate_clusters`` (its bounds apply) then two
+    bounded aggregates — per-cluster counts (≤ |nodes| rows) and the
+    histogram (≤ distinct sizes). Output sorted nowhere; order-free.
+    """
+    clusters = duplicate_clusters(pairs, id_a, id_b, **cluster_kwargs)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def intra_doc_line_dedup(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:

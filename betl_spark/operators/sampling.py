@@ -197,6 +197,44 @@ def stratified_fixed_n(
     ).drop("__h")
 
 
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Seeded, engine-reproducible GLOBAL shuffle for training-data
+    ordering: every row gets a (shard, position) such that reading
+    shards in order yields a pseudo-random permutation that is a pure
+    function of (key, seed) — re-runs, retries, and independent engines
+    produce byte-identical order, unlike ``df.orderBy(rand())``.
+
+    shard    = md5('<seed>:'+key)[1:8]  mod n_shards
+    position = row_number within shard ordered by md5 hex [9:16]
+               (a DIFFERENT hash window, so within-shard order does not
+               correlate with shard assignment), key tiebreak.
+
+    Scale shape: one exchange on shard + a per-shard sort — sorts run
+    in parallel across shards and each sorts |corpus|/n_shards rows; no
+    global sort, no single-reducer window (size n_shards to taste: more
+    shards = smaller sorts). Output: input columns + (shard, position).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    order = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(key_col))
+    return (
+        df.withColumn("shard", shard)
+        .withColumn("__ord", order)
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .drop("__ord")
+    )
+
+
 def mixture_with_repeats(
     df: DataFrame,
     key_col: str,

@@ -309,3 +309,40 @@ def test_boilerplate_strips_inside_null_group(spark):
     }
     assert all(out[i].text == f"u{i}" for i in range(5))
     assert out[9].text == "BP\nu9"
+
+
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from betl_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    n = docs.count()
+    out = sampling.deterministic_shuffle(docs, "doc_id", 8, seed=1)
+    rows = out.collect()
+    assert len(rows) == n
+    # positions are dense 1..|shard| within every shard
+    per = {}
+    for r in rows:
+        per.setdefault(r.shard, []).append(r.position)
+    for shard, ps in per.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # pure function of (key, seed): same under repartition, differs by seed
+    again = sampling.deterministic_shuffle(
+        docs.repartition(11), "doc_id", 8, seed=1
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    other = sampling.deterministic_shuffle(docs, "doc_id", 8, seed=2).collect()
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other))
+
+
+def test_duplicate_cluster_sizes_histogram(spark):
+    from betl_spark.operators import dedup
+
+    # chain of 3, a pair, another pair -> one 3-cluster + two 2-clusters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in dedup.duplicate_cluster_sizes(pairs).collect()
+    }
+    assert got == {3: 1, 2: 2}
