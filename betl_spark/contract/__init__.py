@@ -96,11 +96,13 @@ _PRIORITY = [
     # -- code changed this round: prior greens no longer representative
     #    (near_dup_removal shares the exact CC path dedup_cluster_assign
     #    + semantic_dedup re-verify, and the three-path equality is
-    #    property-tested, so it cedes its slot to a new query) --
+    #    property-tested, so it cedes its slot to a new query;
+    #    dedup_bloom_incremental's default path is byte-identical this
+    #    round — the new ref_hash_col param only adds a branch — so it
+    #    cedes its slot too) --
     "semantic_dedup",
     "dedup_cluster_assign",
     "cohort_retention",
-    "dedup_bloom_incremental",
     # -- new round-7 queries (first oracle check) --
     "semantic_dedup_2level",
     "dedup_bloom_bucketed",
@@ -110,6 +112,11 @@ _PRIORITY = [
     "stratified_fixed_n",
     "semantic_decontaminate",
     "ivf_topk_indexed",
+    "training_shuffle",
+    # dedup_cluster_histogram (the 10th round-7 query) waits outside
+    # the full window: the pytest oracle-parity suite replays it green
+    # every session and its CC internals are re-verified in-window via
+    # dedup_cluster_assign; it takes a driver slot in round 8
     # (the displaced multimodal round-5 greens kept their default code
     # path byte-identical — codec gating only adds the 'real' branch —
     # so they rotate forward in round 8 with the rest of round 5)

@@ -199,9 +199,11 @@ def q_boilerplate_removal(spark, sf_dir):
     aug = docs.select(
         "doc_id",
         "source",
+        # coalesce both fields: F.concat is NULL-propagating, and the
+        # oracle must see the identical composed text
         F.concat(
             F.lit("NAV "),
-            F.col("source"),
+            F.coalesce(F.col("source"), F.lit("")),
             F.lit("\n"),
             F.coalesce(F.col("text"), F.lit("")),
             F.lit("\nCOPYRIGHT FOOTER"),
@@ -215,28 +217,36 @@ def q_boilerplate_removal(spark, sf_dir):
 BOILERPLATE_REMOVAL_SQL = """
 WITH aug AS (
   SELECT doc_id, source,
-         'NAV ' || source || chr(10) || coalesce(text, '')
+         'NAV ' || coalesce(source, '') || chr(10) || coalesce(text, '')
          || chr(10) || 'COPYRIGHT FOOTER' AS text
   FROM documents
 ),
-d AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM aug),
+d AS (
+  SELECT doc_id, source,
+         coalesce(source, chr(0) || 'NULL') AS grp,
+         string_split(text, chr(10)) AS ls
+  FROM aug
+),
 lines AS (
-  SELECT doc_id, source, CAST(u.i AS INT) AS pos,
+  SELECT doc_id, grp, CAST(u.i AS INT) AS pos,
          ls[CAST(u.i AS INT) + 1] AS line
   FROM d, unnest(range(len(ls))) AS u(i)
 ),
-sizes AS (SELECT source, COUNT(*) AS n_docs FROM aug GROUP BY 1),
+sizes AS (
+  SELECT coalesce(source, chr(0) || 'NULL') AS grp, COUNT(*) AS n_docs
+  FROM aug GROUP BY 1
+),
 census AS (
-  SELECT source, line, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY 1, 2
+  SELECT grp, line, COUNT(DISTINCT doc_id) AS n FROM lines GROUP BY 1, 2
 ),
 freq AS (
-  SELECT c.source, c.line
-  FROM census c JOIN sizes s ON c.source = s.source
+  SELECT c.grp, c.line
+  FROM census c JOIN sizes s ON c.grp = s.grp
   WHERE c.n >= GREATEST(5, CEIL(0.0 * s.n_docs))
 ),
 kept AS (
   SELECT l.doc_id, l.pos, l.line
-  FROM lines l LEFT JOIN freq f ON l.source = f.source AND l.line = f.line
+  FROM lines l LEFT JOIN freq f ON l.grp = f.grp AND l.line = f.line
   WHERE f.line IS NULL
 ),
 rebuilt AS (
@@ -466,12 +476,17 @@ def q_ivf_topk_indexed(spark, sf_dir):
     partition-pruned scan. Identical semantics — and the identical
     DuckDB oracle — as the live `similarity_ann_ivf` query; only the
     storage/plan differ (file-level pruning, plan-pinned)."""
+    import os
     import tempfile
 
     from betl_spark.operators import similarity
 
     emb = table(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+    # fixed per-sf path, rebuilt in place (parquet overwrite) — a fresh
+    # mkdtemp per invocation would leak one full corpus copy per
+    # bench/test replay
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"betl_spark_ivf_index_{tag}")
     similarity.build_ivf_index(
         emb, "vec_id", "embedding", IVF_CENTROID_IDS, path
     )

@@ -189,11 +189,10 @@ def resize_plan(
     is plain IEEE double (min of ratios, floor), so an independent SQL
     engine reproduces it bit-for-bit.
 
-    'real' (import-gated on pillow): decodes each image, computes the
-    same geometry from the TRUE dimensions, and performs the actual
-    ``Image.resize`` so the resample executes in the Arrow batch —
-    output stays the geometry row (pixels flow onward in a production
-    sink stage, not through this plan)."""
+    'real' (import-gated on pillow): opens each image and computes the
+    same geometry from the TRUE header dimensions — no pixel decode or
+    resample happens here (the output carries only geometry; the sink
+    stage that consumes the plan performs the actual resample)."""
     import math
 
     if decoder == "real":
@@ -205,12 +204,16 @@ def resize_plan(
             for pdf in batches:
                 rows = {k: [] for k in ("media_id", "orig_width", "orig_height", "width", "height", "scale")}
                 for mid, c in zip(pdf["media_id"], pdf["content"]):
+                    # PIL reads dimensions from the header without
+                    # decoding pixels — the PLAN stays metadata-only;
+                    # the sink stage that consumes it performs the
+                    # actual resample (resizing here would decode every
+                    # image for output that carries only geometry)
                     img = image_open(io.BytesIO(bytes(c) if c is not None else b""))
                     ow, oh = int(img.width), int(img.height)
                     scale = min(max_width / ow, max_height / oh, 1.0)
                     w = max(1, math.floor(ow * scale))
                     h = max(1, math.floor(oh * scale))
-                    img.resize((w, h))
                     rows["media_id"].append(mid)
                     rows["orig_width"].append(ow)
                     rows["orig_height"].append(oh)

@@ -293,7 +293,12 @@ def mixture_with_repeats(
         th = math.floor((epochs - full) * buckets)
         n_full = F.when(F.col(stratum_col) == s, F.lit(int(full))).otherwise(n_full)
         extra_th = F.when(F.col(stratum_col) == s, F.lit(int(th))).otherwise(extra_th)
-    repeats = n_full + (hash_bucket(key_col, buckets) < extra_th).cast("int")
+    # NULL keys hash to NULL; coalesce to the bucket count so the
+    # extra-epoch test is FALSE (row still repeats floor(epochs) times)
+    # — the same arithmetic the SQL oracle's CASE produces
+    repeats = n_full + (
+        F.coalesce(hash_bucket(key_col, buckets), F.lit(buckets)) < extra_th
+    ).cast("int")
     return (
         df.withColumn("__rep", repeats)
         .filter(F.col("__rep") > 0)

@@ -296,30 +296,9 @@ def build_ivf_index(
         F.col(vec_col).alias("cv"),
         _norm(F.col(vec_col)).alias("cn"),
     )
-    rows = df.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
-    )
-    assigned = (
-        rows.crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            vec_col,
-            "_nrm",
-            "cell_id",
-            _cosine_pre(
-                F.col(vec_col), F.col("cv"), F.col("_nrm"), F.col("cn")
-            ).alias("cell_sim"),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                "cell_id",
-                F.struct(F.col("cell_sim"), (-F.col("cell_id")).alias("tb")),
-            ).alias("cell_id"),
-            F.first(vec_col).alias(vec_col),
-            F.first("_nrm").alias("_nrm"),
-        )
-    )
+    # same argmax rule as every other family member — a tiebreak or
+    # rounding fix in _assign_cells must apply to the persisted index too
+    assigned = _assign_cells(df, id_col, vec_col, cents).drop("cell_sim")
     assigned.write.mode("overwrite").partitionBy("cell_id").parquet(
         f"{path}/corpus"
     )
@@ -722,6 +701,39 @@ def semantic_decontaminate(
     )
 
 
+def _cell_pairs(
+    assigned: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Within-cell cosine pair generation shared by the semantic-dedup
+    family: an EQUI-join on cell_id with id_a < id_b and 6dp cosine >=
+    threshold — the stage whose byte-identity across variants the
+    determinism contract depends on."""
+    a = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_nrm").alias("na"),
+        "cell_id",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_nrm").alias("nb"),
+        "cell_id",
+    )
+    return (
+        a.join(b, "cell_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _cosine_pre(
+                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -848,30 +860,7 @@ def semantic_dedup(
         # the production path; codegen stays the oracle-exact default
         pairs = cell_pairs_arrow(assigned, id_col, vec_col, threshold)
     else:
-        a = assigned.select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("va"),
-            F.col("_nrm").alias("na"),
-            "cell_id",
-        )
-        b = assigned.select(
-            F.col(id_col).alias("id_b"),
-            F.col(vec_col).alias("vb"),
-            F.col("_nrm").alias("nb"),
-            "cell_id",
-        )
-        pairs = (
-            a.join(b, "cell_id")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a",
-                "id_b",
-                _cosine_pre(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ).alias("cosine_sim"),
-            )
-            .filter(F.col("cosine_sim") >= threshold)
-        )
+        pairs = _cell_pairs(assigned, id_col, vec_col, threshold)
     return _pick_survivors(assigned, pairs, id_col, survivor)
 
 
@@ -883,8 +872,11 @@ def _pick_survivors(
     all unpaired rows. ``min_id`` keeps the cluster id itself (no extra
     aggregate); ``min_centroid_sim`` (the SemDeDup paper's policy,
     arXiv:2303.09540 §2) keeps the member LEAST similar to its trained
-    centroid (tiebreak min id) — one bounded groupBy over cluster
-    members plus a broadcast join-back of the O(|clusters|) winner map.
+    centroid (tiebreak min id) — one groupBy over cluster members plus
+    an equi-join back of the winner map. The winner map is one row per
+    duplicate CLUSTER — smaller than the corpus but NOT bounded (a
+    100 TB corpus can hold 10^8+ clusters), so the join-back is left to
+    AQE's size-based strategy choice rather than a forced broadcast.
     """
     from betl_spark.operators.dedup import duplicate_clusters
 
@@ -911,7 +903,7 @@ def _pick_survivors(
         )
     )
     return (
-        member.join(F.broadcast(winners), "cluster_id", "left")
+        member.join(winners, "cluster_id", "left")
         .filter(F.col("cluster_id").isNull() | (F.col(id_col) == F.col("__keep")))
         .select(F.col(id_col), F.col("cell_id"))
     )
@@ -1048,30 +1040,7 @@ def semantic_dedup_2level(
         )
         .localCheckpoint(eager=False)
     )
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("na"),
-        "cell_id",
-    )
-    b = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("_nrm").alias("nb"),
-        "cell_id",
-    )
-    pairs = (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            _cosine_pre(
-                F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-            ).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    pairs = _cell_pairs(assigned, id_col, vec_col, threshold)
     return _pick_survivors(assigned, pairs, id_col, survivor)
 
 

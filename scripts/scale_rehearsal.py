@@ -78,6 +78,8 @@ REHEARSAL = [
     "stratified_fixed_n",
     "semantic_decontaminate",
     "ivf_topk_indexed",
+    "training_shuffle",
+    "dedup_cluster_histogram",
 ]
 
 
