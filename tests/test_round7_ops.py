@@ -346,3 +346,21 @@ def test_duplicate_cluster_sizes_histogram(spark):
         for r in dedup.duplicate_cluster_sizes(pairs).collect()
     }
     assert got == {3: 1, 2: 2}
+
+
+def test_mixture_with_repeats_null_key_gets_full_epochs(spark):
+    # NULL keys can't hash-qualify for the partial extra epoch, but they
+    # must still repeat floor(epochs) times (the oracle's CASE yields 0
+    # for the NULL comparison, never NULL row counts)
+    from betl_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(None, "a"), (1, "a"), (2, "a"), (3, "a")],
+        "doc_id long, lang string",
+    )
+    # epochs = min(4, 0.5*16/4) = 2.0 exactly -> everyone repeats twice
+    out = sampling.mixture_with_repeats(
+        df, "doc_id", "lang", {"a": 0.5}, budget=16, max_epochs=4.0
+    )
+    per = {r[0]: r[1] for r in out.groupBy("doc_id").count().collect()}
+    assert per == {None: 2, 1: 2, 2: 2, 3: 2}
