@@ -202,6 +202,8 @@ def deterministic_shuffle(
     key_col: str,
     n_shards: int,
     seed: int = 0,
+    shard_col: str = "shard",
+    position_col: str = "position",
 ) -> DataFrame:
     """Seeded, engine-reproducible GLOBAL shuffle for training-data
     ordering: every row gets a (shard, position) such that reading
@@ -217,8 +219,16 @@ def deterministic_shuffle(
     Scale shape: one exchange on shard + a per-shard sort — sorts run
     in parallel across shards and each sorts |corpus|/n_shards rows; no
     global sort, no single-reducer window (size n_shards to taste: more
-    shards = smaller sorts). Output: input columns + (shard, position).
+    shards = smaller sorts). Output: input columns + (shard_col,
+    position_col) — raises if either name already exists rather than
+    silently clobbering a caller column.
     """
+    for c in (shard_col, position_col):
+        if c in df.columns:
+            raise ValueError(
+                f"output column {c!r} already exists; pass "
+                "shard_col/position_col to rename (shard_assign pattern)"
+            )
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
@@ -226,11 +236,11 @@ def deterministic_shuffle(
     order = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
     from pyspark.sql import Window
 
-    w = Window.partitionBy("shard").orderBy(F.col("__ord"), F.col(key_col))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__ord"), F.col(key_col))
     return (
-        df.withColumn("shard", shard)
+        df.withColumn(shard_col, shard)
         .withColumn("__ord", order)
-        .withColumn("position", F.row_number().over(w).cast("long"))
+        .withColumn(position_col, F.row_number().over(w).cast("long"))
         .drop("__ord")
     )
 

@@ -191,6 +191,43 @@ def hyperplane_signs(vec_col: str, n_planes: int, dim: int) -> F.Column:
     return F.expr("CAST(" + " + ".join(parts) + " AS BIGINT)")
 
 
+def _seed_cents(df: DataFrame, id_col: str, vec_col: str, centroid_ids: list[int]) -> DataFrame:
+    """Seed-row centroid model (cell_id, cv, cn) — the deterministic
+    stand-in for trained centroids shared by the IVF family (one
+    definition so the assignment rule can never diverge between the
+    live and the persisted path)."""
+    return df.filter(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("cell_id"),
+        F.col(vec_col).alias("cv"),
+        _norm(F.col(vec_col)).alias("cn"),
+    )
+
+
+def _probe_topk(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Shared IVF probe tail: broadcast the (query, cell) set against
+    the candidate corpus, score same-cell pairs, rank per query by
+    (sim desc, neighbor_id) — one definition for the live and the
+    persisted index path."""
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -216,11 +253,7 @@ def ivf_topk(
     ~|corpus|/|cells| rows per cell — the classic IVF candidate
     reduction. Cell skew (hot centroids) is AQE's skew-join case.
     """
-    cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    )
+    cents = _seed_cents(df, id_col, vec_col, centroid_ids)
     rows = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -256,22 +289,7 @@ def ivf_topk(
             "cell_id",
         )
     )
-    scored = (
-        F.broadcast(queries)
-        .join(corpus, "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_pre(
-                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _probe_topk(queries, corpus, k)
 
 
 def build_ivf_index(
@@ -291,11 +309,7 @@ def build_ivf_index(
     The centroid rows persist alongside (``<path>/centroids``) so a
     probe session rebuilds nothing.
     """
-    cents = df.filter(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("cell_id"),
-        F.col(vec_col).alias("cv"),
-        _norm(F.col(vec_col)).alias("cn"),
-    )
+    cents = _seed_cents(df, id_col, vec_col, centroid_ids)
     # same argmax rule as every other family member — a tiebreak or
     # rounding fix in _assign_cells must apply to the persisted index too
     assigned = _assign_cells(df, id_col, vec_col, cents).drop("cell_sim")
@@ -325,10 +339,10 @@ def ivf_topk_indexed(
     not just the row level.
     """
     cents = spark.read.parquet(f"{path}/centroids")
-    corpus_all = spark.read.parquet(f"{path}/corpus").withColumn(
-        "cell_id", F.col("cell_id").cast("long")
-    )
-    qrows = corpus_all.filter(F.col(id_col).isin(query_ids)).select(
+    # the query lookup never reads cell_id, so no partition-column cast
+    qrows = spark.read.parquet(f"{path}/corpus").filter(
+        F.col(id_col).isin(query_ids)
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.col("_nrm").alias("qn"),
