@@ -113,10 +113,13 @@ _PRIORITY = [
     "semantic_decontaminate",
     "ivf_topk_indexed",
     "training_shuffle",
-    # dedup_cluster_histogram (the 10th round-7 query) waits outside
-    # the full window: the pytest oracle-parity suite replays it green
-    # every session and its CC internals are re-verified in-window via
-    # dedup_cluster_assign; it takes a driver slot in round 8
+    # dedup_cluster_histogram and bpe_train_merges (the last two
+    # round-7 queries) wait outside
+    # the full window: the pytest oracle-parity suite replays them
+    # green every session, the histogram's CC internals are re-verified
+    # in-window via dedup_cluster_assign, and the trainer is pinned to
+    # the pure-Python reference trainer by test; both take driver slots
+    # in round 8
     # (the displaced multimodal round-5 greens kept their default code
     # path byte-identical — codec gating only adds the 'real' branch —
     # so they rotate forward in round 8 with the rest of round 5)

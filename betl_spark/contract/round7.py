@@ -471,6 +471,94 @@ SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY 1
 """.replace("{cos}", _cos_sql("a.embedding", "b.embedding"))
 
 
+N_TRAIN_MERGES = 6
+
+
+def q_bpe_train_merges(spark, sf_dir):
+    """Distributed BPE merge learning over the corpus: one
+    word-frequency scan, then 6 argmax-and-merge rounds on the bounded
+    word table — the trainer side of the tokenizer-faithful BPE family
+    (the counting side applies a fixed list)."""
+    from betl_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    return bpe.train_merges_distributed(docs, "text", n_merges=N_TRAIN_MERGES)
+
+
+def _bpe_train_sql(n_merges: int) -> str:
+    """DuckDB replay of train_merges_distributed: the identical base
+    encoding (round6's proven _bpe_count_sql steps with no merges),
+    then ``n_merges`` generated stages — pair explode + weighted count,
+    deterministic argmax (count desc, pair lexicographically greatest),
+    merge applied via scalar subqueries. Same generator-in-lockstep
+    pattern as _bpe_count_sql."""
+    from betl_spark.operators.bpe import BND, SYM
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    enc = "coalesce(text, '')"
+    enc = f"replace(replace({enc}, {q(SYM)}, ''), {q(BND)}, '')"
+    enc = rf"regexp_replace({enc}, '([^ \w]|\d+)', ' \1 ', 'g')"
+    enc = rf"regexp_replace({enc}, ' +', {q(BND)}, 'g')"
+    enc = rf"regexp_replace({enc}, '([^{BND}])', {q(SYM + chr(92) + '1' + SYM)}, 'g')"
+
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+  SELECT enc, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split({enc}, {q(BND)})) AS enc FROM documents
+  ) WHERE enc <> '' GROUP BY enc
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"w{r - 1}"
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT string_split(
+           regexp_replace(enc, '^{SYM}|{SYM}$', '', 'g'), {q(SYM + SYM)}
+         ) AS syms, freq
+  FROM {prev}
+)"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT syms[CAST(u.i AS INT) + 1] AS x,
+         syms[CAST(u.i AS INT) + 2] AS y,
+         SUM(freq) AS c
+  FROM s{r}, unnest(range(len(syms) - 1)) AS u(i)
+  GROUP BY 1, 2
+)"""
+        )
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT x, y, c FROM p{r} "
+            "ORDER BY c DESC, x DESC, y DESC LIMIT 1)"
+        )
+        if r < n_merges:
+            ctes.append(
+                f"""w{r} AS MATERIALIZED (
+  SELECT replace(enc,
+           {q(SYM)} || (SELECT x FROM b{r}) || {q(SYM + SYM)}
+             || (SELECT y FROM b{r}) || {q(SYM)},
+           {q(SYM)} || (SELECT x FROM b{r})
+             || (SELECT y FROM b{r}) || {q(SYM)}) AS enc,
+         freq
+  FROM {prev}
+)"""
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, x, y, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n" + union
+        + "\n) WHERE x IS NOT NULL"
+    )
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql(N_TRAIN_MERGES)
+
+
 _IVF_INDEXES_BUILT: set = set()
 
 
@@ -519,6 +607,7 @@ QUERIES = {
     ),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SIMILARITY_ANN_IVF_SQL),
     "training_shuffle": (q_training_shuffle, TRAINING_SHUFFLE_SQL),
+    "bpe_train_merges": (q_bpe_train_merges, BPE_TRAIN_MERGES_SQL),
     "dedup_cluster_histogram": (
         q_dedup_cluster_histogram,
         DEDUP_CLUSTER_HISTOGRAM_SQL,

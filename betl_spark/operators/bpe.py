@@ -139,6 +139,85 @@ def _encoded_expr(text_col: str, merges: list[tuple[str, str]] | None) -> str:
     return s
 
 
+def train_merges_distributed(
+    df,
+    text_col: str,
+    n_merges: int = 8,
+):
+    """Learn the top-``n_merges`` BPE merges FROM the corpus — the
+    distributed counterpart of ``train_merges`` (same algorithm, same
+    deterministic tiebreak: highest weighted pair count, then the
+    lexicographically greatest pair), using the same sentinel encoding
+    and GPT-2-style pre-tokenizer as the application path, so the
+    learned list drops straight into ``bpe_token_count``.
+
+    The scale trick is the one Sennrich's reference implementation
+    uses: the corpus is scanned ONCE to build the word-frequency table
+    (groupBy on the sentinel-encoded pre-token — map-side combinable,
+    the exchange carries |distinct words|, not |tokens|), and every
+    merge round then iterates over that bounded table: explode
+    adjacent symbol pairs weighted by word frequency, aggregate, take
+    the argmax (a 1-row bounded collect), apply the merge as ONE
+    literal replace, lazily checkpoint. A 100 TB corpus pays one scan
+    total; the K rounds cost O(|vocab words|) each.
+
+    Returns a DataFrame (merge_rank, x, y, pair_count) — built from
+    the K collected winners, so it is deterministic and trivially
+    comparable across engines. Rounds stop early only if NO adjacent
+    pair remains anywhere (degenerate corpora); there is deliberately
+    no min-count cutoff so an independent engine can replay exactly K
+    rounds.
+    """
+    spark = df.sparkSession
+    base = F.expr(_encoded_expr(text_col, []))
+    words = (
+        df.select(F.explode(F.split(base, BND)).alias("enc"))
+        .filter(F.col("enc") != "")
+        .groupBy("enc")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        syms = F.split(
+            F.regexp_replace(F.col("enc"), f"^{SYM}|{SYM}$", ""), SYM + SYM
+        )
+        pairs = (
+            words.select(
+                F.posexplode(F.slice(syms, 1, F.size(syms) - 1)).alias(
+                    "i", "x"
+                ),
+                syms.alias("__syms"),
+                "freq",
+            )
+            .select(
+                "x",
+                F.element_at(F.col("__syms"), F.col("i") + 2).alias("y"),
+                "freq",
+            )
+            .groupBy("x", "y")
+            .agg(F.sum("freq").alias("c"))
+        )
+        best = pairs.orderBy(
+            F.desc("c"), F.desc("x"), F.desc("y")
+        ).limit(1).collect()
+        if not best:
+            break
+        x, y, c = best[0]["x"], best[0]["y"], int(best[0]["c"])
+        merges.append((x, y, c))
+        words = words.select(
+            F.expr(
+                f"replace(enc, {_sql_quote(SYM + x + SYM + SYM + y + SYM)}, "
+                f"{_sql_quote(SYM + x + y + SYM)})"
+            ).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        [(i + 1, x, y, c) for i, (x, y, c) in enumerate(merges)],
+        "merge_rank int, x string, y string, pair_count long",
+    )
+
+
 def bpe_token_count(
     text_col: str, merges: list[tuple[str, str]] | None = None
 ) -> F.Column:

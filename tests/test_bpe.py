@@ -109,3 +109,45 @@ def test_bpe_count_is_zero_shuffle_projection(spark):
         "doc_id",
         "text",
     }
+
+
+def test_train_merges_distributed_matches_reference_trainer(spark):
+    # identical corpus, identical algorithm: the distributed trainer
+    # must reproduce the pure-Python reference merge-for-merge
+    # (whitespace-only text, so both pre-tokenizers see the same words)
+    from betl_spark.operators import bpe
+
+    text = "low lower lowest low low newer newest new wide wider widest"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = [
+        (r.x, r.y)
+        for r in bpe.train_merges_distributed(df, "text", n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    exp = bpe.train_merges(text, 6)
+    assert got == exp
+
+
+def test_train_merges_distributed_feeds_token_count(spark):
+    # the learned list drops straight into the codegen counter
+    from betl_spark.operators import bpe
+
+    df = spark.createDataFrame(
+        [("aaab aaab aaab",), ("aaab b",)], "text string"
+    )
+    learned = [
+        (r.x, r.y)
+        for r in bpe.train_merges_distributed(df, "text", n_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    counts = {
+        r.text: r.n
+        for r in df.select(
+            "text", bpe.bpe_token_count("text", learned).alias("n")
+        ).collect()
+    }
+    # merges learned from the corpus compress 'aaab' below 4 chars/word
+    assert counts["aaab aaab aaab"] < 12
+    assert counts["aaab b"] >= counts["aaab aaab aaab"] / 3
