@@ -80,6 +80,7 @@ REHEARSAL = [
     "ivf_topk_indexed",
     "training_shuffle",
     "dedup_cluster_histogram",
+    "bpe_train_merges",
 ]
 
 
