@@ -202,7 +202,7 @@ def q_line_dedup(spark, sf_dir):
         "doc_id",
         F.concat(
             F.lit("SITE NAV HOME ABOUT\n"),
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.lit("\nCOPYRIGHT 2024 ALL RIGHTS RESERVED"),
         ).alias("text"),
     )
@@ -212,7 +212,7 @@ def q_line_dedup(spark, sf_dir):
 LINE_DEDUP_SQL = """
 WITH aug AS (
   SELECT doc_id,
-         'SITE NAV HOME ABOUT' || chr(10) || text || chr(10) ||
+         'SITE NAV HOME ABOUT' || chr(10) || coalesce(text, '') || chr(10) ||
          'COPYRIGHT 2024 ALL RIGHTS RESERVED' AS text
   FROM documents
 ),

@@ -406,7 +406,7 @@ SELECT s.doc_id, s.lang, s.ppl,
             WHEN s.ppl <= c.c1 THEN 'head'
             WHEN s.ppl <= c.c2 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM scored s JOIN cuts c ON s.lang = c.lang
+FROM scored s JOIN cuts c ON s.lang IS NOT DISTINCT FROM c.lang
 """
 
 

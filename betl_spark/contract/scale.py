@@ -867,10 +867,11 @@ def q_multimodal_decode(spark, sf_dir):
 
 MULTIMODAL_DECODE_SQL = """
 SELECT doc_id AS media_id,
-       CAST(1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS width,
-       CAST(1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS height,
-       CAST(1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS INTEGER) AS n_frames,
-       md5(text) AS feature_hash
+       -- coalesce matches the fake decoder, which hashes b'' for NULL
+       CAST(1 + CAST(('0x' || substr(md5(coalesce(text, '')), 1, 4)) AS INTEGER) % 2048 AS INTEGER) AS width,
+       CAST(1 + CAST(('0x' || substr(md5(coalesce(text, '')), 5, 4)) AS INTEGER) % 2048 AS INTEGER) AS height,
+       CAST(1 + CAST(('0x' || substr(md5(coalesce(text, '')), 9, 4)) AS INTEGER) % 300 AS INTEGER) AS n_frames,
+       md5(coalesce(text, '')) AS feature_hash
 FROM documents
 """
 
@@ -923,8 +924,8 @@ def q_multimodal_resize(spark, sf_dir):
 MULTIMODAL_RESIZE_SQL = """
 WITH dims AS (
   SELECT doc_id AS media_id,
-         1 + CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 2048 AS ow,
-         1 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 2048 AS oh
+         1 + CAST(('0x' || substr(md5(coalesce(text, '')), 1, 4)) AS INTEGER) % 2048 AS ow,
+         1 + CAST(('0x' || substr(md5(coalesce(text, '')), 5, 4)) AS INTEGER) % 2048 AS oh
   FROM documents
 ), scaled AS (
   SELECT media_id, ow, oh,
@@ -954,7 +955,7 @@ def q_multimodal_frame_sample(spark, sf_dir):
 MULTIMODAL_FRAME_SAMPLE_SQL = """
 WITH feats AS (
   SELECT doc_id AS media_id,
-         1 + CAST(('0x' || substr(md5(text), 9, 4)) AS INTEGER) % 300 AS n_frames
+         1 + CAST(('0x' || substr(md5(coalesce(text, '')), 9, 4)) AS INTEGER) % 300 AS n_frames
   FROM documents
 )
 SELECT media_id,
@@ -972,9 +973,12 @@ def q_quality_filter(spark, sf_dir):
         "doc_id",
         F.when(
             F.col("doc_id") % 4 == 0,
-            F.concat(F.col("text"), F.lit(" ### ... #noise ... #")),
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" ### ... #noise ... #"),
+            ),
         )
-        .otherwise(F.col("text"))
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
         .alias("text"),
     )
     return text.quality_filter(noisy, "doc_id", "text", min_tokens=60)
@@ -983,8 +987,9 @@ def q_quality_filter(spark, sf_dir):
 QUALITY_FILTER_SQL = r"""
 WITH noisy AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 4 = 0 THEN text || ' ### ... #noise ... #'
-              ELSE text END AS text
+         CASE WHEN doc_id % 4 = 0
+              THEN coalesce(text, '') || ' ### ... #noise ... #'
+              ELSE coalesce(text, '') END AS text
   FROM documents
 ),
 t AS (

@@ -58,7 +58,13 @@ def stratified_hash_sample(
     stratum column; strata not listed keep ``default_fraction``.
     Still one narrow projection: no shuffle, no per-stratum pass."""
     threshold = F.lit(int(round(default_fraction * buckets)))
-    for s, frac in sorted(fractions.items()):
+    # NULL strata can never match an equality CASE arm (NULL == s is
+    # NULL), so a None key would be dead weight — and Python can't even
+    # sort None against str. Drop it here; NULL-stratum rows take
+    # default_fraction like any unlisted stratum.
+    for s, frac in sorted(
+        (kv for kv in fractions.items() if kv[0] is not None)
+    ):
         threshold = F.when(
             F.col(stratum_col) == s, F.lit(int(round(frac * buckets)))
         ).otherwise(threshold)
