@@ -39,90 +39,83 @@ _ALL = {
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
 # dict order is the verification schedule, rotated each round so no
-# query's green row goes stale beyond 2 rounds. Round 7 leads with the
-# 38 queries whose last driver-side green dates from round 4 (2 rounds
-# old — the policy edge; they would breach it if deferred again): the
-# 21 operator/MDM/setop/static-SQL queries and the 17 static TPC-H
-# queries. Next come queries whose implementation changed this round
-# (their r6 greens no longer describe the shipped code), then new
-# round-7 queries (first oracle check; names not yet in _ALL are
-# skipped by the builder below), then round-5 greens whose code paths
-# the round touches (multimodal codec gating). The list below is sized
-# to exactly fill the 50-slot window once the new names land; the
-# remaining round-5 greens (1 round stale after this round's window,
-# refreshed by the pytest oracle-parity suite every session, which
-# replays ALL queries) rotate to the front in round 8.
+# query's green row goes stale beyond 2 rounds. Round 8 leads with the
+# only two queries that have NEVER held a driver-side green row
+# (bpe_train_merges, dedup_cluster_histogram — deferred from round 7's
+# full window; the r7 verdict's #1 ask), then the 43 queries whose last
+# driver green dates from round 5 (2 rounds old — the policy edge:
+# multimodal family, events_stream_* ex-dedupe, asof/interval/salted
+# joins, kmeans_update, mixture_rebalance*, similarity_ann_*, tpch_q5,
+# and the text/quality ladder), then this round's new query
+# (classifier_train), then queries whose IMPLEMENTATION or ORACLE
+# changed this round so their prior greens no longer describe the
+# shipped code: semantic_dedup + near_dup_removal (CC convergence probe
+# folded into the contraction job; near_dup_removal is also the oldest
+# r6-class green touching CC), ivf_topk_indexed (indexed probe now
+# shares _probe_topk and the max_by assignment primitive with the live
+# path), stratified_fixed_n (NULL-key rule aligned engine<->oracle).
+# The remaining round-6 greens (1 round stale after this window, all
+# replayed by the pytest oracle-parity suite every session) rotate to
+# the front in round 9.
 _PRIORITY = [
-    # -- round-4 greens (2 rounds stale), operator queries first --
-    "fact_fk_resolution",
-    "date_dimension",
-    "audit_dimension",
-    "mdm_group_count",
-    "mdm_map_master_data",
-    "apply_function_columns",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
-    "repetition_features",
-    "events_stream_dedupe",
-    "decontaminate_docs",
-    "doc_length_quantiles",
-    "dedup_containment",
-    "window_top_orders_per_segment",
-    "setop_except_customers",
-    "setop_intersect_nations",
-    "cube_revenue",
-    "rollup_revenue",
-    "top_customers",
-    # -- round-4 greens: the 17 static TPC-H queries --
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customer",
-    "tpch_q19_brand_revenue",
-    "tpch_q20_promotion_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # -- code changed this round: prior greens no longer representative
-    #    (near_dup_removal shares the exact CC path dedup_cluster_assign
-    #    + semantic_dedup re-verify, and the three-path equality is
-    #    property-tested, so it cedes its slot to a new query;
-    #    dedup_bloom_incremental's default path is byte-identical this
-    #    round — the new ref_hash_col param only adds a branch — so it
-    #    cedes its slot too) --
+    # -- never driver-verified (first oracle check at the driver) --
+    "bpe_train_merges",
+    "dedup_cluster_histogram",
+    # -- round-5 greens (2 rounds stale, the policy edge) --
+    "anti_join",
+    "asof_join_events",
+    "bigram_counts",
+    "corpus_curation",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "dedup_simhash",
+    "dedup_simhash_near_dups",
+    "delta_classify",
+    "delta_load_dimension",
+    "doc_fingerprint",
+    "events_stream_enrich",
+    "events_stream_join",
+    "events_stream_session",
+    "events_stream_sliding",
+    "events_stream_stateful",
+    "events_stream_tumbling",
+    "events_tumbling_window",
+    "interval_join_events",
+    "kmeans_update",
+    "lang_id",
+    "mixture_rebalance",
+    "mixture_rebalance_tokens",
+    "multimodal_audio_chunks",
+    "multimodal_binary",
+    "multimodal_decode",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "pack_sequences",
+    "pii_scrub",
+    "quality_filter",
+    "salted_join_events",
+    "scd2_dimension",
+    "sessionize_events",
+    "shard_stats",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_topk",
+    "stratified_sample",
+    "text_quality",
+    "token_count",
+    "tpch_q5_local_supplier",
+    "vocab_topk",
+    # -- new round-8 query (first oracle check; skipped by the builder
+    #    until its module lands) --
+    "classifier_train",
+    # -- code/oracle changed this round: prior greens not representative
+    #    (semantic_dedup_2level/_medoid share the identical changed CC
+    #    path and their three-way equality is property-tested, so they
+    #    cede their slots to the rotation) --
     "semantic_dedup",
-    "dedup_cluster_assign",
-    "cohort_retention",
-    # -- new round-7 queries (first oracle check) --
-    "semantic_dedup_2level",
-    "dedup_bloom_bucketed",
-    "semantic_dedup_medoid",
-    "boilerplate_removal",
-    "mixture_repeats",
-    "stratified_fixed_n",
-    "semantic_decontaminate",
+    "near_dup_removal",
     "ivf_topk_indexed",
-    "training_shuffle",
-    # dedup_cluster_histogram and bpe_train_merges (the last two
-    # round-7 queries) wait outside
-    # the full window: the pytest oracle-parity suite replays them
-    # green every session, the histogram's CC internals are re-verified
-    # in-window via dedup_cluster_assign, and the trainer is pinned to
-    # the pure-Python reference trainer by test; both take driver slots
-    # in round 8
-    # (the displaced multimodal round-5 greens kept their default code
-    # path byte-identical — codec gating only adds the 'real' branch —
-    # so they rotate forward in round 8 with the rest of round 5)
+    "stratified_fixed_n",
 ]
 
 QUERIES: dict = {}
