@@ -532,9 +532,12 @@ WITH ev AS (
   SELECT DISTINCT user_id,
          -- exact integer binning: numerator is an exact multiple of the
          -- period, so integer division is exact (epoch-micros overflow
-         -- double's 53-bit integer range, so no float math here)
+         -- double's 53-bit integer range, so no float math here).
+         -- FLOOR-mod, not DuckDB's truncating %, so pre-1970 (negative)
+         -- timestamps bin exactly like the engine's pmod
          (epoch_us(CAST(ts AS TIMESTAMP))
-          - epoch_us(CAST(ts AS TIMESTAMP)) % {WEEK_US}) // {WEEK_US} AS p
+          - ((epoch_us(CAST(ts AS TIMESTAMP)) % {WEEK_US} + {WEEK_US})
+             % {WEEK_US})) // {WEEK_US} AS p
   FROM events
 ),
 first AS (SELECT user_id, MIN(p) AS cohort_period FROM ev GROUP BY 1),

@@ -341,6 +341,9 @@ WITH h AS (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
            AS hh
   FROM documents
+  -- NULL keys never rank (engine contract: md5(NULL) has no
+  -- engine-reproducible position, see sampling.stratified_fixed_n)
+  WHERE doc_id IS NOT NULL
 ),
 ranked AS (
   SELECT doc_id, lang,

@@ -96,21 +96,43 @@ def write_bucketed(
     bare path — Spark persists the bucket spec in table metadata.
     ``sort_cols`` additionally sorts within each bucket file
     (sort-merge joins then skip the sort)."""
+    import re
+
+    # the cleanup below computes a filesystem location from the NAME,
+    # which is only well-defined for a plain identifier in the default
+    # database — a qualified `db.tbl` would rmtree the wrong path and
+    # then shadow or break the saveAsTable (advisor finding, round 7)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        raise ValueError(
+            f"write_bucketed requires an unqualified table identifier, "
+            f"got {table_name!r} (database-qualified or quoted names "
+            "would resolve to the wrong storage location on overwrite)"
+        )
     eff_mode = "overwrite" if mode == "replace" else mode
     if eff_mode == "overwrite":
         # a managed table from a PREVIOUS session leaves its location
         # behind while the (in-memory) catalog entry is gone; overwrite
-        # must win in both worlds
+        # must win in both worlds. When the catalog DOES know the
+        # table, drop the table's ACTUAL location, not the assumed
+        # default layout
         spark = df.sparkSession
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
         import shutil
         from urllib.parse import urlparse
 
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-        if wh.scheme in ("", "file"):
-            shutil.rmtree(
-                f"{wh.path.rstrip('/')}/{table_name.lower()}", ignore_errors=True
-            )
+        loc = None
+        if spark.catalog.tableExists(table_name):
+            desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+            for r in desc.collect():
+                if r["col_name"] == "Location":
+                    loc = r["data_type"]
+                    break
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if loc is None:
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = f"{wh.rstrip('/')}/{table_name.lower()}"
+        parsed = urlparse(loc)
+        if parsed.scheme in ("", "file"):
+            shutil.rmtree(parsed.path or loc, ignore_errors=True)
     writer = df.write.mode(eff_mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

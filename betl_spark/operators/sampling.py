@@ -190,6 +190,15 @@ def stratified_fixed_n(
     group-limit runs before the exchange and the shuffle carries ≤
     n·partitions rows per stratum, never the whole stratum. Output:
     the original rows + their 1-based ``rank``.
+
+    NULL keys never rank: ``md5(NULL)`` is NULL, and
+    ``top_n_per_group`` filters NULL order values up front (its
+    documented rule). This is a CONTRACT, not an accident — a NULL key
+    has no hash, so there is no engine-reproducible position for it
+    (two NULL-key rows tie on every sort column, making any rank
+    assignment nondeterministic in Spark AND in the oracle). The
+    oracle SQL applies the same ``key IS NOT NULL`` filter, and the
+    NULL-robustness suite injects NULL keys to pin the agreement.
     """
     from betl_spark.operators.stats import top_n_per_group
 

@@ -336,7 +336,9 @@ def ivf_topk_indexed(
     else (plan-pinned in tests). The query-vector lookup is one
     column-pruned pass (id + vector only); the expensive candidate
     join touches nprobe/|cells| of the data, now at the FILE level,
-    not just the row level.
+    not just the row level. The scoring/ranking tail is ``_probe_topk``
+    — the ONE definition shared with the live path, so a fix there
+    applies to both.
     """
     cents = spark.read.parquet(f"{path}/centroids")
     # the query lookup never reads cell_id, so no partition-column cast
@@ -379,24 +381,7 @@ def ivf_topk_indexed(
             F.col("cell_id").cast("long").alias("cell_id"),
         )
     )
-    scored = (
-        F.broadcast(queries)
-        .join(corpus, "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _cosine_pre(
-                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
-            ).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _probe_topk(queries, corpus, k)
 
 
 def normalize_vectors(df: DataFrame, vec_col: str, out_col: str | None = None) -> DataFrame:
@@ -627,7 +612,19 @@ def _assign_cells(
 ) -> DataFrame:
     """Broadcast-argmax cell assignment against a trained centroid
     model: |cells| cosines per row, map-side combinable max_by, the
-    corpus never shuffles. Output (id, vec, _nrm, cell_id, cell_sim)."""
+    corpus never shuffles. Output (id, vec, _nrm, cell_id, cell_sim).
+
+    Degenerate vectors behave identically to ``ivf_topk``'s inline
+    row_number assignment (the other primitive of the family, which
+    needs rank ≤ nprobe and so can't share this rank-1 aggregate):
+    a ZERO-NORM vector raises DIVIDE_BY_ZERO under the engine's ANSI
+    session in both paths (fail fast — silently mis-bucketing a bad
+    embedding is worse), and a NULL vector yields all-NULL cell_sims,
+    which BOTH primitives resolve to the minimum cell_id (struct
+    comparison puts NULL first; desc ordering puts it last — either
+    way the cell_id tiebreak decides). Pinned by
+    tests/test_round8_ops.py so the persisted index and the live probe
+    can never diverge on degenerate input."""
     rows = df.select(
         F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nrm")
     )

@@ -1,0 +1,222 @@
+"""Round-8 regression suite: the round-7 advisor findings.
+
+Each test pins one of the five ADVICE.md items so the agreed behavior
+can't drift back:
+1. degenerate-vector cell assignment is IDENTICAL between the max_by
+   primitive (_assign_cells, used by the persisted index) and the
+   row_number primitive (ivf_topk's inline rank) — NULL vectors go to
+   the minimum cell_id in both, zero-norm vectors raise in both;
+2. ivf_topk_indexed shares _probe_topk with the live path (refactor
+   pinned by indexed==live output equality, already covered in
+   test_round7_ops — here we pin the degenerate-input agreement);
+3. stratified_fixed_n's NULL-key rule (never ranks) matches the
+   oracle SQL's explicit filter;
+4. cohort_retention bins pre-1970 (negative) timestamps identically
+   in engine (pmod = floor-mod) and oracle (now explicit floor-mod);
+5. write_bucketed rejects qualified table names and resolves the
+   catalog location on overwrite.
+"""
+
+import os
+import shutil
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------- 1+2
+
+
+def test_null_vector_assignment_agrees_across_primitives(spark):
+    from betl_spark.operators.similarity import _assign_cells, _seed_cents
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 1.0]),
+        (8, None),  # NULL embedding: all cell_sims NULL
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = _seed_cents(df, "id", "vec", [0, 1])
+
+    got = {
+        r["id"]: r["cell_id"]
+        for r in _assign_cells(df, "id", "vec", cents).collect()
+    }
+    # row_number replica of ivf_topk's inline rank-1 assignment
+    from pyspark.sql import Window
+
+    from betl_spark.operators.similarity import _cosine_pre, _norm
+
+    rws = df.select("id", "vec", _norm(F.col("vec")).alias("_nrm"))
+    aw = Window.partitionBy("id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    rn = (
+        rws.crossJoin(F.broadcast(cents))
+        .select(
+            "id",
+            "cell_id",
+            _cosine_pre(
+                F.col("vec"), F.col("cv"), F.col("_nrm"), F.col("cn")
+            ).alias("cell_sim"),
+        )
+        .withColumn("rk", F.row_number().over(aw))
+        .filter("rk = 1")
+    )
+    want = {r["id"]: r["cell_id"] for r in rn.collect()}
+    assert got == want
+    # the NULL vector lands in the MINIMUM cell in both paths
+    assert got[8] == 0
+
+
+def test_zero_norm_vector_raises_in_both_primitives(spark):
+    from betl_spark.operators.similarity import (
+        _assign_cells,
+        _seed_cents,
+        ivf_topk,
+    )
+
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (9, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    cents = _seed_cents(df, "id", "vec", [0, 1])
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _assign_cells(df, "id", "vec", cents).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        ivf_topk(df, "id", "vec", [1], [0, 1], k=2, nprobe=1).collect()
+
+
+def test_indexed_probe_handles_null_vectors_like_live(spark, tmp_path):
+    from betl_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 1.0]),
+        (3, [0.5, 1.0]),
+        (4, [0.9, 0.1]),
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    path = str(tmp_path / "ivf")
+    build_ivf_index(df, "id", "vec", [0, 1], path)
+    live = ivf_topk(df, "id", "vec", [2, 4], [0, 1], k=3, nprobe=2)
+    idx = ivf_topk_indexed(spark, path, "id", "vec", [2, 4], k=3, nprobe=2)
+    key = lambda r: (r["query_id"], r["rank"])
+    lr = sorted((tuple(r) for r in live.collect()), key=lambda t: (t[0], t[3]))
+    ir = sorted((tuple(r) for r in idx.collect()), key=lambda t: (t[0], t[3]))
+    assert lr == ir
+
+
+# ------------------------------------------------------------------ 3
+
+
+def test_stratified_fixed_n_null_keys_match_oracle(spark):
+    from betl_spark.operators.sampling import stratified_fixed_n
+
+    rows = [(f"d{i}", "en") for i in range(5)] + [
+        (None, "en"),
+        (None, "fr"),          # stratum smaller than n with a NULL key
+        ("x1", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = stratified_fixed_n(df, "doc_id", "lang", 3).toPandas()
+    # NULL keys never rank (engine contract)
+    assert got["doc_id"].notna().all()
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "lang"]))
+    from betl_spark.contract.round7 import STRATIFIED_FIXED_N_SQL
+
+    sql = STRATIFIED_FIXED_N_SQL.replace("<= 20", "<= 3")
+    want = con.execute(sql).df()
+    con.close()
+    g = got.sort_values(["lang", "rank"]).reset_index(drop=True)
+    w = want.sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert g[["doc_id", "lang", "rank"]].astype(str).values.tolist() == (
+        w[["doc_id", "lang", "rank"]].astype(str).values.tolist()
+    )
+
+
+# ------------------------------------------------------------------ 4
+
+
+@pytest.fixture(scope="module")
+def negts_dir(tmp_path_factory):
+    """sf0.001 copy with a slice of events shifted pre-1970."""
+    dst = str(tmp_path_factory.mktemp("negts"))
+    for f in os.listdir(SRC):
+        shutil.copy(os.path.join(SRC, f), dst)
+    ev = pd.read_parquet(f"{SRC}/events.parquet")
+    ev.loc[ev.index[:50], "ts"] = ev["ts"].iloc[:50] - pd.Timedelta(days=365 * 60)
+    ev.to_parquet(f"{dst}/events.parquet", index=False)
+    return dst
+
+
+def test_cohort_retention_negative_ts_matches_oracle(spark, negts_dir):
+    from betl_spark.contract import ORACLES, QUERIES
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{negts_dir}/{t}.parquet')"
+        )
+    sdf = (
+        QUERIES["cohort_retention"](spark, negts_dir)
+        .toPandas()
+        .sort_index(axis=1)
+    )
+    odf = con.execute(ORACLES["cohort_retention"]).df().sort_index(axis=1)
+    con.close()
+    assert list(sdf.columns) == list(odf.columns)
+    s = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
+    o = odf.sort_values(list(odf.columns)).reset_index(drop=True)
+    assert s.shape == o.shape
+    # negative cohorts must actually exist, or the test proves nothing
+    assert (s["cohort_period"] < 0).any()
+    for c in s.columns:
+        assert (s[c].astype(str).values == o[c].astype(str).values).all(), c
+
+
+# ------------------------------------------------------------------ 5
+
+
+def test_write_bucketed_rejects_qualified_names(spark):
+    from betl_spark.io.writers import write_bucketed
+
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "somedb.tbl", ["id"], 2)
+    with pytest.raises(ValueError, match="unqualified"):
+        write_bucketed(df, "`weird name`", ["id"], 2)
+
+
+def test_write_bucketed_overwrite_uses_catalog_location(spark):
+    from betl_spark.io.writers import write_bucketed
+
+    name = "t_round8_bucketed_overwrite"
+    try:
+        write_bucketed(
+            spark.range(10).withColumn("k", F.col("id") % 3), name, ["k"], 2
+        )
+        # second overwrite goes through the catalog-resolution branch
+        write_bucketed(
+            spark.range(5).withColumn("k", F.col("id") % 3), name, ["k"], 2
+        )
+        assert spark.table(name).count() == 5
+        # still bucketed after overwrite
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        props = {r["col_name"]: r["data_type"] for r in desc}
+        assert props.get("Num Buckets") == "2"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
