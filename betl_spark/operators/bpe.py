@@ -139,10 +139,35 @@ def _encoded_expr(text_col: str, merges: list[tuple[str, str]] | None) -> str:
     return s
 
 
+def _pair_counts(words) -> "F.DataFrame":
+    """Weighted adjacent-pair counts of a (enc, freq) word table — the
+    explode + aggregate every trainer round runs; one definition so the
+    full-recount and the delta path can never count differently."""
+    syms = F.split(
+        F.regexp_replace(F.col("enc"), f"^{SYM}|{SYM}$", ""), SYM + SYM
+    )
+    return (
+        words.select(
+            F.posexplode(F.slice(syms, 1, F.size(syms) - 1)).alias("i", "x"),
+            syms.alias("__syms"),
+            "freq",
+        )
+        .select(
+            "x",
+            F.element_at(F.col("__syms"), F.col("i") + 2).alias("y"),
+            "freq",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
 def train_merges_distributed(
     df,
     text_col: str,
     n_merges: int = 8,
+    mode: str = "delta",
+    round_seconds: list | None = None,
 ):
     """Learn the top-``n_merges`` BPE merges FROM the corpus — the
     distributed counterpart of ``train_merges`` (same algorithm, same
@@ -155,19 +180,42 @@ def train_merges_distributed(
     uses: the corpus is scanned ONCE to build the word-frequency table
     (groupBy on the sentinel-encoded pre-token — map-side combinable,
     the exchange carries |distinct words|, not |tokens|), and every
-    merge round then iterates over that bounded table: explode
-    adjacent symbol pairs weighted by word frequency, aggregate, take
-    the argmax (a 1-row bounded collect), apply the merge as ONE
-    literal replace, lazily checkpoint. A 100 TB corpus pays one scan
-    total; the K rounds cost O(|vocab words|) each.
+    merge round then iterates over that bounded table. A 100 TB corpus
+    pays one scan total.
+
+    ``mode`` picks the per-round cost model:
+
+    - ``"delta"`` (default — the production path): the (x, y) → count
+      table is maintained INCREMENTALLY. Only words containing the
+      just-merged pair can change any pair count, so each round
+      explodes just that affected subset — subtract its pre-merge pair
+      counts, add its post-merge counts, fold into the running table
+      (all exact BIGINT sums; the maintained table is provably equal
+      to a fresh recount, pinned by test). Per-round explode cost
+      falls with the affected-word fraction instead of staying
+      O(|word table|): this is what makes a production 30-50k-merge
+      vocabulary feasible — late rounds touch a vanishing tail of the
+      vocabulary (measured in SCALE.md).
+    - ``"full"``: recount every pair from the whole word table each
+      round (Sennrich's plain formulation) — the validation
+      alternative the delta path is equality-pinned against.
+
+    Both modes take the argmax with the identical deterministic rule
+    (count desc, then pair lexicographically greatest) and run ONE
+    bounded 1-row collect per round.
 
     Returns a DataFrame (merge_rank, x, y, pair_count) — built from
     the K collected winners, so it is deterministic and trivially
     comparable across engines. Rounds stop early only if NO adjacent
     pair remains anywhere (degenerate corpora); there is deliberately
     no min-count cutoff so an independent engine can replay exactly K
-    rounds.
+    rounds. ``round_seconds``, if given a list, receives per-round
+    wall seconds (the SCALE.md falling-round-cost measurement hook).
     """
+    import time as _time
+
+    if mode not in ("delta", "full"):
+        raise ValueError(f"mode must be 'delta' or 'full', got {mode!r}")
     spark = df.sparkSession
     base = F.expr(_encoded_expr(text_col, []))
     words = (
@@ -178,26 +226,28 @@ def train_merges_distributed(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
+    if mode == "delta":
+        # Delta-mode invariants, each load-bearing (the naive loop was
+        # measured 18x slower by round 16 and diverging):
+        # - the no-shuffle words union DOUBLES the partition count per
+        #   round (kept ∪ merged) — coalesce back to the initial
+        #   post-shuffle count or round 15 runs 32·2^15 tasks;
+        # - checkpoints are EAGER: an RDD materialized only inside
+        #   AQE-submitted map stages never runs doCheckpoint, so a
+        #   lazy checkpoint in this loop shape never truncates and
+        #   task closures grow without bound;
+        # - the previous round's cached tables are dead once the new
+        #   ones materialize — unpersist them or a 50k-merge run leaks
+        #   2 vocab-sized cached tables per round.
+        words = words.localCheckpoint(eager=True)
+        n_parts = words.rdd.getNumPartitions()
+        pairs = _pair_counts(words).localCheckpoint(eager=True)
+    else:
+        pairs = None
     for _ in range(n_merges):
-        syms = F.split(
-            F.regexp_replace(F.col("enc"), f"^{SYM}|{SYM}$", ""), SYM + SYM
-        )
-        pairs = (
-            words.select(
-                F.posexplode(F.slice(syms, 1, F.size(syms) - 1)).alias(
-                    "i", "x"
-                ),
-                syms.alias("__syms"),
-                "freq",
-            )
-            .select(
-                "x",
-                F.element_at(F.col("__syms"), F.col("i") + 2).alias("y"),
-                "freq",
-            )
-            .groupBy("x", "y")
-            .agg(F.sum("freq").alias("c"))
-        )
+        t0 = _time.perf_counter()
+        if mode == "full":
+            pairs = _pair_counts(words)
         best = pairs.orderBy(
             F.desc("c"), F.desc("x"), F.desc("y")
         ).limit(1).collect()
@@ -205,13 +255,42 @@ def train_merges_distributed(
             break
         x, y, c = best[0]["x"], best[0]["y"], int(best[0]["c"])
         merges.append((x, y, c))
-        words = words.select(
-            F.expr(
-                f"replace(enc, {_sql_quote(SYM + x + SYM + SYM + y + SYM)}, "
-                f"{_sql_quote(SYM + x + y + SYM)})"
-            ).alias("enc"),
-            "freq",
-        ).localCheckpoint(eager=False)
+        pat = SYM + x + SYM + SYM + y + SYM
+        rep = SYM + x + y + SYM
+        apply_merge = F.expr(
+            f"replace(enc, {_sql_quote(pat)}, {_sql_quote(rep)})"
+        ).alias("enc")
+        if mode == "full":
+            words = words.select(apply_merge, "freq").localCheckpoint(
+                eager=False
+            )
+            if round_seconds is not None:
+                round_seconds.append(_time.perf_counter() - t0)
+            continue
+        # delta: only words CONTAINING the merged pair change any count
+        affected = words.filter(F.col("enc").contains(pat))
+        merged = affected.select(apply_merge, "freq")
+        old_pairs, old_words = pairs, words
+        pairs = (
+            pairs.unionByName(
+                _pair_counts(affected).select("x", "y", (-F.col("c")).alias("c"))
+            )
+            .unionByName(_pair_counts(merged))
+            .groupBy("x", "y")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") > 0)
+            .localCheckpoint(eager=True)
+        )
+        words = (
+            words.filter(~F.col("enc").contains(pat))
+            .unionByName(merged)
+            .coalesce(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        old_pairs.rdd.unpersist(False)
+        old_words.rdd.unpersist(False)
+        if round_seconds is not None:
+            round_seconds.append(_time.perf_counter() - t0)
     return spark.createDataFrame(
         [(i + 1, x, y, c) for i, (x, y, c) in enumerate(merges)],
         "merge_rank int, x string, y string, pair_count long",

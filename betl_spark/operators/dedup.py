@@ -567,16 +567,27 @@ def ngram_containment_pairs(
     )
 
 
-def _edge_checksum(edges: DataFrame) -> tuple:
-    """Cheap convergence probe: (count, xor-free hash sum) of the edge
-    set — equal checksums across rounds mean the star contraction
-    reached its fixpoint."""
-    row = edges.agg(
+def _checkpoint_with_checksum(edges: DataFrame) -> tuple:
+    """Materialize one contraction round AND compute its convergence
+    checksum in the SAME job: the (count, order-free hash sum) metrics
+    ride the eager localCheckpoint's materialization as an
+    ``observe()`` side-output (CollectMetrics accumulators), so each
+    round is exactly ONE Spark action — no separate probe job. Equal
+    checksums across rounds mean the star contraction reached its
+    fixpoint. Returns (checkpointed_edges, (n, h)); the one-job cost
+    is pinned by tests/test_round8_ops.py.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = edges.observe(
+        obs,
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) sum: full-range longs would overflow ANSI bigint
         F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-    ).first()
-    return (row["n"], row["h"])
+    ).localCheckpoint(eager=True)
+    got = obs.get
+    return out, (got["n"], got["h"])
 
 
 def _cc_union_find_local(e: DataFrame) -> DataFrame:
@@ -646,14 +657,12 @@ def _cc_large_small_star(
     ``small_graph_edges=0`` to force it (the plan-contract tests do).
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    # lazy checkpoint: the convergence probe below is the action that
-    # materializes it, so checkpoint + checksum share ONE job instead
-    # of an eager-checkpoint job followed by a checksum job — per-round
-    # scheduling overhead is the dominant cost of contraction on small
-    # graphs (bench: ~5s of semantic_dedup's 7.9s at sf0.1 was CC-round
+    # checkpoint + checksum share ONE job: the checksum rides the
+    # materialization as observe() metrics — per-round scheduling
+    # overhead is the dominant cost of contraction on small graphs
+    # (bench: ~5s of semantic_dedup's 7.9s at sf0.1 was CC-round
     # scheduling) and pure fixed cost at cluster scale
-    e = e.localCheckpoint(eager=False)
-    prev = _edge_checksum(e)
+    e, prev = _checkpoint_with_checksum(e)
     if prev[0] <= small_graph_edges:
         return _cc_union_find_local(e)
     for i in range(max_iter):
@@ -684,13 +693,12 @@ def _cc_large_small_star(
             .select(F.col("node").alias("src"), F.col("m").alias("dst"))
             .distinct()
         )
-        e = contracted.localCheckpoint(eager=False)
-        # the probe is the round's ONLY action (it materializes the lazy
-        # checkpoint as a side effect); probing every round keeps the
-        # break at the earliest fixpoint — skipping probes was measured
-        # slower, the extra no-change contraction rounds cost more than
-        # the probe job they save
-        cur = _edge_checksum(e)
+        # one action per round: the checksum is an observe() side-output
+        # of the checkpoint materialization itself; probing every round
+        # keeps the break at the earliest fixpoint — skipping probes was
+        # measured slower, the extra no-change contraction rounds cost
+        # more than the probe they save
+        e, cur = _checkpoint_with_checksum(contracted)
         if cur == prev:
             break
         prev = cur

@@ -187,6 +187,74 @@ def ann_skew_rehearsal() -> None:
     spark.stop()
 
 
+def bpe_rounds_rehearsal() -> None:
+    """Measure the BPE trainer's PER-ROUND cost curve at sf0.1 for both
+    pair-count modes. The delta-maintenance claim under test: each
+    round explodes only the words containing the just-merged pair, so
+    round cost FALLS as merges consume the frequent pairs, instead of
+    staying flat at O(|word table|) like the full recount — the
+    property that makes a 30-50k-merge production vocabulary feasible
+    (round r's timing includes materializing round r-1's lazily
+    checkpointed table updates, so the fall shows net of maintenance).
+    """
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators import bpe
+    from betl_spark.session import build_spark
+
+    spark = build_spark("betl_spark_bpe_rounds")
+    docs = spark.read.parquet(f"{SF01}/documents.parquet").select("text")
+    K = 16
+    learned = None
+    for mode in ("full", "delta"):
+        times: list[float] = []
+        t0 = time.perf_counter()
+        out = bpe.train_merges_distributed(
+            docs, "text", n_merges=K, mode=mode, round_seconds=times
+        )
+        rows = out.orderBy("merge_rank").collect()
+        total = time.perf_counter() - t0
+        head = " ".join(f"{t:.2f}" for t in times[:4])
+        tail = " ".join(f"{t:.2f}" for t in times[-4:])
+        print(
+            f"{mode}: {len(rows)} merges, total {total:.1f}s, rounds 1-4 "
+            f"[{head}] ... rounds {K-3}-{K} [{tail}]",
+            flush=True,
+        )
+        learned = rows
+    # the quantity the delta mode bounds: words EXPLODED per round.
+    # Full mode explodes the whole word table every round (flat); delta
+    # explodes only words containing the just-merged pair — replay the
+    # learned merges over the word table and count both per round.
+    base = F.expr(bpe._encoded_expr("text", []))
+    words = (
+        docs.select(F.explode(F.split(base, bpe.BND)).alias("enc"))
+        .filter(F.col("enc") != "")
+        .groupBy("enc")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    vocab = words.count()
+    fracs = []
+    for r in learned:
+        pat = bpe.SYM + r.x + bpe.SYM + bpe.SYM + r.y + bpe.SYM
+        rep = bpe.SYM + r.x + r.y + bpe.SYM
+        affected = words.filter(F.col("enc").contains(pat)).count()
+        fracs.append(affected / vocab)
+        words = words.select(
+            F.expr(
+                f"replace(enc, {bpe._sql_quote(pat)}, {bpe._sql_quote(rep)})"
+            ).alias("enc"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    print(
+        f"word table {vocab} rows; affected fraction by round: "
+        + " ".join(f"{f:.3f}" for f in fracs),
+        flush=True,
+    )
+    spark.stop()
+
+
 def main() -> None:
     from betl_spark.contract import QUERIES
     from betl_spark.session import build_spark
@@ -256,5 +324,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--ann-skew" in sys.argv:
         ann_skew_rehearsal()
+    elif "--bpe-rounds" in sys.argv:
+        bpe_rounds_rehearsal()
     else:
         main()

@@ -151,3 +151,45 @@ def test_train_merges_distributed_feeds_token_count(spark):
     # merges learned from the corpus compress 'aaab' below 4 chars/word
     assert counts["aaab aaab aaab"] < 12
     assert counts["aaab b"] >= counts["aaab aaab aaab"] / 3
+
+
+def test_delta_mode_equals_full_recount_and_reference(spark):
+    # the incrementally-maintained pair table must be provably equal to
+    # a fresh recount: same merges, same counts, round for round — and
+    # both must equal the pure-Python reference trainer
+    from betl_spark.operators import bpe
+
+    text = (
+        "low lower lowest low low newer newest new wide wider widest "
+        "slow slower slowest slowly widely newly lowly"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    rows = lambda mode: [
+        (r.merge_rank, r.x, r.y, r.pair_count)
+        for r in bpe.train_merges_distributed(df, "text", n_merges=8, mode=mode)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    delta, full = rows("delta"), rows("full")
+    assert delta == full
+    assert [(x, y) for _, x, y, _ in delta] == bpe.train_merges(text, 8)
+
+
+def test_delta_mode_on_real_documents(spark):
+    # mixed punctuation/number corpus: the pre-tokenizer boundaries and
+    # the delta maintenance must agree with the full recount on real
+    # testdata, not just toy words
+    from betl_spark.operators import bpe
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("text")
+        .limit(200)
+    )
+    rows = lambda mode: [
+        tuple(r)
+        for r in bpe.train_merges_distributed(df, "text", n_merges=6, mode=mode)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert rows("delta") == rows("full")

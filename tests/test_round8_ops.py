@@ -188,6 +188,45 @@ def test_cohort_retention_negative_ts_matches_oracle(spark, negts_dir):
         assert (s[c].astype(str).values == o[c].astype(str).values).all(), c
 
 
+# ---------------------------------------------- CC probe fold (r7 #3)
+
+
+def test_checkpoint_with_checksum_is_one_job(spark):
+    """The CC convergence checksum rides the checkpoint materialization
+    as observe() metrics — exactly ONE Spark job per contraction round,
+    no separate probe action (the r7 verdict's ask #3)."""
+    from betl_spark.operators.dedup import _checkpoint_with_checksum
+
+    df = spark.range(1000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out, (n, h) = _checkpoint_with_checksum(df)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after - before == 1
+    assert n == 1000 and h is not None
+    # the returned frame is the materialized checkpoint, ready to use
+    assert out.count() == 1000
+
+
+def test_cc_star_same_fixpoint_after_probe_fold(spark):
+    """Distributed contraction (probe folded into the round job) still
+    lands on the identical fixpoint as driver union-find and min-label
+    propagation."""
+    from betl_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 10)],
+        "id_a long, id_b long",
+    )
+    star = duplicate_clusters(pairs, small_graph_edges=0)  # force distributed
+    uf = duplicate_clusters(pairs)  # small-graph union-find path
+    ml = duplicate_clusters(pairs, algorithm="min_label")
+    key = lambda df: sorted((r["node"], r["cluster_id"]) for r in df.collect())
+    assert key(star) == key(uf) == key(ml)
+
+
 # ------------------------------------------------------------------ 5
 
 
