@@ -24,6 +24,7 @@ from betl_spark.contract.round3 import QUERIES as _ROUND3
 from betl_spark.contract.round5 import QUERIES as _ROUND5
 from betl_spark.contract.round6 import QUERIES as _ROUND6
 from betl_spark.contract.round7 import QUERIES as _ROUND7
+from betl_spark.contract.round8 import QUERIES as _ROUND8
 
 _ALL = {
     **_TPCH,
@@ -35,6 +36,7 @@ _ALL = {
     **_ROUND5,
     **_ROUND6,
     **_ROUND7,
+    **_ROUND8,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so

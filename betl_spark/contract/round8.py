@@ -1,0 +1,124 @@
+"""Round-8 contract queries.
+
+``classifier_train`` closes the CCNet/fastText quality-selection loop
+the way round 7's ``bpe_train_merges`` closed the tokenizer loop: the
+engine TRAINS the hashed-bag-of-words linear classifier that
+``classifier_score`` (round 6) applies. Training is full-batch
+logistic-regression gradient descent with every accumulator in exact
+integer nanos, so DuckDB replays the identical iterations and lands on
+the identical weight table (generated per-iteration CTEs — the same
+generator-in-lockstep pattern as round 7's ``_bpe_train_sql``).
+"""
+
+from __future__ import annotations
+
+from betl_spark.contract.common import table
+
+CLF_TRAIN_BUCKETS = 256
+CLF_TRAIN_ITERS = 3
+CLF_TRAIN_LR = 0.5
+
+
+def q_classifier_train(spark, sf_dir):
+    """In-engine quality-classifier training: 3 full-batch GD
+    iterations of logistic regression on hashed token features over
+    the documents table, label = (lang = 'en'). Returns the trained
+    weight table (bias at bucket -1) — drop-in for classifier_score."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.quality import classifier_train
+
+    docs = table(spark, sf_dir, "documents")
+    return classifier_train(
+        docs,
+        "doc_id",
+        "text",
+        F.col("lang") == F.lit("en"),
+        buckets=CLF_TRAIN_BUCKETS,
+        iterations=CLF_TRAIN_ITERS,
+        lr=CLF_TRAIN_LR,
+    )
+
+
+def _clf_train_sql(buckets: int, iterations: int, lr: float) -> str:
+    """DuckDB replay of classifier_train: identical feature build
+    (md5-hashed tokens, nano-quantized count/n features, bias feature
+    at bucket -1), then ``iterations`` generated stages of
+    logit -> sigmoid -> nano error -> HUGEINT gradient sums -> weight
+    update, every rounding written as floor(x + 0.5) so both engines
+    quantize identically."""
+    ctes = [
+        f"""f0 AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % {buckets}
+           AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+)""",
+        """nd AS (SELECT doc_id, COUNT(*) AS n FROM f0 GROUP BY doc_id)""",
+        """f AS MATERIALIZED (
+  SELECT f0.doc_id, f0.y, f0.bucket,
+         CAST(floor(COUNT(*) * 1e9 / MAX(nd.n) + 0.5) AS BIGINT) AS x9
+  FROM f0 JOIN nd ON f0.doc_id = nd.doc_id
+  GROUP BY f0.doc_id, f0.y, f0.bucket
+  UNION ALL
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(-1 AS BIGINT) AS bucket, CAST(1000000000 AS BIGINT) AS x9
+  FROM documents
+)""",
+        """ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM f)""",
+    ]
+    for i in range(1, iterations + 1):
+        if i == 1:
+            s_expr = "SUM(CAST(f.x9 AS HUGEINT) * 0)"
+            p_from = "FROM f"
+        else:
+            s_expr = "SUM(CAST(f.x9 AS HUGEINT) * COALESCE(w.wn, 0))"
+            p_from = f"FROM f LEFT JOIN w{i - 1} w ON f.bucket = w.bucket"
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT f.doc_id, f.y,
+         CAST(floor(1.0 / (1.0 + exp(-(
+             floor(CAST({s_expr} AS DOUBLE) / 1e9 + 0.5) / 1e9
+           ))) * 1e9 + 0.5) AS BIGINT) AS p_nano
+  {p_from}
+  GROUP BY f.doc_id, f.y
+)"""
+        )
+        ctes.append(
+            f"""g{i} AS MATERIALIZED (
+  SELECT f.bucket,
+         SUM(CAST(p.p_nano - p.y * 1000000000 AS HUGEINT) * f.x9) AS G
+  FROM f JOIN p{i} p ON f.doc_id = p.doc_id
+  GROUP BY f.bucket
+)"""
+        )
+        prev_w = (
+            f"LEFT JOIN w{i - 1} w ON g.bucket = w.bucket" if i > 1 else ""
+        )
+        prev_val = "COALESCE(w.wn, 0)" if i > 1 else "0"
+        ctes.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT g.bucket,
+         {prev_val} - CAST(floor(
+             {lr} * CAST(g.G AS DOUBLE)
+             / (1e9 * (SELECT n FROM ndocs)) + 0.5
+           ) AS BIGINT) AS wn
+  FROM g{i} g {prev_w}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT bucket, CAST(wn AS DOUBLE) / 1e9 AS w FROM w{iterations}"
+    )
+
+
+CLASSIFIER_TRAIN_SQL = _clf_train_sql(
+    CLF_TRAIN_BUCKETS, CLF_TRAIN_ITERS, CLF_TRAIN_LR
+)
+
+
+QUERIES = {
+    "classifier_train": (q_classifier_train, CLASSIFIER_TRAIN_SQL),
+}

@@ -215,3 +215,178 @@ def classifier_score(
             ),
         )
     )
+
+
+def classifier_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label: Column,
+    buckets: int = 1 << 16,
+    iterations: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """TRAIN the hashed-bag-of-words linear quality classifier that
+    ``classifier_score`` applies — the in-engine half of the
+    CCNet/fastText selection loop (public: Joulin et al. 2016;
+    Wenzek et al. 2020 train exactly this shape to pick "looks like
+    the target" documents). The reference has no trainable anything;
+    this is a beyond-reference scale operator, the counterpart of what
+    ``train_merges_distributed`` did for the tokenizer loop.
+
+    Model and features match the scorer exactly, so the returned
+    weight table drops straight into ``classifier_score``:
+    tokens = split(text, ' ') (same tokenizer), feature x(d,b) =
+    count_b(d)/n_tokens(d) (the scorer's mean-of-token-weights logit
+    is exactly <x, w>), plus a constant bias feature at bucket -1
+    (pass ``w[bucket=-1]`` as the scorer's ``bias``).
+
+    Training is FULL-BATCH gradient descent on logistic loss for a
+    fixed ``iterations`` — deterministic by construction, which is
+    what makes it an oracle-checkable contract: there is no sample
+    order, and ALL accumulator state is exact integers (nano-quantized
+    features x9 = floor(c·1e9/n + .5), nano-quantized probabilities,
+    BIGINT/DECIMAL(38,0) sums — the engine-agnostic order-free-sum
+    discipline used throughout this repo), so an independent engine
+    replaying the same arithmetic lands on the identical weight table.
+    Floats appear only in σ(logit) and the lr·gradient step, both
+    immediately re-quantized.
+
+    Scale shape — the part that makes T iterations affordable at
+    100 TB: the corpus is exploded and SHUFFLED EXACTLY ONCE, into a
+    per-document feature-array table (doc, y, [(bucket, x9)…]) that is
+    checkpointed. Every iteration is then one job with ZERO
+    corpus-sized exchanges: the current weight table ships as a
+    CONSTANT-FOLDED map literal inside the plan (``str_to_map`` of one
+    literal string — bounded by the bucket count, the same
+    model-in-the-plan trick as the BPE merge chain and the SimHash
+    hyperplanes), the per-doc logit/error is a row-local higher-order
+    ``aggregate`` over the feature array (no shuffle, no join), and
+    the per-bucket gradient is a map-side-combined aggregation whose
+    exchange carries ≤ buckets·partitions partial rows. The gradient
+    collect is ≤ ``buckets`` rows — the same bounded-model collect as
+    the centroid models and MDM write-back. The corpus is never
+    collected and never reshuffled after the one-time feature build.
+
+    Output: (bucket, w) — every feature bucket present in the corpus
+    plus the bias row at bucket -1, w in units (nanos/1e9).
+    """
+    import math
+
+    from betl_spark.operators.sampling import hash_bucket
+
+    spark = df.sparkSession
+    # NULL labels train as 0 (the oracle's CASE WHEN ... THEN 1 ELSE 0
+    # semantics) — a NULL would otherwise poison the whole gradient
+    base = df.select(
+        F.col(id_col),
+        F.coalesce(label.cast("int"), F.lit(0)).alias("__y"),
+        F.col(text_col),
+    )
+    toks = base.select(
+        F.col(id_col),
+        "__y",
+        F.explode(F.split(F.col(text_col), " ")).alias("__tok"),
+    )
+    per_bucket = (
+        toks.select(
+            id_col, "__y", hash_bucket("__tok", buckets).alias("bucket")
+        )
+        .groupBy(id_col, "__y", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # one row per doc: nano-quantized features x9 = floor(c·1e9/n + .5)
+    # derived inside the array (n = Σc is row-local), bias feature
+    # appended; docs with no tokens (NULL text) still get the bias row
+    n_tot = F.aggregate(
+        "cs", F.lit(0).cast("long"), lambda acc, s: acc + s["c"]
+    )
+    doc_feats = (
+        per_bucket.groupBy(id_col, "__y")
+        .agg(F.collect_list(F.struct("bucket", "c")).alias("cs"))
+        .select(
+            id_col,
+            "__y",
+            F.transform(
+                "cs",
+                lambda s: F.struct(
+                    s["bucket"].alias("bucket"),
+                    F.floor(s["c"] * F.lit(1e9) / n_tot + F.lit(0.5))
+                    .cast("long")
+                    .alias("x9"),
+                ),
+            ).alias("fs"),
+        )
+    )
+    bias_entry = F.array(
+        F.struct(
+            F.lit(-1).cast("long").alias("bucket"),
+            F.lit(10**9).alias("x9"),
+        )
+    )
+    f = (
+        base.select(id_col, "__y")
+        .join(doc_feats, [id_col, "__y"], "left")
+        .select(
+            id_col,
+            "__y",
+            F.concat(
+                F.coalesce("fs", F.array().cast(
+                    "array<struct<bucket:bigint,x9:bigint>>"
+                )),
+                bias_entry,
+            ).alias("fs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_docs = f.count()
+    wn: dict[int, int] = {}
+    den = 1.0e9 * n_docs
+    dec = "decimal(38,0)"
+    for _ in range(iterations):
+        if wn:
+            # the model rides the plan as one constant-foldable
+            # str_to_map literal: bounded by the bucket count, no
+            # broadcast join, no shuffle
+            pairs = ",".join(f"{b}:{v}" for b, v in sorted(wn.items()))
+            wmap = F.expr(f"str_to_map('{pairs}', ',', ':')")
+            S = F.aggregate(
+                "fs",
+                F.lit(0).cast(dec),
+                lambda acc, s: acc
+                + s["x9"].cast(dec)
+                * F.coalesce(
+                    F.element_at(wmap, s["bucket"].cast("string")).cast(
+                        "long"
+                    ),
+                    F.lit(0),
+                ).cast(dec),
+            )
+        else:
+            S = F.lit(0).cast(dec)
+        logit = (
+            F.floor(S.cast("double") / F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+        )
+        p_nano = F.floor(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) * F.lit(1e9) + F.lit(0.5)
+        ).cast("long")
+        e9 = p_nano - F.col("__y").cast("long") * F.lit(10**9)
+        grads = (
+            f.select(e9.alias("e9"), F.explode("fs").alias("s"))
+            .groupBy(F.col("s")["bucket"].alias("bucket"))
+            .agg(
+                F.sum(
+                    F.col("e9").cast(dec) * F.col("s")["x9"].cast(dec)
+                ).alias("G")
+            )
+            .collect()
+        )
+        for r in grads:
+            g = int(r["G"])
+            wn[int(r["bucket"])] = wn.get(int(r["bucket"]), 0) - int(
+                math.floor(lr * float(g) / den + 0.5)
+            )
+    return spark.createDataFrame(
+        [(b, float(v) / 1e9) for b, v in sorted(wn.items())],
+        "bucket long, w double",
+    )

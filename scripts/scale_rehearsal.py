@@ -81,6 +81,8 @@ REHEARSAL = [
     "training_shuffle",
     "dedup_cluster_histogram",
     "bpe_train_merges",
+    # round-8 additions
+    "classifier_train",
 ]
 
 

@@ -227,6 +227,182 @@ def test_cc_star_same_fixpoint_after_probe_fold(spark):
     assert key(star) == key(uf) == key(ml)
 
 
+# ------------------------------------- auto_two_level (r7 ask #4)
+
+
+def _emb(spark, n=60):
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                math.cos(i * 0.37 + d) + (0.01 * (i % 7))
+                for d in range(4)
+            ],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_auto_two_level_delegates_past_guard(spark, monkeypatch):
+    import math
+
+    from betl_spark.operators import similarity
+
+    df = _emb(spark)
+    cents = list(range(0, 24))
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_CENTROIDS", 8)
+    # without the flag: the guard raises
+    with pytest.raises(ValueError, match="auto_two_level"):
+        similarity.semantic_dedup(df, "vec_id", "embedding", cents)
+    # with the flag: delegates to 2level with the deterministic ~sqrt(k)
+    # coarse subsample
+    auto = similarity.semantic_dedup(
+        df, "vec_id", "embedding", cents, auto_two_level=True
+    )
+    step = max(1, math.isqrt(len(cents)))
+    explicit = similarity.semantic_dedup_2level(
+        df, "vec_id", "embedding", cents, sorted(cents)[::step]
+    )
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(auto) == key(explicit)
+    # same-rate property vs the single-level path (guard lifted):
+    # survivor COUNT is the dedup rate — one survivor per cluster
+    # either way; the partitioning of pairs differs only at cell edges
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_CENTROIDS", 200_000)
+    single = similarity.semantic_dedup(df, "vec_id", "embedding", cents)
+    assert auto.count() == pytest.approx(single.count(), rel=0.15)
+
+
+def test_auto_two_level_noop_below_guard(spark):
+    from betl_spark.operators import similarity
+
+    df = _emb(spark)
+    cents = [0, 7, 19]
+    base = similarity.semantic_dedup(df, "vec_id", "embedding", cents)
+    flagged = similarity.semantic_dedup(
+        df, "vec_id", "embedding", cents, auto_two_level=True
+    )
+    key = lambda d: sorted(tuple(r) for r in d.collect())
+    assert key(base) == key(flagged)
+
+
+# --------------------------------- classifier_train (r7 ask #5b)
+
+
+def test_classifier_train_feeds_classifier_score(spark):
+    """The CCNet/fastText loop closes: weights trained in-engine drop
+    straight into classifier_score, and the trained model actually
+    separates the classes it was trained on."""
+    from betl_spark.operators.quality import classifier_score, classifier_train
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    w = classifier_train(
+        docs, "doc_id", "text", F.col("lang") == F.lit("en"),
+        buckets=256, iterations=4, lr=1.0,
+    )
+    bias = [r["w"] for r in w.filter("bucket = -1").collect()][0]
+    scored = classifier_score(
+        docs, "doc_id", "text", w.filter("bucket >= 0"),
+        bias=bias, buckets=256,
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    rows = scored.groupBy(F.col("lang") == "en").agg(
+        F.avg("score").alias("m")
+    ).collect()
+    means = {r[0]: r["m"] for r in rows}
+    assert means[True] > means[False]
+
+
+def test_classifier_train_loss_decreases(spark):
+    """More full-batch iterations must not increase training logloss —
+    the gradient step is actually descending."""
+    import math
+
+    from betl_spark.operators.quality import classifier_score, classifier_train
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+
+    def logloss(iters):
+        w = classifier_train(
+            docs, "doc_id", "text", F.col("lang") == F.lit("en"),
+            buckets=256, iterations=iters, lr=1.0,
+        )
+        bias = [r["w"] for r in w.filter("bucket = -1").collect()][0]
+        scored = classifier_score(
+            docs, "doc_id", "text", w.filter("bucket >= 0"),
+            bias=bias, buckets=256,
+        ).join(docs.select("doc_id", "lang"), "doc_id")
+        rows = scored.select(
+            "score", (F.col("lang") == "en").cast("int").alias("y")
+        ).collect()
+        eps = 1e-9
+        return -sum(
+            r["y"] * math.log(max(r["score"], eps))
+            + (1 - r["y"]) * math.log(max(1 - r["score"], eps))
+            for r in rows
+        ) / len(rows)
+
+    assert logloss(4) < logloss(1)
+
+
+def test_classifier_train_iteration_never_shuffles_corpus(spark):
+    """Plan contract for the per-iteration gradient job: the weight
+    model rides the plan as a constant map literal — no join of any
+    kind — and the only Exchange is the per-bucket partial aggregation
+    (bounded), never a corpus-sized repartition."""
+    from pyspark.sql import functions as F2
+
+    from betl_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    base = docs.select(
+        "doc_id", F2.lit(1).alias("__y"), "text"
+    )
+    toks = base.select(
+        "doc_id", "__y",
+        F2.explode(F2.split(F2.col("text"), " ")).alias("__tok"),
+    )
+    per_bucket = (
+        toks.select("doc_id", "__y", hash_bucket("__tok", 256).alias("bucket"))
+        .groupBy("doc_id", "__y", "bucket").agg(F2.count(F2.lit(1)).alias("c"))
+    )
+    doc_feats = (
+        per_bucket.groupBy("doc_id", "__y")
+        .agg(F2.collect_list(F2.struct("bucket", "c")).alias("cs"))
+        .select(
+            "doc_id", "__y",
+            F2.transform(
+                "cs",
+                lambda s: F2.struct(
+                    s["bucket"].alias("bucket"), s["c"].alias("x9")
+                ),
+            ).alias("fs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dec = "decimal(38,0)"
+    wmap = F2.expr("str_to_map('3:5,7:-2', ',', ':')")
+    S = F2.aggregate(
+        "fs", F2.lit(0).cast(dec),
+        lambda acc, s: acc + s["x9"].cast(dec) * F2.coalesce(
+            F2.element_at(wmap, s["bucket"].cast("string")).cast("long"),
+            F2.lit(0),
+        ).cast(dec),
+    )
+    e9 = F2.floor(S.cast("double") / F2.lit(1e9) + F2.lit(0.5))
+    grads = (
+        doc_feats.select(e9.alias("e9"), F2.explode("fs").alias("s"))
+        .groupBy(F2.col("s")["bucket"].alias("bucket"))
+        .agg(F2.sum(F2.col("e9").cast(dec) * F2.col("s")["x9"].cast(dec)).alias("G"))
+    )
+    plan = grads._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") == 1  # the bounded per-bucket one
+
+
 # ------------------------------------------------------------------ 5
 
 
