@@ -189,6 +189,109 @@ def ann_skew_rehearsal() -> None:
     spark.stop()
 
 
+def coarse_skew_rehearsal() -> None:
+    """Empirical check of `semantic_dedup_2level` step 4's docstring
+    claim that "hot coarse cells are AQE skew-split": the fine-cell
+    resolution is an equi-join of corpus rows against the distributed
+    fine-centroid table ON coarse_id, and a dense embedding region
+    makes one coarse cell a whale. Same method as --ann-skew: power-law
+    coarse assignment over the sf1 embeddings (u³ quantization, ~25% of
+    the corpus in coarse cell 0), per-coarse-cell fine argmax join with
+    broadcast disabled, timed with AQE skew-join ON vs OFF; the ON plan
+    must carry skew=true and must not be slower than the whale.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from betl_spark.session import build_spark
+
+    K_COARSE = 32
+    FINE_PER_COARSE = 96
+    spark = build_spark(
+        "betl_spark_coarse_skew",
+        extra_conf={
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100k",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            # the fine model must not broadcast or there is no shuffle
+            # join to skew-split (below the guard the broadcast IS the
+            # plan; this rehearses the 10^6-10^7-fine-centroid regime)
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    emb = spark.read.parquet(f"{SF1}/embeddings.parquet").repartition(32)
+    u = F.pmod(F.xxhash64(F.col("vec_id").cast("string")), F.lit(1_000_000)) / 1_000_000.0
+    coarse = F.floor(F.pow(u, 3) * K_COARSE).cast("int").alias("coarse_id")
+    rows = emb.select(F.col("vec_id"), F.col("embedding").alias("v"), coarse)
+    # distributed fine model: FINE_PER_COARSE centroids per coarse cell
+    fine = (
+        spark.range(K_COARSE * FINE_PER_COARSE)
+        .select(
+            F.col("id").alias("cell_id"),
+            (F.col("id") % K_COARSE).cast("int").alias("coarse_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda d: F.sin(F.col("id") * d).cast("double"),
+            ).alias("cv"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    top = rows.groupBy("coarse_id").count().orderBy(F.desc("count")).first()
+    n = rows.count()
+    print(
+        f"corpus {n} rows, hottest coarse cell {top['coarse_id']} holds "
+        f"{top['count']} ({100 * top['count'] / n:.0f}%)"
+    )
+
+    def resolve():
+        dot = F.aggregate(
+            F.zip_with("v", "cv", lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            rows.join(fine, "coarse_id")
+            .select("vec_id", "cell_id", dot.alias("s"))
+            .groupBy("vec_id")
+            .agg(F.max_by("cell_id", "s").alias("fine_cell"))
+            .groupBy("fine_cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    results = {}
+    for skew_on in (False, True):
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower()
+        )
+        best = float("inf")
+        last_plan = ""
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = resolve()
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+            last_plan = df._jdf.queryExecution().executedPlan().toString()
+            gc.collect()
+        marked = bool(_re.search(r"skew=true", last_plan))
+        results[skew_on] = (best, marked)
+        print(
+            f"skewJoin={'on' if skew_on else 'off'}: {best:.2f}s  "
+            f"plan skew-marked: {marked}"
+        )
+    off_t, _ = results[False]
+    on_t, on_marked = results[True]
+    print()
+    print("| rehearsal | skewJoin off (s) | skewJoin on (s) | plan skew=true |")
+    print("|---|---|---|---|")
+    print(
+        f"| `2level_fine_resolution_power_law_coarse` (sf1) | {off_t:.2f} "
+        f"| {on_t:.2f} | {on_marked} |"
+    )
+    assert on_marked, "AQE did not mark the whale coarse cell as skewed"
+    spark.stop()
+
+
 def bpe_rounds_rehearsal() -> None:
     """Measure the BPE trainer's PER-ROUND cost curve at sf0.1 for both
     pair-count modes. The delta-maintenance claim under test: each
@@ -326,6 +429,8 @@ def main() -> None:
 if __name__ == "__main__":
     if "--ann-skew" in sys.argv:
         ann_skew_rehearsal()
+    elif "--coarse-skew" in sys.argv:
+        coarse_skew_rehearsal()
     elif "--bpe-rounds" in sys.argv:
         bpe_rounds_rehearsal()
     else:
