@@ -40,13 +40,10 @@ def q_classifier_train(spark, sf_dir):
     )
 
 
-def _clf_train_sql(buckets: int, iterations: int, lr: float) -> str:
-    """DuckDB replay of classifier_train: identical feature build
-    (md5-hashed tokens, nano-quantized count/n features, bias feature
-    at bucket -1), then ``iterations`` generated stages of
-    logit -> sigmoid -> nano error -> HUGEINT gradient sums -> weight
-    update, every rounding written as floor(x + 0.5) so both engines
-    quantize identically."""
+def _clf_train_ctes(buckets: int, iterations: int, lr: float) -> list[str]:
+    """The generated CTE chain of the classifier_train replay —
+    shared by the trainer oracle and the train→score roundtrip
+    oracle so the two can never drift."""
     ctes = [
         f"""f0 AS MATERIALIZED (
   SELECT doc_id,
@@ -107,6 +104,17 @@ def _clf_train_sql(buckets: int, iterations: int, lr: float) -> str:
   FROM g{i} g {prev_w}
 )"""
         )
+    return ctes
+
+
+def _clf_train_sql(buckets: int, iterations: int, lr: float) -> str:
+    """DuckDB replay of classifier_train: identical feature build
+    (md5-hashed tokens, nano-quantized count/n features, bias feature
+    at bucket -1), then ``iterations`` generated stages of
+    logit -> sigmoid -> nano error -> HUGEINT gradient sums -> weight
+    update, every rounding written as floor(x + 0.5) so both engines
+    quantize identically."""
+    ctes = _clf_train_ctes(buckets, iterations, lr)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -119,6 +127,92 @@ CLASSIFIER_TRAIN_SQL = _clf_train_sql(
 )
 
 
+def q_classifier_train_score(spark, sf_dir):
+    """The closed loop, end to end: train the classifier in-engine,
+    then score the SAME corpus with classifier_score using the trained
+    weight table and bias — the full CCNet-style selection pass as one
+    driver-verifiable query."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.quality import classifier_score, classifier_train
+
+    docs = table(spark, sf_dir, "documents")
+    w = classifier_train(
+        docs,
+        "doc_id",
+        "text",
+        F.col("lang") == F.lit("en"),
+        buckets=CLF_TRAIN_BUCKETS,
+        iterations=CLF_TRAIN_ITERS,
+        lr=CLF_TRAIN_LR,
+    ).localCheckpoint(eager=False)
+    bias = [r["w"] for r in w.filter("bucket = -1").collect()][0]
+    return classifier_score(
+        docs,
+        "doc_id",
+        "text",
+        w.filter("bucket >= 0"),
+        bias=bias,
+        buckets=CLF_TRAIN_BUCKETS,
+    )
+
+
+def _clf_train_score_sql(buckets: int, iterations: int, lr: float) -> str:
+    """Train→score roundtrip oracle: the trainer CTE chain, then round
+    6's proven classifier_score tail reading the trained weights
+    (bucket ≥ 0) and bias (bucket -1) instead of pseudo-weights."""
+    ctes = _clf_train_ctes(buckets, iterations, lr)
+    ctes.append(
+        f"""trained AS (
+  SELECT bucket, CAST(wn AS DOUBLE) / 1e9 AS w FROM w{iterations}
+  WHERE bucket >= 0
+)"""
+    )
+    ctes.append(
+        f"""bias AS (
+  SELECT CAST(wn AS DOUBLE) / 1e9 AS b FROM w{iterations} WHERE bucket = -1
+)"""
+    )
+    ctes.append(
+        f"""toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % {buckets}
+           AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+)"""
+    )
+    ctes.append(
+        """per_doc AS (
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
+               / (COUNT(*) * 1e9), 9) AS m
+  FROM toks t LEFT JOIN trained w ON t.bucket = w.bucket
+  GROUP BY 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       round(COALESCE(p.m, 0.0) + (SELECT b FROM bias), 9) AS logit,
+       round(1.0 / (1.0 + exp(
+           -round(COALESCE(p.m, 0.0) + (SELECT b FROM bias), 9))), 6)
+         AS score
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+    )
+
+
+CLASSIFIER_TRAIN_SCORE_SQL = _clf_train_score_sql(
+    CLF_TRAIN_BUCKETS, CLF_TRAIN_ITERS, CLF_TRAIN_LR
+)
+
+
 QUERIES = {
     "classifier_train": (q_classifier_train, CLASSIFIER_TRAIN_SQL),
+    "classifier_train_score": (
+        q_classifier_train_score,
+        CLASSIFIER_TRAIN_SCORE_SQL,
+    ),
 }
