@@ -109,11 +109,14 @@ _PRIORITY = [
     "vocab_topk",
     # -- new round-8 query (first oracle check) --
     "classifier_train",
-    # (classifier_train_score — the train→score roundtrip — sits just
-    # outside the window this round: its trainer half is verified by
-    # classifier_train's driver row and its scorer tail is round 6's
-    # proven classifier_score; the pytest parity suite replays it every
-    # session and it rotates into the r9 window with the r6 greens)
+    # (classifier_train_score — the train→score roundtrip — and
+    # crosslingual_near_dups sit just outside the window this round:
+    # the roundtrip's trainer half is verified by classifier_train's
+    # driver row and its scorer tail is round 6's proven
+    # classifier_score; crosslingual's cell/pair stages are
+    # semantic_dedup's, re-verified in-window this round. The pytest
+    # parity suite replays both every session; they rotate into the r9
+    # window with the r6 greens)
     # -- code/oracle changed this round: prior greens not representative
     #    (semantic_dedup_2level/_medoid share the identical changed CC
     #    path and their three-way equality is property-tested, so they

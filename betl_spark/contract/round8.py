@@ -216,3 +216,68 @@ QUERIES = {
         CLASSIFIER_TRAIN_SCORE_SQL,
     ),
 }
+
+
+def q_crosslingual_near_dups(spark, sf_dir):
+    """Cross-lingual near-dup detection: multilingual-embedding-space
+    neighborhood (the translation-invariant feature) with a lang
+    mismatch filter — trained cells + within-cell cosine are byte-
+    for-byte semantic_dedup's stages."""
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+    from betl_spark.operators.similarity import cross_group_near_dups
+
+    from pyspark.sql import functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    return cross_group_near_dups(
+        emb,
+        docs,
+        "vec_id",
+        "embedding",
+        "lang",
+        IVF_CENTROID_IDS,
+        threshold=SEMANTIC_THRESHOLD,
+    )
+
+
+def _crosslingual_sql() -> str:
+    from betl_spark.contract.round6 import (
+        SEMANTIC_THRESHOLD,
+        SEMANTIC_TRAIN_CTES,
+        _COS_E_CV,
+    )
+    from betl_spark.contract.scale import _COSINE_PAIR
+
+    return f"""
+WITH RECURSIVE {SEMANTIC_TRAIN_CTES},
+assign1 AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {_COS_E_CV} DESC, c.cell_id
+         ) AS cell_rank
+  FROM embeddings e CROSS JOIN tcent c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM assign1 WHERE cell_rank = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_PAIR} AS cosine_sim
+  FROM corpus a JOIN corpus b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {_COSINE_PAIR} >= {SEMANTIC_THRESHOLD}
+)
+SELECT p.id_a, p.id_b, da.lang AS group_a, db.lang AS group_b, p.cosine_sim
+FROM pairs p
+JOIN documents da ON p.id_a = da.doc_id
+JOIN documents db ON p.id_b = db.doc_id
+WHERE da.lang <> db.lang
+"""
+
+
+CROSSLINGUAL_NEAR_DUPS_SQL = _crosslingual_sql()
+
+QUERIES["crosslingual_near_dups"] = (
+    q_crosslingual_near_dups,
+    CROSSLINGUAL_NEAR_DUPS_SQL,
+)

@@ -1234,3 +1234,57 @@ def pq_topk(
     return top_n_per_group(
         scored, ["query_id"], "approx_dist", k, "neighbor_id", ascending=True
     ).select("query_id", "neighbor_id", "approx_dist", "rank")
+
+
+def cross_group_near_dups(
+    df: DataFrame,
+    meta: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    centroid_ids: list[int],
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Cross-GROUP semantic near-duplicate pairs — with ``group_col`` =
+    language this is cross-lingual near-dup detection, the way modern
+    systems actually do it: a multilingual embedding space IS the
+    translation-invariant feature (LASER/CCMatrix mine parallel and
+    duplicated text by embedding-space neighborhood — Artetxe &
+    Schwenk 2019, Schwenk et al. 2021, public), so "the same document
+    in two languages" is a high-cosine pair whose metadata groups
+    differ. Other groupings matter too: ``group_col`` = source finds
+    cross-site mirror/syndication duplication that same-source dedup
+    never sees.
+
+    Composition of proven stages: trained-cell assignment + within-cell
+    cosine pairs are byte-for-byte ``semantic_dedup``'s stages 1-3
+    (broadcast argmax, equi-join on cell_id, id_a < id_b, 6dp cosine ≥
+    ``threshold``); the pair set then joins the metadata on each side
+    and keeps pairs whose groups DIFFER. NULL groups never match: the
+    ``group_a != group_b`` filter is three-valued, so a NULL-group doc
+    pairs with nothing (same rule in the SQL oracle by construction).
+
+    Scale shape: everything up to the pair set is the semantic_dedup
+    plan (corpus never shuffles for assignment, candidates bounded by
+    Σ n_cell²); the metadata joins are id-keyed equi-joins on the PAIR
+    set (already threshold-pruned, far smaller than the corpus), left
+    to AQE's size-based strategy. Output: (id_a, id_b, group_a,
+    group_b, cosine_sim).
+    """
+    cents = _trained_cents(df, id_col, vec_col, centroid_ids)
+    assigned = _assign_cells(df, id_col, vec_col, cents).localCheckpoint(
+        eager=False
+    )
+    pairs = _cell_pairs(assigned, id_col, vec_col, threshold)
+    a = meta.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("group_a")
+    )
+    b = meta.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("group_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("group_a") != F.col("group_b"))
+        .select("id_a", "id_b", "group_a", "group_b", "cosine_sim")
+    )

@@ -83,6 +83,8 @@ REHEARSAL = [
     "bpe_train_merges",
     # round-8 additions
     "classifier_train",
+    "classifier_train_score",
+    "crosslingual_near_dups",
 ]
 
 

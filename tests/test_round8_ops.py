@@ -403,6 +403,45 @@ def test_classifier_train_iteration_never_shuffles_corpus(spark):
     assert plan.count("Exchange") == 1  # the bounded per-bucket one
 
 
+# --------------------------------- cross-group near-dups (r7 #5a)
+
+
+def test_cross_group_near_dups_null_group_never_matches(spark):
+    from betl_spark.operators.similarity import cross_group_near_dups
+
+    emb = _emb(spark, 30)
+    meta = spark.createDataFrame(
+        [(i, None if i % 5 == 0 else ("en" if i % 2 == 0 else "fr"))
+         for i in range(30)],
+        "vec_id long, lang string",
+    )
+    out = cross_group_near_dups(
+        emb, meta, "vec_id", "embedding", "lang", [0, 7, 19], threshold=0.0
+    ).toPandas()
+    # NULL-group rows pair with nothing (three-valued !=), and every
+    # surviving pair crosses groups
+    assert out["group_a"].notna().all() and out["group_b"].notna().all()
+    assert (out["group_a"] != out["group_b"]).all()
+    assert len(out) > 0
+
+
+def test_cross_group_near_dups_plan_has_no_cartesian(spark):
+    from betl_spark.operators.similarity import cross_group_near_dups
+
+    emb = _emb(spark, 40)
+    meta = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(40)],
+        "vec_id long, lang string",
+    )
+    out = cross_group_near_dups(
+        emb, meta, "vec_id", "embedding", "lang", [0, 7, 19]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only cross join is the bounded broadcast centroid model;
+    # the pair stage is the cell equi-join, metadata joins are keyed
+    assert "CartesianProduct" not in plan
+
+
 # ------------------------------------------------------------------ 5
 
 
