@@ -281,3 +281,43 @@ QUERIES["crosslingual_near_dups"] = (
     q_crosslingual_near_dups,
     CROSSLINGUAL_NEAR_DUPS_SQL,
 )
+
+
+WEIGHTED_N_PER_LANG = 20
+
+
+def q_weighted_fixed_n(spark, sf_dir):
+    """Exactly-N weighted sample per language, odds ∝ document length
+    (Efraimidis–Spirakis priorities from the md5-derived uniform)."""
+    from betl_spark.operators.sampling import weighted_fixed_n
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return weighted_fixed_n(
+        docs, "doc_id", "lang", "n_chars", WEIGHTED_N_PER_LANG
+    )
+
+
+WEIGHTED_FIXED_N_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, n_chars,
+         round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) + 1) / 4294967297.0)
+               / n_chars, 9) AS pri
+  FROM documents
+  -- NULL keys and non-positive weights never rank (engine contract)
+  WHERE doc_id IS NOT NULL AND n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY pri, doc_id
+         ) AS INTEGER) AS rank
+  FROM h
+)
+SELECT doc_id, lang, n_chars, rank
+FROM ranked WHERE rank <= {WEIGHTED_N_PER_LANG}
+"""
+
+QUERIES["weighted_fixed_n"] = (q_weighted_fixed_n, WEIGHTED_FIXED_N_SQL)

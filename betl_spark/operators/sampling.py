@@ -376,3 +376,46 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def weighted_fixed_n(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """EXACTLY-n WEIGHTED sample without replacement per stratum —
+    the weighted counterpart of ``stratified_fixed_n``, via the
+    Efraimidis–Spirakis A-ES scheme (public: Efraimidis & Spirakis
+    2006, "Weighted random sampling with a reservoir"): each row draws
+    priority -ln(u)/w and the n smallest priorities per stratum win,
+    which is distribution-identical to sequential weighted sampling
+    without replacement. Token-weighted eval-set picks ("20 documents
+    per language, odds ∝ token count") are exactly this.
+
+    Determinism, engine-reproducible: u is the un-modded 32-bit md5
+    window of the key mapped to (0, 1] (the ``hash_bucket`` recipe —
+    no RNG, no seed state), the priority rounds to 9dp so independent
+    engines agree at rounding boundaries, ties break on the key.
+    Rules shared with ``stratified_fixed_n``: NULL keys never rank;
+    rows with NULL or non-positive weight never rank (a weight ≤ 0 has
+    no E-S priority).
+
+    Scale shape: identical to ``stratified_fixed_n`` — the priority is
+    one codegen expression, and ``top_n_per_group``'s window shape is
+    rewritten by WindowGroupLimit (map-side partial group-limit, the
+    shuffle carries ≤ n·partitions rows per stratum). Output: the
+    original rows + 1-based ``rank``.
+    """
+    from betl_spark.operators.stats import top_n_per_group
+
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    pri = F.round(-F.log(u) / F.col(weight_col), 9).alias("__pri")
+    base = df.filter(F.col(weight_col) > 0).select("*", pri)
+    return top_n_per_group(
+        base, [stratum_col], "__pri", n, key_col, ascending=True
+    ).drop("__pri")

@@ -85,6 +85,7 @@ REHEARSAL = [
     "classifier_train",
     "classifier_train_score",
     "crosslingual_near_dups",
+    "weighted_fixed_n",
 ]
 
 

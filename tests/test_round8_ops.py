@@ -442,6 +442,41 @@ def test_cross_group_near_dups_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+# ---------------------------- weighted_fixed_n (Efraimidis–Spirakis)
+
+
+def test_weighted_fixed_n_biases_toward_heavy_rows(spark):
+    """E-S sanity: with weights 100:1, the n winners should be heavily
+    dominated by the heavy rows (distribution property, deterministic
+    here because the md5-derived uniforms are fixed)."""
+    from betl_spark.operators.sampling import weighted_fixed_n
+
+    rows = [(f"d{i}", "s", 100 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "k string, st string, w long")
+    out = weighted_fixed_n(df, "k", "st", "w", 20).toPandas()
+    assert len(out) == 20
+    heavy = sum(1 for k in out["k"] if int(k[1:]) < 50)
+    # 50 heavy rows at weight 100 vs 450 light at weight 1: the heavy
+    # pool should take the large majority of the 20 slots
+    assert heavy >= 15
+
+
+def test_weighted_fixed_n_null_and_nonpositive_never_rank(spark):
+    from betl_spark.operators.sampling import weighted_fixed_n
+
+    rows = [
+        ("a", "s", 5),
+        ("b", "s", 0),     # non-positive weight: never ranks
+        ("c", "s", -3),    # negative: never ranks
+        ("d", "s", None),  # NULL weight: never ranks
+        (None, "s", 9),    # NULL key: never ranks
+        ("e", "s", 2),
+    ]
+    df = spark.createDataFrame(rows, "k string, st string, w long")
+    out = weighted_fixed_n(df, "k", "st", "w", 10).toPandas()
+    assert sorted(out["k"]) == ["a", "e"]
+
+
 # ------------------------------------------------------------------ 5
 
 
