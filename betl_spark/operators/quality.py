@@ -324,6 +324,11 @@ def classifier_train(
             F.lit(10**9).alias("x9"),
         )
     )
+    from pyspark.sql import Observation
+
+    # n_docs rides the checkpoint materialization as an observe()
+    # side-output — no separate count job (the CC-round pattern)
+    obs = Observation()
     f = (
         base.select(id_col, "__y")
         .join(doc_feats, [id_col, "__y"], "left")
@@ -337,9 +342,10 @@ def classifier_train(
                 bias_entry,
             ).alias("fs"),
         )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    n_docs = f.count()
+    n_docs = int(obs.get["n"])
     wn: dict[int, int] = {}
     den = 1.0e9 * n_docs
     dec = "decimal(38,0)"

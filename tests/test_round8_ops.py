@@ -442,6 +442,23 @@ def test_cross_group_near_dups_plan_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_classifier_train_is_partitioning_invariant(spark):
+    """The exact-integer accumulator discipline is the claim: weights
+    must be bit-identical no matter how the corpus is partitioned
+    (order-free DECIMAL sums, no float accumulation order anywhere)."""
+    from betl_spark.operators.quality import classifier_train
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    out = lambda d: sorted(
+        tuple(r)
+        for r in classifier_train(
+            d, "doc_id", "text", F.col("lang") == F.lit("en"),
+            buckets=256, iterations=2, lr=0.5,
+        ).collect()
+    )
+    assert out(docs.repartition(13)) == out(docs.coalesce(1))
+
+
 # ---------------------------- weighted_fixed_n (Efraimidis–Spirakis)
 
 
