@@ -321,3 +321,60 @@ FROM ranked WHERE rank <= {WEIGHTED_N_PER_LANG}
 """
 
 QUERIES["weighted_fixed_n"] = (q_weighted_fixed_n, WEIGHTED_FIXED_N_SQL)
+
+
+SUBSTR_K = 20
+SUBSTR_P = 4
+SUBSTR_GAP = 64
+
+
+def q_repeated_substring_spans(spark, sf_dir):
+    """Character-level cross-document repeated-substring spans via
+    content-defined (mod-p) fingerprint sampling — alignment-
+    independent, the ExactSubstr dedup class done as one dataflow."""
+    from betl_spark.operators.dedup import repeated_substring_spans
+
+    docs = table(spark, sf_dir, "documents")
+    return repeated_substring_spans(
+        docs, "doc_id", "text", k=SUBSTR_K, p=SUBSTR_P,
+        min_docs=2, merge_gap=SUBSTR_GAP,
+    )
+
+
+REPEATED_SUBSTRING_SPANS_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(u.off AS BIGINT) AS off,
+         md5(substr(text, CAST(u.off AS INT) + 1, {SUBSTR_K})) AS h
+  FROM documents, unnest(range(0, length(text) - {SUBSTR_K} + 1)) AS u(off)
+  WHERE length(text) >= {SUBSTR_K}
+),
+fp AS (
+  SELECT doc_id, off, h FROM wins
+  WHERE CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % {SUBSTR_P} = 0
+),
+rep AS (
+  SELECT h FROM fp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT f.doc_id, f.off FROM fp f JOIN rep USING (h)),
+lagged AS (
+  SELECT doc_id, off,
+         CASE WHEN off - lag(off) OVER (PARTITION BY doc_id ORDER BY off)
+                   > {SUBSTR_GAP}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, off,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY off
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM lagged
+)
+SELECT doc_id, MIN(off) AS span_start, MAX(off) + {SUBSTR_K} AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+FROM grp GROUP BY doc_id, g
+"""
+
+QUERIES["repeated_substring_spans"] = (
+    q_repeated_substring_spans,
+    REPEATED_SUBSTRING_SPANS_SQL,
+)

@@ -1016,3 +1016,118 @@ def intra_doc_line_dedup(
         F.size(kept).cast("long").alias("n_lines_kept"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
     )
+
+
+def _substring_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int, p: int
+) -> DataFrame:
+    """(id, off, h): the mod-p-selected k-char window fingerprints of
+    every document. Windows are hashed AND selected INSIDE one per-row
+    array expression, so the Generate emits only the ~1/p fingerprints
+    and never replicates the document text per window (plan-pinned:
+    no Exchange below the generator)."""
+    length = F.length(F.col(text_col))
+    fps = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), length - F.lit(k)),
+            lambda off: F.struct(
+                off.cast("long").alias("off"),
+                F.md5(F.substring(F.col(text_col), off + 1, F.lit(k))).alias(
+                    "h"
+                ),
+            ),
+        ),
+        lambda s: F.conv(F.substring(s["h"], 1, 8), 16, 10).cast("bigint")
+        % p
+        == 0,
+    )
+    return (
+        df.filter(length >= k)
+        .select(F.col(id_col), F.explode(fps).alias("s"))
+        .select(
+            id_col,
+            F.col("s")["off"].alias("off"),
+            F.col("s")["h"].alias("h"),
+        )
+    )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    p: int = 4,
+    min_docs: int = 2,
+    merge_gap: int = 64,
+) -> DataFrame:
+    """Cross-document repeated-SUBSTRING span detection — the
+    character-level dedup class of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr), done
+    Spark-first with content-defined fingerprint sampling (Manber
+    1994's sif / the MOSS fingerprinting family — public): verbatim
+    boilerplate, license blocks, and quoted passages repeat across
+    documents at arbitrary alignments, where line- and document-level
+    dedup see nothing.
+
+    Method: every k-char window of every document is hashed (md5 —
+    engine-reproducible); a window is a FINGERPRINT iff its hash ≡ 0
+    (mod p). Selection depends only on CONTENT, never on position, so
+    two documents sharing a run of length L ≥ k share its fingerprints
+    regardless of alignment — the property stride/grid sampling lacks
+    — with expected density (L−k+1)/p. Fingerprints held by ≥
+    ``min_docs`` DISTINCT documents are repeated content; per document
+    their positions merge into maximal spans (consecutive hits ≤
+    ``merge_gap`` apart, the sessionize gap rule), emitted as
+    (id, span_start, span_end, n_fingerprints) with 0-based
+    [start, end) char offsets. Trimming the spans (or dropping their
+    docs) is the caller's policy, as in the paper.
+
+    Scale shape: the offset explode emits one row per char, but the
+    mod-p filter keeps ~1/p BEFORE any shuffle (codegen filter above
+    the generator — the wire carries fingerprints, not windows); the
+    repeat census is one map-side-combinable two-level aggregate on
+    the hash; the hit join shuffles fingerprints only; span-merging is
+    one per-doc window pass. No stage ever holds a whole document's
+    windows in memory beyond the generator. A full suffix-array
+    ExactSubstr finds repeats of ANY length ≥ threshold exactly;
+    the sampled variant trades that for one-pass dataflow — repeats
+    shorter than ~k + p go undetected (expected-miss ~p/(L−k+1)),
+    the standard trade (tune k, p).
+    """
+    from pyspark.sql import Window
+
+    # two consumers (the repeat census and the hit join) read the
+    # fingerprint stream; without the checkpoint the per-window md5
+    # pass runs twice (the semantic_dedup `assigned` pattern — measured
+    # 7.5s -> 4.5s at sf0.1)
+    wins = _substring_fingerprints(df, id_col, text_col, k, p).localCheckpoint(
+        eager=False
+    )
+    rep = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = wins.join(rep, "h").select(id_col, "off")
+    w = Window.partitionBy(id_col).orderBy("off")
+    grp = (
+        hits.withColumn(
+            "brk",
+            F.when(
+                F.col("off") - F.lag("off").over(w) > merge_gap, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "g",
+            F.sum("brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return grp.groupBy(id_col, "g").agg(
+        F.min("off").alias("span_start"),
+        (F.max("off") + F.lit(k)).alias("span_end"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+    ).drop("g")

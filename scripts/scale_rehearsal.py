@@ -86,6 +86,7 @@ REHEARSAL = [
     "classifier_train_score",
     "crosslingual_near_dups",
     "weighted_fixed_n",
+    "repeated_substring_spans",
 ]
 
 

@@ -494,6 +494,58 @@ def test_weighted_fixed_n_null_and_nonpositive_never_rank(spark):
     assert sorted(out["k"]) == ["a", "e"]
 
 
+# --------------------- repeated_substring_spans (ExactSubstr class)
+
+
+def test_repeated_substring_spans_finds_planted_passage(spark):
+    """A passage planted in two docs at DIFFERENT alignments must be
+    found in both — the alignment-independence that content-defined
+    (mod-p) selection buys over stride/grid sampling."""
+    import random
+
+    from betl_spark.operators.dedup import repeated_substring_spans
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    noise = lambda n: "".join(rng.choice(alpha) for _ in range(n))
+    passage = "this exact passage is duplicated verbatim across documents " * 3
+    docs = [
+        (1, noise(37) + passage + noise(50)),   # odd offset
+        (2, noise(120) + passage + noise(15)),  # different offset
+        (3, noise(300)),                        # no repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = repeated_substring_spans(df, "doc_id", "text", k=20, p=4).toPandas()
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert 1 in by_doc and 2 in by_doc and 3 not in by_doc
+    # the detected span covers (most of) the planted passage in both
+    for doc_id, plant_start in ((1, 37), (2, 120)):
+        g = by_doc[doc_id]
+        cover = sum(
+            max(0, min(r.span_end, plant_start + len(passage))
+                - max(r.span_start, plant_start))
+            for r in g.itertuples()
+        )
+        assert cover >= 0.5 * len(passage), (doc_id, cover, len(passage))
+
+
+def test_substring_fingerprints_select_before_any_exchange(spark):
+    """Plan contract for the fingerprint stage: the mod-p selection
+    happens INSIDE the per-row array expression (a `filter(transform`
+    HOF under the generator), so the stage is map-only — zero
+    Exchanges — and the wire carries ~1/p fingerprints, never the full
+    window stream or a replicated document text."""
+    from betl_spark.operators.dedup import _substring_fingerprints
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    wins = _substring_fingerprints(docs, "doc_id", "text", 20, 4)
+    plan = wins._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only stage
+    assert "Generate explode" in plan
+    # the selection is part of the generator's input expression
+    assert "filter(transform(sequence" in plan.replace(" ", "")
+
+
 # ------------------------------------------------------------------ 5
 
 
