@@ -341,8 +341,7 @@ def q_repeated_substring_spans(spark, sf_dir):
     )
 
 
-REPEATED_SUBSTRING_SPANS_SQL = f"""
-WITH wins AS (
+_SUBSTR_CTES = f"""wins AS (
   SELECT doc_id, CAST(u.off AS BIGINT) AS off,
          md5(substr(text, CAST(u.off AS INT) + 1, {SUBSTR_K})) AS h
   FROM documents, unnest(range(0, length(text) - {SUBSTR_K} + 1)) AS u(off)
@@ -368,13 +367,74 @@ grp AS (
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY off
                         ROWS UNBOUNDED PRECEDING) AS g
   FROM lagged
+),
+spans AS (
+  SELECT doc_id, MIN(off) AS span_start, MAX(off) + {SUBSTR_K} AS span_end,
+         CAST(COUNT(*) AS BIGINT) AS n_fingerprints
+  FROM grp GROUP BY doc_id, g
+)"""
+
+REPEATED_SUBSTRING_SPANS_SQL = (
+    "WITH " + _SUBSTR_CTES + "\nSELECT * FROM spans"
 )
-SELECT doc_id, MIN(off) AS span_start, MAX(off) + {SUBSTR_K} AS span_end,
-       CAST(COUNT(*) AS BIGINT) AS n_fingerprints
-FROM grp GROUP BY doc_id, g
-"""
 
 QUERIES["repeated_substring_spans"] = (
     q_repeated_substring_spans,
     REPEATED_SUBSTRING_SPANS_SQL,
 )
+
+
+def q_trim_repeated_spans(spark, sf_dir):
+    """The ExactSubstr loop closed: detect cross-document repeated
+    substrings, then CUT the spans out of every document (row-local
+    higher-order splice — no per-character work in the engine)."""
+    from betl_spark.operators.dedup import (
+        repeated_substring_spans,
+        trim_spans,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(
+        docs, "doc_id", "text", k=SUBSTR_K, p=SUBSTR_P,
+        min_docs=2, merge_gap=SUBSTR_GAP,
+    )
+    return trim_spans(docs, spans, "doc_id", "text").select(
+        "doc_id", "text_clean", "n_trimmed_chars"
+    )
+
+
+# the oracle reconstructs each document from the span COMPLEMENT by
+# character position — O(chars) rows is fine at oracle scale; the
+# engine's row-local splice must land on the identical strings
+TRIM_REPEATED_SPANS_SQL = (
+    "WITH "
+    + _SUBSTR_CTES
+    + """,
+chars AS (
+  SELECT d.doc_id, CAST(u.i AS BIGINT) AS i,
+         substr(d.text, CAST(u.i AS INT) + 1, 1) AS ch
+  FROM documents d, unnest(range(length(d.text))) AS u(i)
+),
+kept AS (
+  SELECT c.doc_id, c.i, c.ch FROM chars c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = c.doc_id
+      AND c.i >= s.span_start AND c.i < s.span_end
+  )
+),
+clean AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE COALESCE(cl.text_clean, '') END AS text_clean,
+       CAST(COALESCE(length(d.text)
+                     - length(CASE WHEN d.text IS NULL THEN NULL
+                                   ELSE COALESCE(cl.text_clean, '') END),
+                     0) AS BIGINT) AS n_trimmed_chars
+FROM documents d LEFT JOIN clean cl ON d.doc_id = cl.doc_id"""
+)
+
+QUERIES["trim_repeated_spans"] = (q_trim_repeated_spans, TRIM_REPEATED_SPANS_SQL)

@@ -1131,3 +1131,78 @@ def repeated_substring_spans(
         (F.max("off") + F.lit(k)).alias("span_end"),
         F.count(F.lit(1)).alias("n_fingerprints"),
     ).drop("g")
+
+
+def trim_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """APPLY a span table to a corpus: cut every [start, end) char
+    range out of its document — the trim step that turns
+    ``repeated_substring_spans`` output into a cleaned corpus (Lee et
+    al. 2022 drop or cut the repeated ranges; this is the cut).
+
+    Row-local by construction: the spans collapse to one sorted array
+    per document (one aggregation — spans per doc are bounded by
+    text length / k, not corpus-scale), and the splice is a single
+    higher-order fold that stitches the KEPT segments left to right —
+    no per-character explode, no shuffle beyond the id-keyed span
+    join. Overlapping spans are handled (the fold clamps each cut to
+    the furthest end seen). Documents with no spans — including NULL
+    text — pass through unchanged.
+
+    Output: the input rows + (out_col, n_trimmed_chars).
+    """
+    text = F.col(text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(start_col).alias("s"), F.col(end_col).alias("e")
+                )
+            )
+        ).alias("__sp")
+    )
+    keep_before = lambda acc, sp: F.when(
+        sp["s"] > acc["pos"],
+        F.substring(
+            text,
+            (acc["pos"] + 1).cast("int"),
+            (sp["s"] - acc["pos"]).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    stitched = F.aggregate(
+        "__sp",
+        F.struct(
+            F.lit(0).cast("long").alias("pos"), F.lit("").alias("acc")
+        ),
+        lambda acc, sp: F.struct(
+            F.greatest(sp["e"], acc["pos"]).alias("pos"),
+            F.concat(acc["acc"], keep_before(acc, sp)).alias("acc"),
+        ),
+        lambda acc: F.concat(
+            acc["acc"],
+            F.substring(
+                text,
+                (acc["pos"] + 1).cast("int"),
+                (F.length(text) - acc["pos"]).cast("int"),
+            ),
+        ),
+    )
+    clean = F.when(F.col("__sp").isNull(), text).otherwise(stitched)
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(out_col, clean)
+        .withColumn(
+            "n_trimmed_chars",
+            F.coalesce(
+                F.length(text) - F.length(F.col(out_col)), F.lit(0)
+            ).cast("long"),
+        )
+        .drop("__sp")
+    )

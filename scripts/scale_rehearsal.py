@@ -87,6 +87,7 @@ REHEARSAL = [
     "crosslingual_near_dups",
     "weighted_fixed_n",
     "repeated_substring_spans",
+    "trim_repeated_spans",
 ]
 
 

@@ -546,6 +546,36 @@ def test_substring_fingerprints_select_before_any_exchange(spark):
     assert "filter(transform(sequence" in plan.replace(" ", "")
 
 
+def test_trim_spans_splice_semantics(spark):
+    from betl_spark.operators.dedup import trim_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "0123456789"),
+            (2, "abcdef"),   # fully covered
+            (3, "keepme"),   # no spans
+            (4, None),       # NULL text, no spans
+        ],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, 2, 5),   # cut "234"
+            (1, 4, 7),   # overlaps the previous: extends cut to "23456"
+            (2, 0, 6),
+        ],
+        "doc_id long, span_start long, span_end long",
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_trimmed_chars"])
+        for r in trim_spans(docs, spans, "doc_id", "text").collect()
+    }
+    assert out[1] == ("01789", 5)
+    assert out[2] == ("", 6)
+    assert out[3] == ("keepme", 0)
+    assert out[4] == (None, 0)
+
+
 # ------------------------------------------------------------------ 5
 
 
