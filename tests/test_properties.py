@@ -292,3 +292,87 @@ def test_connected_components_three_paths_agree(spark, edges):
         map(tuple, dedup.duplicate_clusters(pairs, algorithm="min_label").collect())
     )
     assert uf == star == ml
+
+
+# ---- round-8: substring-span family vs pure-Python references ----
+
+_SPAN = st.tuples(
+    st.integers(min_value=0, max_value=30), st.integers(min_value=1, max_value=15)
+).map(lambda t: (t[0], t[0] + t[1]))
+
+
+@PROP_SETTINGS
+@given(
+    text=st.text(alphabet="ab ", min_size=0, max_size=40),
+    spans=st.lists(_SPAN, min_size=0, max_size=5),
+)
+def test_trim_spans_matches_python_complement(spark, text, spans):
+    """trim_spans' higher-order splice must equal the obvious
+    per-character complement for ARBITRARY (overlapping, out-of-range,
+    unsorted) span sets."""
+    from betl_spark.operators.dedup import trim_spans
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sdf = spark.createDataFrame(
+        [(1, s, e) for s, e in spans],
+        "doc_id long, span_start long, span_end long",
+    )
+    row = trim_spans(docs, sdf, "doc_id", "text").collect()[0]
+    cut = set()
+    for s, e in spans:
+        cut.update(range(s, e))
+    want = "".join(ch for i, ch in enumerate(text) if i not in cut)
+    assert row["text_clean"] == want
+    assert row["n_trimmed_chars"] == len(text) - len(want)
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=60),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_repeated_substring_spans_matches_python_reference(spark, texts):
+    """The distributed fingerprint/census/merge pipeline must equal a
+    direct Python implementation of the same definition (mod-p md5
+    k-gram selection, >=2-doc census, gap-merge) on arbitrary texts."""
+    import hashlib
+    from collections import defaultdict
+
+    from betl_spark.operators.dedup import repeated_substring_spans
+
+    K, P, GAP = 5, 2, 8
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_fingerprints"])
+        for r in repeated_substring_spans(
+            df, "doc_id", "text", k=K, p=P, min_docs=2, merge_gap=GAP
+        ).collect()
+    )
+
+    fps = defaultdict(list)  # h -> [(doc, off)]
+    for d, t in docs:
+        for off in range(0, max(0, len(t) - K + 1)):
+            h = hashlib.md5(t[off : off + K].encode()).hexdigest()
+            if int(h[:8], 16) % P == 0:
+                fps[h].append((d, off))
+    rep = {h for h, v in fps.items() if len({d for d, _ in v}) >= 2}
+    hits = defaultdict(list)
+    for h in rep:
+        for d, off in fps[h]:
+            hits[d].append(off)
+    want = []
+    for d, offs in hits.items():
+        offs.sort()
+        start, prev, n = offs[0], offs[0], 1
+        for o in offs[1:]:
+            if o - prev > GAP:
+                want.append((d, start, prev + K, n))
+                start, n = o, 0
+            prev = o
+            n += 1
+        want.append((d, start, prev + K, n))
+    assert got == sorted(want)
