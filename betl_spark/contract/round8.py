@@ -438,3 +438,123 @@ FROM documents d LEFT JOIN clean cl ON d.doc_id = cl.doc_id"""
 )
 
 QUERIES["trim_repeated_spans"] = (q_trim_repeated_spans, TRIM_REPEATED_SPANS_SQL)
+
+
+INC_BATCH_MAX_ID = 50
+
+
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Daily-ingest embedding dedup: batch (vec_id < 50) against a
+    persisted IVF-indexed corpus (the rest) — corpus read partition-
+    pruned to the batch's cells, never self-joined; then within-batch
+    near-dups collapse to min-id survivors."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= INC_BATCH_MAX_ID)
+    batch = emb.filter(F.col("vec_id") < INC_BATCH_MAX_ID)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"betl_spark_ivf_inc_{os.getpid()}_{tag}",
+    )
+    if path not in _INC_INDEXES_BUILT:
+        similarity.build_ivf_index(
+            corpus, "vec_id", "embedding", IVF_CENTROID_IDS, path
+        )
+        _INC_INDEXES_BUILT.add(path)
+    return similarity.semantic_dedup_incremental(
+        spark, batch, path, "vec_id", "embedding",
+        threshold=SEMANTIC_THRESHOLD,
+    )
+
+
+_INC_INDEXES_BUILT: set = set()
+
+
+def _sem_inc_sql() -> str:
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+
+    def cos(a, b):
+        return f"""round(
+  list_sum(list_transform(list_zip({a}.embedding, {b}.embedding),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE)
+                * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)"""
+
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+    t = SEMANTIC_THRESHOLD
+    b = INC_BATCH_MAX_ID
+    return f"""
+WITH RECURSIVE
+corpus0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {b}),
+batch0 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {b}),
+cent AS (
+  SELECT vec_id AS cell_id, embedding FROM corpus0 WHERE vec_id IN ({ids})
+),
+cassign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cos('e', 'c')} DESC, c.cell_id
+         ) AS rk
+  FROM corpus0 e CROSS JOIN cent c
+),
+corpus AS (SELECT vec_id, embedding, cell_id FROM cassign WHERE rk = 1),
+bassign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cos('e', 'c')} DESC, c.cell_id
+         ) AS rk
+  FROM batch0 e CROSS JOIN cent c
+),
+bcell AS (SELECT vec_id, embedding, cell_id FROM bassign WHERE rk = 1),
+contaminated AS (
+  SELECT DISTINCT e.vec_id
+  FROM bcell e JOIN corpus c ON e.cell_id = c.cell_id
+  WHERE {cos('e', 'c')} >= {t}
+),
+fresh AS (
+  SELECT * FROM bcell
+  WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM fresh a JOIN fresh b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {cos('a', 'b')} >= {t}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS node, src AS label FROM edges
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM reach r JOIN edges e ON e.src = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node)
+SELECT f.vec_id, f.cell_id
+FROM fresh f LEFT JOIN clusters cl ON f.vec_id = cl.node
+WHERE cl.cluster_id IS NULL OR f.vec_id = cl.cluster_id
+"""
+
+
+SEMANTIC_DEDUP_INCREMENTAL_SQL = _sem_inc_sql()
+
+QUERIES["semantic_dedup_incremental"] = (
+    q_semantic_dedup_incremental,
+    SEMANTIC_DEDUP_INCREMENTAL_SQL,
+)

@@ -371,15 +371,11 @@ def ivf_topk_indexed(
     # bounded collect (|queries| x nprobe cell ids) -> LITERAL partition
     # filter, the whole point of the partitioned layout
     probe_cells = sorted({r.cell_id for r in queries.select("cell_id").distinct().collect()})
-    corpus = (
-        spark.read.parquet(f"{path}/corpus")
-        .filter(F.col("cell_id").isin([int(c) for c in probe_cells]))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("nv"),
-            F.col("_nrm").alias("nn"),
-            F.col("cell_id").cast("long").alias("cell_id"),
-        )
+    corpus = _pruned_index_scan(spark, path, probe_cells).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("_nrm").alias("nn"),
+        "cell_id",
     )
     return _probe_topk(queries, corpus, k)
 
@@ -1288,3 +1284,82 @@ def cross_group_near_dups(
         .filter(F.col("group_a") != F.col("group_b"))
         .select("id_a", "id_b", "group_a", "group_b", "cosine_sim")
     )
+
+
+def _pruned_index_scan(spark, index_path: str, cells: list) -> DataFrame:
+    """Partition-pruned read of a ``build_ivf_index`` corpus: the
+    literal cell-id list pushes down as PartitionFilters, so only the
+    probed cells' FILES are touched (plan-pinned in
+    tests/test_round8_ops.py) — shared by the indexed probe and the
+    incremental-dedup path. cell_id comes back cast to long (it is a
+    partition directory column, read as int by default)."""
+    return (
+        spark.read.parquet(f"{index_path}/corpus")
+        .filter(F.col("cell_id").isin([int(c) for c in cells]))
+        .withColumn("cell_id", F.col("cell_id").cast("long"))
+    )
+
+
+def semantic_dedup_incremental(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Daily-ingest semantic dedup against a PERSISTED indexed corpus —
+    the embedding-level counterpart of the bucketed exact-dedup story
+    (``dedup_bloom_bucketed``): the reference corpus was embedded,
+    cell-assigned and written ONCE (``build_ivf_index`` — partitioned
+    by cell_id with precomputed norms); each incoming batch then
+    drops (a) rows with a cosine-≥-threshold neighbor in the corpus,
+    and (b) within-batch near-dups (min-id survivor per cluster,
+    ``semantic_dedup``'s exact survivor stage).
+
+    Scale shape — the three properties that make this the 100 TB
+    daily-ingest plan:
+    - the corpus is NEVER self-joined and NEVER re-shuffled: the only
+      corpus work is a scan of the batch's cells' files — the distinct
+      batch cell ids (bounded by the CENTROID count, the same class as
+      ``ivf_topk_indexed``'s probe collect) push down as a literal
+      partition filter;
+    - batch×corpus candidates form per cell (equi-join, AQE skew-split
+      for hot cells), never batch×corpus cross;
+    - within-batch work is ``semantic_dedup`` stages 3-5 on the
+      already-corpus-filtered remainder.
+
+    Output: surviving batch rows (id, cell_id). The batch itself can
+    then be appended to the index (one partitioned write) — the
+    ingest loop closes without ever touching the accumulated corpus.
+    """
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    assigned = _assign_cells(batch, id_col, vec_col, cents).localCheckpoint(
+        eager=False
+    )
+    # bounded collect: |batch cells| ≤ |centroids| — the literal
+    # partition filter is the point of the partitioned index layout
+    cells = sorted(
+        r.cell_id for r in assigned.select("cell_id").distinct().collect()
+    )
+    corpus = _pruned_index_scan(spark, index_path, cells).select(
+        F.col(vec_col).alias("__cv"),
+        F.col("_nrm").alias("__cn"),
+        "cell_id",
+    )
+    contaminated = (
+        assigned.join(corpus, "cell_id")
+        .filter(
+            _cosine_pre(
+                F.col(vec_col), F.col("__cv"), F.col("_nrm"), F.col("__cn")
+            )
+            >= threshold
+        )
+        .select(id_col)
+        .distinct()
+    )
+    fresh = assigned.join(contaminated, id_col, "left_anti").localCheckpoint(
+        eager=False
+    )
+    pairs = _cell_pairs(fresh, id_col, vec_col, threshold)
+    return _pick_survivors(fresh, pairs, id_col, "min_id")

@@ -88,6 +88,7 @@ REHEARSAL = [
     "weighted_fixed_n",
     "repeated_substring_spans",
     "trim_repeated_spans",
+    "semantic_dedup_incremental",
 ]
 
 

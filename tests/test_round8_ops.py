@@ -576,6 +576,53 @@ def test_trim_spans_splice_semantics(spark):
     assert out[4] == (None, 0)
 
 
+# ---------------------- incremental semantic dedup (batch x index)
+
+
+def test_semantic_dedup_incremental_semantics_and_pruning(spark, tmp_path):
+    import re
+
+    from betl_spark.operators import similarity
+    from tests.test_plans import plan
+
+    # corpus: ids 100..139; batch: 0 = copy of a corpus row (drops),
+    # 1+2 = near-identical pair (one survives), 3 = unique (survives)
+    corpus_rows = [
+        (100 + i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+        for i in range(40)
+    ]
+    batch_rows = [
+        (0, corpus_rows[5][1]),                      # exact corpus dup
+        (1, [9.0, 1.0, 0.5, 0.25]),
+        (2, [9.0, 1.0, 0.5, 0.2500001]),              # near-dup of 1
+        (3, [-9.0, 8.0, -7.0, 6.0]),                  # unique
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "inc_ivf")
+    similarity.build_ivf_index(
+        corpus, "vec_id", "embedding", [100, 111, 122, 133], path
+    )
+    out = similarity.semantic_dedup_incremental(
+        spark, batch, path, "vec_id", "embedding", threshold=0.95
+    )
+    survivors = sorted(r["vec_id"] for r in out.collect())
+    assert survivors == [1, 3]
+    # the corpus is never self-joined (no corpus-only cartesian; the
+    # only cross join is the bounded broadcast centroid model)
+    assert "CartesianProduct" not in plan(out)
+    # corpus scan is partition-pruned to the batch's cells: the shared
+    # _pruned_index_scan pushes the literal cell list as
+    # PartitionFilters (its plan truncates behind the operator's
+    # checkpoint, so pin the scan helper both paths use)
+    scan = similarity._pruned_index_scan(spark, path, [100, 111])
+    assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", plan(scan))
+
+
 # ------------------------------------------------------------------ 5
 
 
