@@ -1363,3 +1363,24 @@ def semantic_dedup_incremental(
     )
     pairs = _cell_pairs(fresh, id_col, vec_col, threshold)
     return _pick_survivors(fresh, pairs, id_col, "min_id")
+
+
+def append_to_ivf_index(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+) -> None:
+    """Close the ingest loop: assign a (deduplicated) batch to its
+    cells against the index's OWN stored centroids and append the rows
+    into the corpus partitions — one partitioned write, the
+    accumulated corpus untouched. The next day's
+    ``semantic_dedup_incremental`` then sees today's survivors with no
+    rebuild (the assignment rule is the index's, so appended rows land
+    in exactly the cells later probes prune to)."""
+    cents = spark.read.parquet(f"{index_path}/centroids")
+    assigned = _assign_cells(batch, id_col, vec_col, cents).drop("cell_sim")
+    assigned.write.mode("append").partitionBy("cell_id").parquet(
+        f"{index_path}/corpus"
+    )

@@ -623,6 +623,47 @@ def test_semantic_dedup_incremental_semantics_and_pruning(spark, tmp_path):
     assert re.search(r"PartitionFilters: \[cell_id#\d+ IN \(", plan(scan))
 
 
+def test_ivf_ingest_loop_two_days(spark, tmp_path):
+    """The full ingest loop: day-1 batch dedupes against the corpus,
+    survivors append to the index, and day-2 then drops a duplicate of
+    a day-1 survivor — without any index rebuild."""
+    from betl_spark.operators import similarity
+
+    corpus_rows = [
+        (100 + i, [float((i * 7 + d * 3) % 11 - 5) for d in range(4)])
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ingest_ivf")
+    similarity.build_ivf_index(
+        corpus, "vec_id", "embedding", [100, 111, 122, 133], path
+    )
+    day1 = spark.createDataFrame(
+        [(1, [9.0, 1.0, 0.5, 0.25])], "vec_id long, embedding array<double>"
+    )
+    s1 = similarity.semantic_dedup_incremental(
+        spark, day1, path, "vec_id", "embedding", threshold=0.95
+    )
+    assert [r["vec_id"] for r in s1.collect()] == [1]
+    survivors = day1.join(s1.select("vec_id"), "vec_id")
+    similarity.append_to_ivf_index(
+        spark, survivors, path, "vec_id", "embedding"
+    )
+    day2 = spark.createDataFrame(
+        [
+            (2, [9.0, 1.0, 0.5, 0.2500001]),  # dup of day-1 survivor
+            (3, [-9.0, 8.0, -7.0, 6.0]),      # genuinely new
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    s2 = similarity.semantic_dedup_incremental(
+        spark, day2, path, "vec_id", "embedding", threshold=0.95
+    )
+    assert sorted(r["vec_id"] for r in s2.collect()) == [3]
+
+
 # ------------------------------------------------------------------ 5
 
 
