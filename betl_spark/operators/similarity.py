@@ -475,6 +475,18 @@ def lsh_bucket_topk(
 
     Recall < 1.0 by construction; the bucketed join shuffles on the
     bucket id, giving ~|corpus|/2^n_planes candidates per query.
+
+    Measured recall@10 vs the exact baseline (SCALE.md, sf0.1):
+    0.38 / 0.23 / 0.14 / 0.05 at 2 / 3 / 4 / 6 planes — SINGLE-table
+    sign-LSH pays the classic single-probe cliff as buckets shrink.
+    Production use wants the standard remedies (both are unions of
+    this exact plan, no new machinery): L independent tables OR-ed
+    (re-run with plane seeds i·n_planes..(i+1)·n_planes−1 and union
+    candidates), or multi-probe (also score the buckets at Hamming
+    distance 1 from the query's sign pattern — 1+n_planes buckets,
+    recall ≫ single-probe at ~(1+n_planes)× candidates). ``ivf_topk``
+    is this engine's primary ANN path (0.72 recall@10 at nprobe=4,
+    same measurement).
     """
     bucketed = df.select(
         F.col(id_col),
