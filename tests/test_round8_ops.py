@@ -696,3 +696,39 @@ def test_write_bucketed_overwrite_uses_catalog_location(spark):
         assert props.get("Num Buckets") == "2"
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_lsh_multi_probe_improves_recall_never_duplicates(spark):
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(0, 500, 25))
+    K = 5
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qids, k=K)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & t) for q, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    single = similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", qids, k=K, n_planes=4, dim=64
+    )
+    multi = similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", qids, k=K, n_planes=4, dim=64,
+        multi_probe=True,
+    )
+    # the multi-probe candidate set is a strict superset per query, so
+    # recall can only go up
+    assert recall(multi) >= recall(single)
+    # and each (query, neighbor) appears at most once (corpus rows live
+    # in exactly one bucket)
+    rows = multi.select("query_id", "neighbor_id").collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
