@@ -558,3 +558,58 @@ QUERIES["semantic_dedup_incremental"] = (
     q_semantic_dedup_incremental,
     SEMANTIC_DEDUP_INCREMENTAL_SQL,
 )
+
+
+def q_similarity_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH top-k: the query also probes every Hamming-1
+    bucket (probe expansion on the broadcast side only) — measured
+    recall@10 0.14 -> 0.51 at 4 planes vs single-probe (SCALE.md)."""
+    from betl_spark.contract.scale import EMB_DIM, N_PLANES
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", list(range(10)), k=5,
+        n_planes=N_PLANES, dim=EMB_DIM, multi_probe=True,
+    )
+
+
+def _lsh_multiprobe_sql() -> str:
+    from betl_spark.contract.scale import N_PLANES, _COSINE_PAIR, _bucket_sql
+
+    flips = ", ".join(
+        f"xor(bucket, {1 << i})" for i in range(N_PLANES)
+    )
+    return f"""
+WITH be AS (
+  SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id, embedding, unnest([bucket, {flips}]) AS bucket
+  FROM be WHERE vec_id < 10
+),
+scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COSINE_PAIR} AS cosine_sim
+  FROM probes a JOIN be b ON a.bucket = b.bucket
+  WHERE a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+SIMILARITY_ANN_LSH_MULTIPROBE_SQL = _lsh_multiprobe_sql()
+
+QUERIES["similarity_ann_lsh_multiprobe"] = (
+    q_similarity_ann_lsh_multiprobe,
+    SIMILARITY_ANN_LSH_MULTIPROBE_SQL,
+)

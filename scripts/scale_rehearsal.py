@@ -89,6 +89,7 @@ REHEARSAL = [
     "repeated_substring_spans",
     "trim_repeated_spans",
     "semantic_dedup_incremental",
+    "similarity_ann_lsh_multiprobe",
 ]
 
 
