@@ -281,7 +281,7 @@ def q_mixture_repeats(spark, sf_dir):
         "doc_id",
         "lang",
         MIX_WEIGHTS,
-        budget=2 * int(total),
+        budget=2 * int(total or 0),
         max_epochs=MIX_REPEAT_MAX_EPOCHS,
         weight_col="n_chars",
     )

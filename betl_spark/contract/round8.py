@@ -146,7 +146,11 @@ def q_classifier_train_score(spark, sf_dir):
         iterations=CLF_TRAIN_ITERS,
         lr=CLF_TRAIN_LR,
     ).localCheckpoint(eager=False)
-    bias = [r["w"] for r in w.filter("bucket = -1").collect()][0]
+    # empty corpus -> empty weight table -> untrained bias 0 (the
+    # oracle's scalar subquery yields NULL + COALESCE downstream; both
+    # produce zero output rows on zero documents)
+    rows = w.filter("bucket = -1").collect()
+    bias = rows[0]["w"] if rows else 0.0
     return classifier_score(
         docs,
         "doc_id",

@@ -162,6 +162,11 @@ SELECT
   COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+-- engine-semantics alignment: Spark's Expand-based ROLLUP/CUBE emits
+-- NO rows on empty input, while the standard (and DuckDB) produce the
+-- grand-total row; COUNT(*) = 0 can only happen for that empty-input
+-- row, so this HAVING is a no-op on any non-empty table
+HAVING COUNT(*) > 0
 """
 
 # Spark-side variants: pre-aggregate to the (flag, status) grain BEFORE
@@ -552,6 +557,8 @@ SELECT
   COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+-- see ROLLUP_REVENUE: align to Spark's no-grand-total-on-empty
+HAVING COUNT(*) > 0
 """
 
 EVENTS_TUMBLING_WINDOW = """

@@ -310,6 +310,17 @@ def build_ivf_index(
     probe session rebuilds nothing.
     """
     cents = _seed_cents(df, id_col, vec_col, centroid_ids)
+    if cents.isEmpty():
+        # fail FAST with a real message: an index with zero centroids
+        # is meaningless (every later probe would be empty), and the
+        # symptom otherwise surfaces much later as a cryptic
+        # UNABLE_TO_INFER_SCHEMA on the empty partitioned directory.
+        # Covers both an empty corpus and centroid ids absent from it.
+        raise ValueError(
+            "build_ivf_index: none of the centroid_ids exist in the "
+            "corpus (empty input or wrong ids) — refusing to write an "
+            "empty index"
+        )
     # same argmax rule as every other family member — a tiebreak or
     # rounding fix in _assign_cells must apply to the persisted index too
     assigned = _assign_cells(df, id_col, vec_col, cents).drop("cell_sim")
