@@ -40,20 +40,27 @@ def q_classifier_train(spark, sf_dir):
     )
 
 
-def _clf_train_ctes(buckets: int, iterations: int, lr: float) -> list[str]:
+def _clf_train_ctes(
+    buckets: int,
+    iterations: int,
+    lr: float,
+    source: str = "documents",
+    text_col: str = "text",
+) -> list[str]:
     """The generated CTE chain of the classifier_train replay —
-    shared by the trainer oracle and the train→score roundtrip
-    oracle so the two can never drift."""
+    shared by the trainer oracle, the train→score roundtrip oracle and
+    the curation-v3 capstone (``source``/``text_col`` parameterize the
+    training corpus) so the replays can never drift."""
     ctes = [
         f"""f0 AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % {buckets}
            AS bucket
-  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+  FROM {source}, unnest(string_split({text_col}, ' ')) AS u(t)
 )""",
         """nd AS (SELECT doc_id, COUNT(*) AS n FROM f0 GROUP BY doc_id)""",
-        """f AS MATERIALIZED (
+        f"""f AS MATERIALIZED (
   SELECT f0.doc_id, f0.y, f0.bucket,
          CAST(floor(COUNT(*) * 1e9 / MAX(nd.n) + 0.5) AS BIGINT) AS x9
   FROM f0 JOIN nd ON f0.doc_id = nd.doc_id
@@ -61,7 +68,7 @@ def _clf_train_ctes(buckets: int, iterations: int, lr: float) -> list[str]:
   UNION ALL
   SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
          CAST(-1 AS BIGINT) AS bucket, CAST(1000000000 AS BIGINT) AS x9
-  FROM documents
+  FROM {source}
 )""",
         """ndocs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM f)""",
     ]
@@ -617,3 +624,149 @@ QUERIES["similarity_ann_lsh_multiprobe"] = (
     q_similarity_ann_lsh_multiprobe,
     SIMILARITY_ANN_LSH_MULTIPROBE_SQL,
 )
+
+
+V3_ITERS = 2
+V3_TOP_N = 15
+
+
+def q_corpus_curation_v3(spark, sf_dir):
+    """Round-8 curation capstone — the new families composed end to
+    end: cut cross-document repeated substrings out of every document
+    (ExactSubstr-class trim), TRAIN the quality classifier in-engine on
+    the cleaned text, score the cleaned corpus with the trained
+    weights, and keep the top-N highest-scoring documents per language
+    (quality-ranked selection, no fragile threshold). One declarative
+    plan; every stage is an already-verified operator."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.dedup import (
+        repeated_substring_spans,
+        trim_spans,
+    )
+    from betl_spark.operators.quality import classifier_score, classifier_train
+    from betl_spark.operators.stats import top_n_per_group
+
+    docs = table(spark, sf_dir, "documents")
+    spans = repeated_substring_spans(
+        docs, "doc_id", "text", k=SUBSTR_K, p=SUBSTR_P,
+        min_docs=2, merge_gap=SUBSTR_GAP,
+    )
+    # three consumers (trainer, scorer, lang join) — materialize the
+    # span-trim pipeline once
+    cleaned = trim_spans(docs, spans, "doc_id", "text").select(
+        "doc_id", "lang", "text_clean"
+    ).localCheckpoint(eager=False)
+    w = classifier_train(
+        cleaned, "doc_id", "text_clean", F.col("lang") == F.lit("en"),
+        buckets=CLF_TRAIN_BUCKETS, iterations=V3_ITERS, lr=CLF_TRAIN_LR,
+    ).localCheckpoint(eager=False)
+    rows = w.filter("bucket = -1").collect()
+    bias = rows[0]["w"] if rows else 0.0
+    scored = classifier_score(
+        cleaned, "doc_id", "text_clean", w.filter("bucket >= 0"),
+        bias=bias, buckets=CLF_TRAIN_BUCKETS,
+    )
+    joined = scored.select("doc_id", "score").join(
+        cleaned.select("doc_id", "lang"), "doc_id"
+    )
+    return top_n_per_group(
+        joined, ["lang"], "score", V3_TOP_N, "doc_id", ascending=False
+    ).select("doc_id", "lang", "score", "rank")
+
+
+def _curation_v3_sql() -> str:
+    ctes = [_SUBSTR_CTES]
+    ctes.append(
+        """chars AS (
+  SELECT d.doc_id, CAST(u.i AS BIGINT) AS i,
+         substr(d.text, CAST(u.i AS INT) + 1, 1) AS ch
+  FROM documents d, unnest(range(length(d.text))) AS u(i)
+)"""
+    )
+    ctes.append(
+        """kept AS (
+  SELECT c.doc_id, c.i, c.ch FROM chars c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = c.doc_id
+      AND c.i >= s.span_start AND c.i < s.span_end
+  )
+)"""
+    )
+    ctes.append(
+        """clean AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text_clean
+  FROM kept GROUP BY doc_id
+)"""
+    )
+    ctes.append(
+        """cleaned AS MATERIALIZED (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.text IS NULL THEN NULL
+              ELSE COALESCE(cl.text_clean, '') END AS text_clean
+  FROM documents d LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+)"""
+    )
+    ctes.extend(
+        _clf_train_ctes(
+            CLF_TRAIN_BUCKETS, V3_ITERS, CLF_TRAIN_LR,
+            source="cleaned", text_col="text_clean",
+        )
+    )
+    ctes.append(
+        f"""trained AS (
+  SELECT bucket, CAST(wn AS DOUBLE) / 1e9 AS w FROM w{V3_ITERS}
+  WHERE bucket >= 0
+)"""
+    )
+    ctes.append(
+        f"""bias AS (
+  SELECT CAST(wn AS DOUBLE) / 1e9 AS b FROM w{V3_ITERS} WHERE bucket = -1
+)"""
+    )
+    ctes.append(
+        f"""toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % {CLF_TRAIN_BUCKETS}
+           AS bucket
+  FROM cleaned, unnest(string_split(text_clean, ' ')) AS u(t)
+)"""
+    )
+    ctes.append(
+        """per_doc AS (
+  SELECT t.doc_id,
+         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
+               / (COUNT(*) * 1e9), 9) AS m
+  FROM toks t LEFT JOIN trained w ON t.bucket = w.bucket
+  GROUP BY 1
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT c.doc_id, c.lang,
+         round(1.0 / (1.0 + exp(
+             -round(COALESCE(p.m, 0.0) + COALESCE((SELECT b FROM bias), 0.0),
+                    9))), 6) AS score
+  FROM cleaned c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
+)"""
+    )
+    ctes.append(
+        """ranked AS (
+  SELECT doc_id, lang, score,
+         CAST(row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, lang, score, rank FROM ranked WHERE rank <= {V3_TOP_N}"
+    )
+
+
+CORPUS_CURATION_V3_SQL = _curation_v3_sql()
+
+QUERIES["corpus_curation_v3"] = (q_corpus_curation_v3, CORPUS_CURATION_V3_SQL)

@@ -90,6 +90,7 @@ REHEARSAL = [
     "trim_repeated_spans",
     "semantic_dedup_incremental",
     "similarity_ann_lsh_multiprobe",
+    "corpus_curation_v3",
 ]
 
 
