@@ -376,3 +376,75 @@ def test_repeated_substring_spans_matches_python_reference(spark, texts):
             n += 1
         want.append((d, start, prev + K, n))
     assert got == sorted(want)
+
+
+# ---- round-8: classifier_train vs a pure-Python integer reference ----
+
+
+def _clf_reference(rows, buckets, iterations, lr):
+    """Direct Python replay of classifier_train's exact-integer
+    pipeline (md5-hashed tokens, floor(x+.5) quantization, integer
+    nano state) — the third independent implementation after the
+    engine and the DuckDB oracle."""
+    import hashlib
+    import math
+    from collections import Counter, defaultdict
+
+    feats = []  # (doc, y, [(bucket, x9)])
+    for doc_id, y, text in rows:
+        entries = [(-1, 10**9)]
+        if text is not None:
+            toks = text.split(" ")
+            cnt = Counter(
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % buckets
+                for t in toks
+            )
+            n = sum(cnt.values())
+            entries = [
+                (b, math.floor(c * 1e9 / n + 0.5)) for b, c in cnt.items()
+            ] + entries
+        feats.append((doc_id, y, entries))
+    n_docs = len(feats)
+    den = 1.0e9 * n_docs
+    wn: dict[int, int] = {}
+    for _ in range(iterations):
+        grads: dict[int, int] = defaultdict(int)
+        for _, y, entries in feats:
+            S = sum(x9 * wn.get(b, 0) for b, x9 in entries)
+            logit = math.floor(float(S) / 1e9 + 0.5) / 1e9
+            p_nano = math.floor(1.0 / (1.0 + math.exp(-logit)) * 1e9 + 0.5)
+            e9 = p_nano - y * 10**9
+            for b, x9 in entries:
+                grads[b] += e9 * x9
+        for b, g in grads.items():
+            wn[b] = wn.get(b, 0) - math.floor(lr * float(g) / den + 0.5)
+    return {b: float(v) / 1e9 for b, v in wn.items()}
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=30),
+        min_size=2,
+        max_size=6,
+    ),
+    labels=st.lists(st.booleans(), min_size=6, max_size=6),
+)
+def test_classifier_train_matches_python_reference(spark, texts, labels):
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.quality import classifier_train
+
+    rows = [
+        (i, int(labels[i]), t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, y int, text string")
+    got = {
+        r["bucket"]: r["w"]
+        for r in classifier_train(
+            df, "doc_id", "text", F.col("y") == 1,
+            buckets=32, iterations=2, lr=0.5,
+        ).collect()
+    }
+    want = _clf_reference(rows, 32, 2, 0.5)
+    assert got == want
