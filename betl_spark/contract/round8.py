@@ -770,3 +770,186 @@ def _curation_v3_sql() -> str:
 CORPUS_CURATION_V3_SQL = _curation_v3_sql()
 
 QUERIES["corpus_curation_v3"] = (q_corpus_curation_v3, CORPUS_CURATION_V3_SQL)
+
+
+def q_semantic_ingest_2day(spark, sf_dir):
+    """The ingest loop under the driver gate: day-1 batch dedupes
+    against the indexed corpus, its survivors APPEND to the index (one
+    partitioned write, corpus untouched), day-2 then dedupes against
+    corpus+day-1 — so a day-2 duplicate of a day-1 survivor drops with
+    no rebuild. Output: (day, vec_id, cell_id) survivors of both days.
+    The index rebuilds per invocation (overwrite) so repeat runs are
+    idempotent despite the append mutation."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= INC_BATCH_MAX_ID)
+    day1 = emb.filter(F.col("vec_id") < INC_BATCH_MAX_ID // 2)
+    day2 = emb.filter(
+        (F.col("vec_id") >= INC_BATCH_MAX_ID // 2)
+        & (F.col("vec_id") < INC_BATCH_MAX_ID)
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"betl_spark_ivf_2day_{os.getpid()}_{tag}"
+    )
+    similarity.build_ivf_index(
+        corpus, "vec_id", "embedding", IVF_CENTROID_IDS, path
+    )
+    s1 = similarity.semantic_dedup_incremental(
+        spark, day1, path, "vec_id", "embedding", threshold=SEMANTIC_THRESHOLD
+    ).localCheckpoint(eager=True)
+    similarity.append_to_ivf_index(
+        spark, day1.join(s1.select("vec_id"), "vec_id"), path,
+        "vec_id", "embedding",
+    )
+    s2 = similarity.semantic_dedup_incremental(
+        spark, day2, path, "vec_id", "embedding", threshold=SEMANTIC_THRESHOLD
+    )
+    return s1.select(F.lit(1).alias("day"), "vec_id", "cell_id").unionByName(
+        s2.select(F.lit(2).alias("day"), "vec_id", "cell_id")
+    )
+
+
+def _sem_inc_ctes(
+    prefix: str, batch_pred: str, corpus_cte: str
+) -> tuple[list[str], str]:
+    """The incremental-dedup CTE chain, parameterized so the 2-day
+    oracle can instantiate it twice (day 1 vs corpus0, day 2 vs
+    corpus0 ∪ day-1 survivors). Returns (ctes, survivors_cte_name)."""
+    from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
+
+    def cos(a, b):
+        return f"""round(
+  list_sum(list_transform(list_zip({a}.embedding, {b}.embedding),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE)
+                * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)"""
+
+    t = SEMANTIC_THRESHOLD
+    p = prefix
+    ctes = [
+        f"""{p}b0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {batch_pred}
+)""",
+        f"""{p}ba AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cos('e', 'c')} DESC, c.cell_id
+         ) AS rk
+  FROM {p}b0 e CROSS JOIN cent c
+)""",
+        f"""{p}bc AS (
+  SELECT vec_id, embedding, cell_id FROM {p}ba WHERE rk = 1
+)""",
+        f"""{p}cont AS (
+  SELECT DISTINCT e.vec_id
+  FROM {p}bc e JOIN {corpus_cte} c ON e.cell_id = c.cell_id
+  WHERE {cos('e', 'c')} >= {t}
+)""",
+        f"""{p}fresh AS (
+  SELECT * FROM {p}bc
+  WHERE vec_id NOT IN (SELECT vec_id FROM {p}cont)
+)""",
+        f"""{p}pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM {p}fresh a
+  JOIN {p}fresh b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE {cos('a', 'b')} >= {t}
+)""",
+        f"""{p}edges AS (
+  SELECT id_a AS src, id_b AS dst FROM {p}pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM {p}pairs
+)""",
+        f"""{p}reach AS (
+  SELECT src AS node, src AS label FROM {p}edges
+  UNION
+  SELECT e.dst AS node, r.label AS label
+  FROM {p}reach r JOIN {p}edges e ON e.src = r.node
+)""",
+        f"""{p}clusters AS (
+  SELECT node, MIN(label) AS cluster_id FROM {p}reach GROUP BY node
+)""",
+        f"""{p}surv AS (
+  SELECT f.vec_id, f.embedding, f.cell_id
+  FROM {p}fresh f LEFT JOIN {p}clusters cl ON f.vec_id = cl.node
+  WHERE cl.cluster_id IS NULL OR f.vec_id = cl.cluster_id
+)""",
+    ]
+    return ctes, f"{p}surv"
+
+
+def _sem_ingest_2day_sql() -> str:
+    from betl_spark.contract.scale import IVF_CENTROID_IDS
+
+    b = INC_BATCH_MAX_ID
+    ids = ", ".join(str(i) for i in IVF_CENTROID_IDS)
+
+    def cos(a, b_):
+        return f"""round(
+  list_sum(list_transform(list_zip({a}.embedding, {b_}.embedding),
+           p -> CAST(struct_extract(p, 1) AS DOUBLE)
+                * CAST(struct_extract(p, 2) AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+     * sqrt(list_sum(list_transform({b_}.embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+  6)"""
+
+    head = [
+        f"""corpus0 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {b}
+)""",
+        f"""cent AS (
+  SELECT vec_id AS cell_id, embedding FROM corpus0 WHERE vec_id IN ({ids})
+)""",
+        f"""cassign AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id ORDER BY {cos('e', 'c')} DESC, c.cell_id
+         ) AS rk
+  FROM corpus0 e CROSS JOIN cent c
+)""",
+        """corpus AS (
+  SELECT vec_id, embedding, cell_id FROM cassign WHERE rk = 1
+)""",
+    ]
+    d1, s1 = _sem_inc_ctes("d1", f"vec_id < {b // 2}", "corpus")
+    mid = [
+        f"""corpus1 AS (
+  SELECT vec_id, embedding, cell_id FROM corpus
+  UNION ALL
+  SELECT vec_id, embedding, cell_id FROM {s1}
+)"""
+    ]
+    d2, s2 = _sem_inc_ctes(
+        "d2", f"vec_id >= {b // 2} AND vec_id < {b}", "corpus1"
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(head + d1 + mid + d2)
+        + f"""
+SELECT 1 AS day, vec_id, cell_id FROM {s1}
+UNION ALL
+SELECT 2 AS day, vec_id, cell_id FROM {s2}"""
+    )
+
+
+SEMANTIC_INGEST_2DAY_SQL = _sem_ingest_2day_sql()
+
+QUERIES["semantic_ingest_2day"] = (
+    q_semantic_ingest_2day,
+    SEMANTIC_INGEST_2DAY_SQL,
+)

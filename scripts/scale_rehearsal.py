@@ -91,6 +91,7 @@ REHEARSAL = [
     "semantic_dedup_incremental",
     "similarity_ann_lsh_multiprobe",
     "corpus_curation_v3",
+    "semantic_ingest_2day",
 ]
 
 

@@ -29,7 +29,11 @@ TABLES = [
 
 # index-backed queries fail fast by design: an index build over zero
 # rows has no centroid model to persist
-FAIL_FAST = {"ivf_topk_indexed", "semantic_dedup_incremental"}
+FAIL_FAST = {
+    "ivf_topk_indexed",
+    "semantic_dedup_incremental",
+    "semantic_ingest_2day",
+}
 
 
 @pytest.fixture(scope="module")
