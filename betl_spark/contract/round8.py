@@ -953,3 +953,104 @@ QUERIES["semantic_ingest_2day"] = (
     q_semantic_ingest_2day,
     SEMANTIC_INGEST_2DAY_SQL,
 )
+
+
+LSH_TABLES = 2
+
+
+def q_similarity_ann_lsh_tables(spark, sf_dir):
+    """OR-ed multi-table LSH with multi-probe — the full recall ladder:
+    2 independent 4-plane tables, each probing its Hamming-1 buckets.
+    Measured recall@10 = 0.74 at sf0.1 vs single-table's 0.14
+    (SCALE.md), beating IVF nprobe=4 on the same corpus."""
+    from betl_spark.contract.scale import EMB_DIM, N_PLANES
+    from betl_spark.operators import similarity
+
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multitable_topk(
+        emb, "vec_id", "embedding", list(range(10)), k=5,
+        n_planes=N_PLANES, dim=EMB_DIM, n_tables=LSH_TABLES,
+        multi_probe=True,
+    )
+
+
+def _lsh_tables_sql() -> str:
+    import hashlib
+
+    from betl_spark.contract.scale import EMB_DIM, N_PLANES, _COSINE_PAIR
+
+    def plane_literal(plane: int) -> str:
+        comps = []
+        for j in range(EMB_DIM):
+            h = int(
+                hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:2], 16
+            )
+            comps.append("1.0" if h % 2 == 0 else "-1.0")
+        return "[" + ", ".join(comps) + "]"
+
+    def bucket_sql(tbl: str, offset: int) -> str:
+        terms = []
+        for i in range(N_PLANES):
+            dot = (
+                f"list_sum(list_transform(list_zip({tbl}.embedding, "
+                f"{plane_literal(offset + i)}), "
+                "p -> CAST(struct_extract(p, 1) AS DOUBLE)"
+                " * struct_extract(p, 2)))"
+            )
+            terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** i} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    bcols = ", ".join(
+        f"{bucket_sql('embeddings', t * N_PLANES)} AS b{t}"
+        for t in range(LSH_TABLES)
+    )
+    ckeys = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {t} AS t, b{t} AS b FROM be"
+        for t in range(LSH_TABLES)
+    )
+    qterms = []
+    for t in range(LSH_TABLES):
+        qterms.append(
+            f"SELECT vec_id, embedding, {t} AS t, b{t} AS b "
+            "FROM be WHERE vec_id < 10"
+        )
+        for i in range(N_PLANES):
+            qterms.append(
+                f"SELECT vec_id, embedding, {t} AS t, xor(b{t}, {1 << i}) "
+                "AS b FROM be WHERE vec_id < 10"
+            )
+    qkeys = "\n  UNION ALL ".join(qterms)
+    return f"""
+WITH be AS (
+  SELECT vec_id, embedding, {bcols} FROM embeddings
+),
+ckeys AS (
+  {ckeys}
+),
+qkeys AS (
+  {qkeys}
+),
+scored AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         {_COSINE_PAIR} AS cosine_sim
+  FROM qkeys a JOIN ckeys b ON a.t = b.t AND a.b = b.b
+  WHERE a.vec_id != b.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+SIMILARITY_ANN_LSH_TABLES_SQL = _lsh_tables_sql()
+
+QUERIES["similarity_ann_lsh_tables"] = (
+    q_similarity_ann_lsh_tables,
+    SIMILARITY_ANN_LSH_TABLES_SQL,
+)

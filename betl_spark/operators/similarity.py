@@ -172,20 +172,24 @@ def _plane_signs(plane: int, dim: int) -> list[float]:
     ]
 
 
-def hyperplane_signs(vec_col: str, n_planes: int, dim: int) -> F.Column:
+def hyperplane_signs(
+    vec_col: str, n_planes: int, dim: int, plane_offset: int = 0
+) -> F.Column:
     """LSH bucket id: sign bits of dot(vec, plane_i) for md5-derived
     ±1 hyperplanes. Returns a BIGINT bucket in [0, 2^n_planes).
 
     ``vec_col`` is a column NAME — the whole bucket is built as one SQL
     expression string (see module perf notes). The signed sums are
     left-associative, float-identical to a sequential fold over the
-    same terms.
+    same terms. ``plane_offset`` shifts the plane seed indices —
+    table t of a multi-table LSH index uses offset t·n_planes so its
+    planes are independent of every other table's.
     """
     parts = []
     for i in range(n_planes):
         terms = " + ".join(
             f"({'-' if s < 0 else ''}CAST(element_at(`{vec_col}`, {j + 1}) AS DOUBLE))"
-            for j, s in enumerate(_plane_signs(i, dim))
+            for j, s in enumerate(_plane_signs(plane_offset + i, dim))
         )
         parts.append(f"CASE WHEN ({terms}) > 0 THEN {2 ** i} ELSE 0 END")
     return F.expr("CAST(" + " + ".join(parts) + " AS BIGINT)")
@@ -1433,4 +1437,130 @@ def append_to_ivf_index(
     assigned = _assign_cells(batch, id_col, vec_col, cents).drop("cell_sim")
     assigned.write.mode("append").partitionBy("cell_id").parquet(
         f"{index_path}/corpus"
+    )
+
+
+def lsh_multitable_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 2,
+    multi_probe: bool = False,
+) -> DataFrame:
+    """Approximate top-k with L independent OR-ed LSH tables — the
+    second standard recall remedy (table t's planes use seed offset
+    t·n_planes, so the tables are independent; a true neighbor is
+    missed only if it hash-splits from the query in EVERY table:
+    miss ≈ miss_single^L). ``multi_probe`` composes: each table also
+    probes its Hamming-1 buckets.
+
+    Scale shape: the corpus computes ALL tables' buckets in one
+    codegen pass and explodes to (table, bucket) keys — L rows per
+    corpus row, the inherent cost of L indexes — feeding ONE broadcast
+    join against the (tiny, expanded) query key set. A pair matching
+    in several tables is scored per match (map-side, deterministic
+    6dp cosine) and collapsed by DISTINCT before ranking — the
+    de-dup exchange carries candidate pairs, never the corpus.
+    Output shape: ``cosine_topk``'s (query_id, neighbor_id,
+    cosine_sim, rank).
+    """
+    buckets = [
+        hyperplane_signs(
+            vec_col, n_planes, dim, plane_offset=t * n_planes
+        ).alias(f"__b{t}")
+        for t in range(n_tables)
+    ]
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_nrm"),
+        *buckets,
+    )
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), F.col(f"__b{t}").alias("b")
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("__tb")
+    corpus = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("_nrm").alias("nn"),
+        tb,
+    ).select(
+        "neighbor_id",
+        "nv",
+        "nn",
+        F.col("__tb")["t"].alias("t"),
+        F.col("__tb")["b"].alias("b"),
+    )
+    if multi_probe:
+        probes = F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.array(
+                            F.struct(
+                                F.lit(t).alias("t"),
+                                F.col(f"__b{t}").alias("b"),
+                            ),
+                            *[
+                                F.struct(
+                                    F.lit(t).alias("t"),
+                                    F.col(f"__b{t}")
+                                    .bitwiseXOR(F.lit(1 << i))
+                                    .alias("b"),
+                                )
+                                for i in range(n_planes)
+                            ],
+                        )
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+        ).alias("__tb")
+    else:
+        probes = tb
+    queries = (
+        base.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col("_nrm").alias("qn"),
+            probes,
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            F.col("__tb")["t"].alias("t"),
+            F.col("__tb")["b"].alias("b"),
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, ["t", "b"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_pre(
+                F.col("qv"), F.col("nv"), F.col("qn"), F.col("nn")
+            ).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
     )

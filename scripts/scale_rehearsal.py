@@ -92,6 +92,7 @@ REHEARSAL = [
     "similarity_ann_lsh_multiprobe",
     "corpus_curation_v3",
     "semantic_ingest_2day",
+    "similarity_ann_lsh_tables",
 ]
 
 

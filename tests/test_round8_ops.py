@@ -698,6 +698,48 @@ def test_write_bucketed_overwrite_uses_catalog_location(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_lsh_multitable_reduces_to_single_and_improves_recall(spark):
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(0, 500, 25))
+    K = 5
+    single = similarity.lsh_bucket_topk(
+        emb, "vec_id", "embedding", qids, k=K, n_planes=4, dim=64
+    )
+    one_table = similarity.lsh_multitable_topk(
+        emb, "vec_id", "embedding", qids, k=K, n_planes=4, dim=64,
+        n_tables=1,
+    )
+    # n_tables=1 without multi-probe is EXACTLY the single-table plan
+    assert sorted(map(tuple, single.collect())) == sorted(
+        map(tuple, one_table.collect())
+    )
+    exact = similarity.cosine_topk(emb, "vec_id", "embedding", qids, k=K)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(got.get(q, set()) & t) for q, t in truth.items()
+        ) / sum(len(t) for t in truth.values())
+
+    two = similarity.lsh_multitable_topk(
+        emb, "vec_id", "embedding", qids, k=K, n_planes=4, dim=64,
+        n_tables=2,
+    )
+    # OR-ed tables are a candidate superset: recall never decreases
+    assert recall(two) >= recall(single)
+    # each (query, neighbor) pair appears once despite multi-table hits
+    rows = two.select("query_id", "neighbor_id").collect()
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+
+
 def test_lsh_multi_probe_improves_recall_never_duplicates(spark):
     from betl_spark.operators import similarity
 
