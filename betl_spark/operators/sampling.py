@@ -202,6 +202,12 @@ def stratified_fixed_n(
     """
     from betl_spark.operators.stats import top_n_per_group
 
+    if "__h" in df.columns:
+        raise ValueError(
+            "stratified_fixed_n uses an internal '__h' column; rename "
+            "the caller's column (deterministic_shuffle precedent: "
+            "raise, never silently clobber)"
+        )
     h = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
         .cast("bigint")
@@ -410,6 +416,12 @@ def weighted_fixed_n(
     """
     from betl_spark.operators.stats import top_n_per_group
 
+    if "__pri" in df.columns:
+        raise ValueError(
+            "weighted_fixed_n uses an internal '__pri' column; rename "
+            "the caller's column (deterministic_shuffle precedent: "
+            "raise, never silently clobber)"
+        )
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")

@@ -774,3 +774,16 @@ def test_lsh_multi_probe_improves_recall_never_duplicates(spark):
     rows = multi.select("query_id", "neighbor_id").collect()
     pairs = [(r["query_id"], r["neighbor_id"]) for r in rows]
     assert len(pairs) == len(set(pairs))
+
+
+def test_sampling_internal_columns_never_clobber(spark):
+    from betl_spark.operators.sampling import stratified_fixed_n, weighted_fixed_n
+
+    df1 = spark.createDataFrame([("a", "s", 1)], "k string, st string, __h long")
+    with pytest.raises(ValueError, match="__h"):
+        stratified_fixed_n(df1, "k", "st", 1)
+    df2 = spark.createDataFrame(
+        [("a", "s", 1, 2)], "k string, st string, w long, __pri long"
+    )
+    with pytest.raises(ValueError, match="__pri"):
+        weighted_fixed_n(df2, "k", "st", "w", 1)
