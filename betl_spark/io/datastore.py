@@ -11,6 +11,12 @@ Datastore is a declarative descriptor the readers translate into
 - JSONL      → ``spark.read.json`` (newline-delimited records, the
   training-data interchange format; beyond-reference source type —
   pass ``extra['schema']`` at scale to skip the inference scan)
+- ORC        → ``spark.read.orc`` (columnar like parquet: splittable,
+  predicate/projection pushdown; beyond-reference source type)
+- FIXEDWIDTH → ``spark.read.text`` + substring projections
+  (mainframe-style fixed-column records; pass ``extra['colspecs']`` as
+  [(name, start, width), ...] with 0-based char starts — all-string
+  staging semantics like FILESYSTEM, values trimmed)
 - POSTGRES / SQLITE → ``spark.read.jdbc`` (needs a JDBC driver jar on the
   cluster; constructed lazily so tests without one still import)
 - GSHEET / EXCEL → driver-side fetch → ``spark.createDataFrame``. The
@@ -27,7 +33,10 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any
 
-SUPPORTED = ("FILESYSTEM", "PARQUET", "JSONL", "POSTGRES", "SQLITE", "GSHEET", "EXCEL")
+SUPPORTED = (
+    "FILESYSTEM", "PARQUET", "JSONL", "ORC", "FIXEDWIDTH",
+    "POSTGRES", "SQLITE", "GSHEET", "EXCEL",
+)
 
 
 @dataclass
@@ -54,6 +63,10 @@ class Datastore:
         self.datastore_type = t
         if t == "JSONL" and self.file_ext == ".csv":  # untouched default
             self.file_ext = ".jsonl"
+        if t == "ORC" and self.file_ext == ".csv":
+            self.file_ext = ".orc"
+        if t == "FIXEDWIDTH" and self.file_ext == ".csv":
+            self.file_ext = ".txt"
 
     def table_path(self, table_name: str) -> str:
         if self.path is None:

@@ -95,6 +95,33 @@ def read_source_table(
                 "samplingRatio", str(datastore.extra["sample_ratio"])
             )
         df = reader.json(datastore.table_path(table_name))
+    elif t == "ORC":
+        # columnar like parquet: splittable, predicate/projection
+        # pushdown through the native reader
+        df = spark.read.orc(datastore.table_path(table_name))
+    elif t == "FIXEDWIDTH":
+        # mainframe-style fixed-column records: one text scan, then a
+        # pure substring projection per declared column (codegen; the
+        # line is read once, never re-parsed). All-string staging
+        # semantics like FILESYSTEM: values come back trimmed, ''
+        # stays '' (the ''→NULL boundary belongs to the warehouse
+        # write path, exactly as with CSV).
+        colspecs = datastore.extra.get("colspecs")
+        if not colspecs:
+            raise ValueError(
+                f"datastore {datastore.datastore_id}: FIXEDWIDTH needs "
+                "extra['colspecs'] = [(name, start, width), ...] "
+                "(0-based char starts)"
+            )
+        raw = spark.read.text(datastore.table_path(table_name))
+        df = raw.select(
+            *[
+                F.trim(F.substring(F.col("value"), start + 1, width)).alias(
+                    name
+                )
+                for name, start, width in colspecs
+            ]
+        )
     elif t in ("POSTGRES", "SQLITE"):
         if datastore.jdbc_url:
             reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(

@@ -150,3 +150,54 @@ def write_jsonl(
     ``write_staged``; each task writes its partition's records
     independently, so the export parallelizes like any file sink."""
     _write(df, path, mode, partition_by, "json")
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Columnar ORC export — same mode/partitioning contract as
+    ``write_staged``; splittable with predicate/projection pushdown on
+    re-read, interchangeable with parquet for downstream engines that
+    prefer ORC."""
+    _write(df, path, mode, partition_by, "orc")
+
+
+def write_fixed_width(
+    df: DataFrame,
+    path: str,
+    colspecs: list[tuple[str, int, int]],
+    mode: str = "overwrite",
+) -> None:
+    """Fixed-width text export (the FIXEDWIDTH datastore's write half):
+    each declared column is cast to string, NULL → '', right-padded to
+    its width (and truncated at it — fixed means fixed), concatenated
+    in colspec order into one line per row. One codegen projection,
+    each task writes its partition independently. ``colspecs`` uses
+    the reader's (name, start, width) shape; starts must be
+    contiguous (start_i+1 = start_i + width_i) or the layout would
+    have undefined gaps — validated here rather than producing a file
+    another system misparses."""
+    pos = 0
+    for name, start, width in colspecs:
+        if start != pos:
+            raise ValueError(
+                f"write_fixed_width: column {name!r} starts at {start}, "
+                f"expected {pos} (colspecs must be contiguous)"
+            )
+        pos = start + width
+    line = F.concat(
+        *[
+            F.rpad(
+                F.coalesce(F.col(name).cast("string"), F.lit("")),
+                width,
+                " ",
+            ).substr(1, width)
+            for name, _start, width in colspecs
+        ]
+    ).alias("value")
+    df.select(line).write.mode(
+        "overwrite" if mode == "replace" else mode
+    ).text(path)

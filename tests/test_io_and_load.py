@@ -360,3 +360,49 @@ def test_dataflows_dag_spec_mirrors_scheduler_contract(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown dataflow"):
         p.dataflows_dag_spec([extract], upstream={"extract": ["missing"]})
+
+
+def test_orc_roundtrip_via_datastore(spark, tmp_path):
+    from betl_spark.io.datastore import Datastore
+    from betl_spark.io.readers import read_source_table
+    from betl_spark.io.writers import write_orc
+
+    src = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_orc(src, str(tmp_path / "nation.orc"))
+    ds = Datastore("orc_src", "ORC", is_src_sys=True, path=str(tmp_path))
+    back = read_source_table(spark, ds, "nation")
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    # cols/limit flow through like any source
+    two = read_source_table(spark, ds, "nation", cols=["n_name"], limit=2)
+    assert two.columns == ["n_name"] and two.count() == 2
+
+
+def test_fixed_width_roundtrip_via_datastore(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from betl_spark.io.datastore import Datastore
+    from betl_spark.io.readers import read_source_table
+    from betl_spark.io.writers import write_fixed_width
+
+    rows = [(1, "alice", "en"), (22, "bob", ""), (333, None, "fr")]
+    df = spark.createDataFrame(rows, "id int, name string, lang string")
+    specs = [("id", 0, 5), ("name", 5, 10), ("lang", 15, 2)]
+    write_fixed_width(df, str(tmp_path / "people.txt"), specs)
+    ds = Datastore(
+        "fw_src", "FIXEDWIDTH", is_src_sys=True, path=str(tmp_path),
+        extra={"colspecs": specs},
+    )
+    back = read_source_table(spark, ds, "people")
+    got = sorted(tuple(r) for r in back.collect())
+    # all-string staging semantics: values trimmed, NULL came back ''
+    assert got == [("1", "alice", "en"), ("22", "bob", ""), ("333", "", "fr")]
+    # every line is exactly the declared record length
+    lens = {len(r["value"]) for r in spark.read.text(str(tmp_path / "people.txt")).collect()}
+    assert lens == {17}
+    # non-contiguous colspecs are refused at write time
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="contiguous"):
+        write_fixed_width(df, str(tmp_path / "bad.txt"), [("id", 0, 5), ("name", 7, 4)])
