@@ -1054,3 +1054,90 @@ QUERIES["similarity_ann_lsh_tables"] = (
     q_similarity_ann_lsh_tables,
     SIMILARITY_ANN_LSH_TABLES_SQL,
 )
+
+
+def q_source_data_card(spark, sf_dir):
+    """Per-(source, lang) data card — the dataset-documentation rollup
+    a curation pipeline publishes next to its shards: volume (docs,
+    chars), exact-duplicate rate (content-hash census), and the
+    corpus's own quality score (classifier_score under the shared
+    pseudo-weights) min/mean/max — one groupBy over proven columns."""
+    from pyspark.sql import functions as F
+
+    from betl_spark.contract.round6 import CLF_BIAS, CLF_BUCKETS, _clf_weights
+    from betl_spark.operators.dedup import content_hash
+    from betl_spark.operators.quality import classifier_score
+
+    docs = table(spark, sf_dir, "documents")
+    scored = classifier_score(
+        docs, "doc_id", "text", _clf_weights(spark),
+        bias=CLF_BIAS, buckets=CLF_BUCKETS,
+    ).select("doc_id", "score")
+    base = docs.select(
+        "doc_id", "source", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        content_hash(["text"]).alias("h"),
+    ).join(scored, "doc_id")
+    return (
+        base.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (
+                F.count(F.lit(1)) - F.count_distinct(F.col("h"))
+            ).alias("n_exact_dups"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            # exact-integer mean: scores are 6dp, so score·1e6 sums as
+            # BIGINT order-free, divided as double at the end
+            F.round(
+                F.sum(F.round(F.col("score") * F.lit(1e6)).cast("long"))
+                / (F.count(F.lit(1)) * F.lit(1e6)),
+                9,
+            ).alias("mean_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+    )
+
+
+SOURCE_DATA_CARD_SQL = f"""
+WITH weights AS (
+  SELECT CAST(r.range AS BIGINT) AS bucket,
+         (CAST(('0x' || substr(md5('w:' || CAST(r.range AS VARCHAR)), 1, 8))
+               AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+  FROM range(256) r
+),
+toks AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+),
+per_doc AS (
+  SELECT t.doc_id,
+         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
+               / (COUNT(*) * 1e9), 9) AS m
+  FROM toks t LEFT JOIN weights w ON t.bucket = w.bucket
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id,
+         round(1.0 / (1.0 + exp(-round(COALESCE(p.m, 0.0) + -0.1, 9))), 6)
+           AS score
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+         md5(coalesce(d.text, chr(0) || 'NULL')) AS h, s.score
+  FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+)
+SELECT source, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_exact_dups,
+       round(MIN(score), 6) AS min_score,
+       round(SUM(CAST(round(score * 1e6) AS BIGINT))
+             / (COUNT(*) * 1e6), 9) AS mean_score,
+       round(MAX(score), 6) AS max_score
+FROM base GROUP BY source, lang
+"""
+
+QUERIES["source_data_card"] = (q_source_data_card, SOURCE_DATA_CARD_SQL)

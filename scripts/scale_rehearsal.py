@@ -93,6 +93,7 @@ REHEARSAL = [
     "corpus_curation_v3",
     "semantic_ingest_2day",
     "similarity_ann_lsh_tables",
+    "source_data_card",
 ]
 
 
