@@ -121,9 +121,18 @@ def write_bucketed(
 
         loc = None
         if spark.catalog.tableExists(table_name):
+            # DESCRIBE EXTENDED lists the DATA COLUMNS first, then a
+            # '# Detailed Table Information' section; a data column
+            # literally named 'Location' would match first and rmtree
+            # a bogus relative path (its TYPE string) in the CWD
+            # (advisor finding, round 8) — only scan the metadata
+            # section below the marker row
             desc = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}")
+            in_meta = False
             for r in desc.collect():
-                if r["col_name"] == "Location":
+                if r["col_name"].startswith("# Detailed Table"):
+                    in_meta = True
+                elif in_meta and r["col_name"] == "Location":
                     loc = r["data_type"]
                     break
         spark.sql(f"DROP TABLE IF EXISTS {table_name}")

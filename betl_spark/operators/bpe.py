@@ -162,6 +162,42 @@ def _pair_counts(words) -> "F.DataFrame":
     )
 
 
+def _persistent_rdd_ids(spark) -> set:
+    """IDs of the RDDs currently persisted in this context's block
+    manager (the Scala ``SparkContext.getPersistentRDDs`` map iterated
+    via py4j — ``JavaSparkContext`` exposes no accessor)."""
+    ids = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _checkpoint_tracked(df, spark):
+    """``localCheckpoint(eager=True)`` plus the ids of the RDD blocks
+    it pinned, so the caller can later free EXACTLY those blocks.
+
+    ``df.rdd.unpersist()`` cannot do this job: ``DataFrame.rdd``
+    constructs a fresh Java→Python mapped RDD (storage level NONE)
+    on every access, not the checkpointed RDD, so unpersisting it
+    is a no-op and a long merge loop would accumulate two
+    vocab-sized cached tables per round."""
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    return out, _persistent_rdd_ids(spark) - before
+
+
+def _unpersist_ids(spark, ids) -> None:
+    """Drop exactly the tracked checkpoint blocks (non-blocking)."""
+    if not ids:
+        return
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
 def train_merges_distributed(
     df,
     text_col: str,
@@ -223,7 +259,6 @@ def train_merges_distributed(
         .filter(F.col("enc") != "")
         .groupBy("enc")
         .agg(F.count(F.lit(1)).cast("long").alias("freq"))
-        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
     if mode == "delta":
@@ -238,12 +273,19 @@ def train_merges_distributed(
         #   task closures grow without bound;
         # - the previous round's cached tables are dead once the new
         #   ones materialize — unpersist them or a 50k-merge run leaks
-        #   2 vocab-sized cached tables per round.
-        words = words.localCheckpoint(eager=True)
+        #   2 vocab-sized cached tables per round. The blocks are
+        #   tracked by RDD id (_checkpoint_tracked) because
+        #   DataFrame.rdd.unpersist is a no-op for checkpoint blocks.
+        words, _w_ids = _checkpoint_tracked(words, spark)
         n_parts = words.rdd.getNumPartitions()
-        pairs = _pair_counts(words).localCheckpoint(eager=True)
+        pairs, _p_ids = _checkpoint_tracked(_pair_counts(words), spark)
+        live_ids = _w_ids | _p_ids
     else:
         pairs = None
+        # full mode re-scans the word table every round — checkpoint it
+        # (tracked, so the final cleanup frees it) or each round replays
+        # the corpus scan + groupBy
+        words, live_ids = _checkpoint_tracked(words, spark)
     for _ in range(n_merges):
         t0 = _time.perf_counter()
         if mode == "full":
@@ -261,36 +303,43 @@ def train_merges_distributed(
             f"replace(enc, {_sql_quote(pat)}, {_sql_quote(rep)})"
         ).alias("enc")
         if mode == "full":
-            words = words.select(apply_merge, "freq").localCheckpoint(
-                eager=False
+            old_ids = live_ids
+            words, live_ids = _checkpoint_tracked(
+                words.select(apply_merge, "freq"), spark
             )
+            _unpersist_ids(spark, old_ids)
             if round_seconds is not None:
                 round_seconds.append(_time.perf_counter() - t0)
             continue
         # delta: only words CONTAINING the merged pair change any count
         affected = words.filter(F.col("enc").contains(pat))
         merged = affected.select(apply_merge, "freq")
-        old_pairs, old_words = pairs, words
-        pairs = (
+        old_ids = live_ids
+        pairs, _p_ids = _checkpoint_tracked(
             pairs.unionByName(
                 _pair_counts(affected).select("x", "y", (-F.col("c")).alias("c"))
             )
             .unionByName(_pair_counts(merged))
             .groupBy("x", "y")
             .agg(F.sum("c").alias("c"))
-            .filter(F.col("c") > 0)
-            .localCheckpoint(eager=True)
+            .filter(F.col("c") > 0),
+            spark,
         )
-        words = (
+        words, _w_ids = _checkpoint_tracked(
             words.filter(~F.col("enc").contains(pat))
             .unionByName(merged)
-            .coalesce(n_parts)
-            .localCheckpoint(eager=True)
+            .coalesce(n_parts),
+            spark,
         )
-        old_pairs.rdd.unpersist(False)
-        old_words.rdd.unpersist(False)
+        live_ids = _p_ids | _w_ids
+        # the new tables are materialized — the previous round's blocks
+        # are unreachable, free them NOW (not at GC's leisure)
+        _unpersist_ids(spark, old_ids)
         if round_seconds is not None:
             round_seconds.append(_time.perf_counter() - t0)
+    # the merges are collected; the loop's working tables are dead —
+    # leave the block manager exactly as we found it
+    _unpersist_ids(spark, live_ids)
     return spark.createDataFrame(
         [(i + 1, x, y, c) for i, (x, y, c) in enumerate(merges)],
         "merge_rank int, x string, y string, pair_count long",
