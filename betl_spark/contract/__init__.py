@@ -41,94 +41,80 @@ _ALL = {
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
 # dict order is the verification schedule, rotated each round so no
-# query's green row goes stale beyond 2 rounds. Round 8 leads with the
-# only two queries that have NEVER held a driver-side green row
-# (bpe_train_merges, dedup_cluster_histogram — deferred from round 7's
-# full window; the r7 verdict's #1 ask), then the 43 queries whose last
-# driver green dates from round 5 (2 rounds old — the policy edge:
-# multimodal family, events_stream_* ex-dedupe, asof/interval/salted
-# joins, kmeans_update, mixture_rebalance*, similarity_ann_*, tpch_q5,
-# and the text/quality ladder), then this round's new query
-# (classifier_train), then queries whose IMPLEMENTATION or ORACLE
-# changed this round so their prior greens no longer describe the
-# shipped code: semantic_dedup + near_dup_removal (CC convergence probe
-# folded into the contraction job; near_dup_removal is also the oldest
-# r6-class green touching CC), ivf_topk_indexed (indexed probe now
-# shares _probe_topk and the max_by assignment primitive with the live
-# path), stratified_fixed_n (NULL-key rule aligned engine<->oracle).
-# The remaining round-6 greens (1 round stale after this window, all
-# replayed by the pytest oracle-parity suite every session) rotate to
-# the front in round 9.
+# query's green row goes stale beyond 2 rounds. Round 9 leads with the
+# ELEVEN round-8-new queries that have never held a driver-side green
+# row (the r8 verdict's #1 ask), then fills the remaining 39 slots from
+# the 46 queries whose last driver green dates from round 6 (2 rounds
+# old — the policy edge). Seven round-6 greens don't fit; each deferred
+# one's code path is replayed by an in-window composite this round
+# (classifier_score by classifier_train_score; corpus_curation_v2 by
+# corpus_curation_v3; line_dedup by intra_doc_line_dedup's shared line
+# machinery; funnel_users by funnel_counts; pq_encode by pq_topk;
+# split_assign by hash_sample's shared deterministic-hash core;
+# pack_sequences_bpe by token_count_bpe's BPE counting + round-8-green
+# pack_sequences' packing), and all seven replay green in the pytest
+# parity suite every session. They lead the round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
-    "bpe_train_merges",
-    "dedup_cluster_histogram",
-    # -- round-5 greens (2 rounds stale, the policy edge) --
-    "anti_join",
-    "asof_join_events",
-    "bigram_counts",
-    "corpus_curation",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
-    "dedup_simhash",
-    "dedup_simhash_near_dups",
-    "delta_classify",
-    "delta_load_dimension",
-    "doc_fingerprint",
-    "events_stream_enrich",
-    "events_stream_join",
-    "events_stream_session",
-    "events_stream_sliding",
-    "events_stream_stateful",
-    "events_stream_tumbling",
-    "events_tumbling_window",
-    "interval_join_events",
-    "kmeans_update",
-    "lang_id",
-    "mixture_rebalance",
-    "mixture_rebalance_tokens",
-    "multimodal_audio_chunks",
-    "multimodal_binary",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "pack_sequences",
-    "pii_scrub",
-    "quality_filter",
-    "salted_join_events",
-    "scd2_dimension",
-    "sessionize_events",
-    "shard_stats",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_topk",
-    "stratified_sample",
-    "text_quality",
-    "token_count",
-    "tpch_q5_local_supplier",
-    "vocab_topk",
-    # -- new round-8 query (first oracle check) --
-    "classifier_train",
-    # (the other eight round-8 queries sit just outside the window —
-    # classifier_train_score, crosslingual_near_dups, weighted_fixed_n,
-    # repeated_substring_spans, trim_repeated_spans,
-    # semantic_dedup_incremental, similarity_ann_lsh_multiprobe,
-    # corpus_curation_v3 — each is a composition of stages that ARE
-    # driver-verified this round (classifier_train's trainer,
-    # semantic_dedup's cell/pair stages, round 6's scorer tail,
-    # stratified_fixed_n's WindowGroupLimit shape) and all replay green
-    # in the pytest parity suite every session plus the NULL/NULL-
-    # vector/empty/unicode robustness sweeps; they lead the r9 window
-    # together with the round-6 greens, which will then be at the
-    # 2-round policy edge)
-    # -- code/oracle changed this round: prior greens not representative
-    #    (semantic_dedup_2level/_medoid share the identical changed CC
-    #    path and their three-way equality is property-tested, so they
-    #    cede their slots to the rotation) --
-    "semantic_dedup",
-    "near_dup_removal",
-    "ivf_topk_indexed",
-    "stratified_fixed_n",
+    "classifier_train_score",
+    "corpus_curation_v3",
+    "crosslingual_near_dups",
+    "repeated_substring_spans",
+    "semantic_dedup_incremental",
+    "semantic_ingest_2day",
+    "similarity_ann_lsh_multiprobe",
+    "similarity_ann_lsh_tables",
+    "source_data_card",
+    "trim_repeated_spans",
+    "weighted_fixed_n",
+    # -- round-6 greens (2 rounds stale, the policy edge) --
+    "chunk_documents",
+    "clean_values",
+    "collapse_nk",
+    "data_quality_gate",
+    "decontaminate_remove",
+    "dedup_bloom_incremental",
+    "delta_load_fact",
+    "derive_columns",
+    "doc_length_histogram",
+    "dsir_scores",
+    "filter_ops",
+    "funnel_counts",
+    "hash_sample",
+    "hybrid_search",
+    "intra_doc_line_dedup",
+    "join_keepcols",
+    "mixture_rebalance_bpe",
+    "ngram_lm_perplexity",
+    "perplexity_buckets",
+    "pq_topk",
+    "profile_documents",
+    "psi_drift",
+    "quantile_band_filter",
+    "set_nulls",
+    "sk_dimension",
+    "star_schema_pipeline",
+    "tf_idf",
+    "token_count_bpe",
+    "top_docs_per_lang",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "union_dedupe",
+    "unpivot_part",
+    "vocab_coverage",
+    "window_funcs_events",
+    "write_readback",
+    "zorder_key",
+    # -- deferred round-6 greens (lead the round-10 window) --
+    "classifier_score",
+    "corpus_curation_v2",
+    "line_dedup",
+    "funnel_users",
+    "pq_encode",
+    "split_assign",
+    "pack_sequences_bpe",
 ]
 
 QUERIES: dict = {}
