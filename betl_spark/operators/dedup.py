@@ -1019,36 +1019,64 @@ def intra_doc_line_dedup(
 
 
 def _substring_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, k: int, p: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    p: int,
+    chunk_windows: int = 65536,
 ) -> DataFrame:
     """(id, off, h): the mod-p-selected k-char window fingerprints of
-    every document. Windows are hashed AND selected INSIDE one per-row
-    array expression, so the Generate emits only the ~1/p fingerprints
-    and never replicates the document text per window (plan-pinned:
-    no Exchange below the generator)."""
+    every document. Windows are hashed AND selected INSIDE per-row
+    array expressions, so the final Generate emits only the ~1/p
+    fingerprints and never replicates the document text per window
+    (plan-pinned: no Exchange below the generators).
+
+    Per-row transient memory is BOUNDED regardless of document length
+    (advisor finding, round 8: the unchunked form built the complete
+    (len−k+1)-element struct array — ~35-40 B/char — before the mod-p
+    filter, so one very long document could blow an executor): the
+    window-start space [0, len−k] is first exploded into chunks of
+    ``chunk_windows`` starts, and each chunk row builds only its own
+    ≤ chunk_windows-element array (~2.5 MB transient at the default).
+    Selection is content-defined (hash of the window, never its
+    position), so chunking cannot change which fingerprints survive —
+    equality with the unchunked form is pinned by test at
+    chunk_windows=7. Offsets stay global to the document."""
     length = F.length(F.col(text_col))
+    last = (length - F.lit(k)).cast("long")  # last valid window start
+    chunked = (
+        df.filter(length >= k)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), last, F.lit(chunk_windows))
+            ).alias("base"),
+        )
+    )
+    last2 = (F.length(F.col(text_col)) - F.lit(k)).cast("long")
     fps = F.filter(
         F.transform(
-            F.sequence(F.lit(0), length - F.lit(k)),
+            F.sequence(
+                F.col("base"),
+                F.least(F.col("base") + F.lit(chunk_windows - 1), last2),
+            ),
             lambda off: F.struct(
                 off.cast("long").alias("off"),
-                F.md5(F.substring(F.col(text_col), off + 1, F.lit(k))).alias(
-                    "h"
-                ),
+                F.md5(
+                    F.substring(F.col(text_col), (off + 1).cast("int"), F.lit(k))
+                ).alias("h"),
             ),
         ),
         lambda s: F.conv(F.substring(s["h"], 1, 8), 16, 10).cast("bigint")
         % p
         == 0,
     )
-    return (
-        df.filter(length >= k)
-        .select(F.col(id_col), F.explode(fps).alias("s"))
-        .select(
-            id_col,
-            F.col("s")["off"].alias("off"),
-            F.col("s")["h"].alias("h"),
-        )
+    return chunked.select(F.col(id_col), F.explode(fps).alias("s")).select(
+        id_col,
+        F.col("s")["off"].alias("off"),
+        F.col("s")["h"].alias("h"),
     )
 
 

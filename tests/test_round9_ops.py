@@ -36,3 +36,47 @@ def test_write_bucketed_location_column_shadow(spark, tmp_path):
         assert spark.table(name).count() == 7
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_substring_fingerprints_chunking_is_invisible(spark):
+    # ADVICE r8: the unchunked form built the full (len-k+1)-window
+    # array per row before the mod-p filter (~35-40 B/char transient).
+    # The chunked form bounds per-row arrays at chunk_windows entries;
+    # selection is content-defined, so a pathological chunk size (7)
+    # must yield the IDENTICAL fingerprint set, global offsets intact.
+    from betl_spark.operators.dedup import _substring_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "short"),                       # < k: dropped entirely
+            (3, "x" * 23),                      # exactly spans chunks
+            (4, None),                          # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    rows = lambda cw: sorted(
+        (r["doc_id"], r["off"], r["h"])
+        for r in _substring_fingerprints(
+            docs, "doc_id", "text", 20, 4, chunk_windows=cw
+        ).collect()
+    )
+    big = rows(1 << 20)  # one chunk per doc == the unchunked behavior
+    assert rows(7) == big
+    assert rows(1) == big
+    assert big  # the repeated corpus does produce fingerprints
+
+
+def test_substring_fingerprints_chunked_still_map_only(spark):
+    # the chunk explode must not introduce a shuffle: the stage stays
+    # map-only (zero Exchanges) with the mod-p filter inside the row
+    # expression, same contract the round-8 plan pin established
+    from betl_spark.operators.dedup import _substring_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 50)], "doc_id long, text string"
+    )
+    wins = _substring_fingerprints(docs, "doc_id", "text", 20, 4)
+    plan = wins._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.replace(" ", "").count("Generateexplode") == 2
