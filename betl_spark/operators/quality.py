@@ -225,6 +225,7 @@ def classifier_train(
     buckets: int = 1 << 16,
     iterations: int = 3,
     lr: float = 0.5,
+    map_literal_max: int = 4096,
 ) -> DataFrame:
     """TRAIN the hashed-bag-of-words linear quality classifier that
     ``classifier_score`` applies — the in-engine half of the
@@ -255,18 +256,33 @@ def classifier_train(
     Scale shape — the part that makes T iterations affordable at
     100 TB: the corpus is exploded and SHUFFLED EXACTLY ONCE, into a
     per-document feature-array table (doc, y, [(bucket, x9)…]) that is
-    checkpointed. Every iteration is then one job with ZERO
-    corpus-sized exchanges: the current weight table ships as a
-    CONSTANT-FOLDED map literal inside the plan (``str_to_map`` of one
-    literal string — bounded by the bucket count, the same
-    model-in-the-plan trick as the BPE merge chain and the SimHash
-    hyperplanes), the per-doc logit/error is a row-local higher-order
-    ``aggregate`` over the feature array (no shuffle, no join), and
-    the per-bucket gradient is a map-side-combined aggregation whose
-    exchange carries ≤ buckets·partitions partial rows. The gradient
-    collect is ≤ ``buckets`` rows — the same bounded-model collect as
-    the centroid models and MDM write-back. The corpus is never
-    collected and never reshuffled after the one-time feature build.
+    checkpointed. How the weight model reaches the executors then
+    depends on its size (``map_literal_max``, advisor finding round 8:
+    a 64k-bucket model as expression text approaches ~1 MB per
+    iteration of parser/codegen cost):
+
+    - ≤ ``map_literal_max`` entries (the contract's 256-bucket
+      operating point): the model ships as a CONSTANT-FOLDED map
+      literal inside the plan (``str_to_map`` of one literal string —
+      the model-in-the-plan trick shared with the BPE merge chain and
+      the SimHash hyperplanes); the per-doc logit/error is a row-local
+      higher-order ``aggregate`` over the feature array (no shuffle,
+      no join) and each iteration's only exchange is the map-side-
+      combined per-bucket gradient (≤ buckets·partitions partials).
+    - above it: the model becomes a BROADCAST-joined weight table —
+      the exploded features left-join broadcast(weights) on bucket
+      (zero expression-size cost, no corpus-side exchange for the
+      lookup itself), per-doc error is a groupBy(doc) re-aggregation
+      and the gradient joins that bounded per-doc error table back to
+      the features. Two extra key exchanges per iteration, but each
+      carries one row per document — never the corpus — and the
+      arithmetic is bit-identical to the literal path (equality pinned
+      by test at a forced threshold).
+
+    The gradient collect is ≤ ``buckets`` rows either way — the same
+    bounded-model collect as the centroid models and MDM write-back.
+    The corpus is never collected and never reshuffled after the
+    one-time feature build.
 
     Output: (bucket, w) — every feature bucket present in the corpus
     plus the bias row at bucket -1, w in units (nanos/1e9).
@@ -349,44 +365,85 @@ def classifier_train(
     wn: dict[int, int] = {}
     den = 1.0e9 * n_docs
     dec = "decimal(38,0)"
-    for _ in range(iterations):
-        if wn:
-            # the model rides the plan as one constant-foldable
-            # str_to_map literal: bounded by the bucket count, no
-            # broadcast join, no shuffle
-            pairs = ",".join(f"{b}:{v}" for b, v in sorted(wn.items()))
-            wmap = F.expr(f"str_to_map('{pairs}', ',', ':')")
-            S = F.aggregate(
-                "fs",
-                F.lit(0).cast(dec),
-                lambda acc, s: acc
-                + s["x9"].cast(dec)
-                * F.coalesce(
-                    F.element_at(wmap, s["bucket"].cast("string")).cast(
-                        "long"
-                    ),
-                    F.lit(0),
-                ).cast(dec),
-            )
-        else:
-            S = F.lit(0).cast(dec)
+
+    def _logit_err(S):
+        # shared nano-quantization: identical in both model-shipping
+        # paths, so they are interchangeable bit-for-bit
         logit = (
             F.floor(S.cast("double") / F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
         )
         p_nano = F.floor(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) * F.lit(1e9) + F.lit(0.5)
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)) * F.lit(1e9)
+            + F.lit(0.5)
         ).cast("long")
-        e9 = p_nano - F.col("__y").cast("long") * F.lit(10**9)
-        grads = (
-            f.select(e9.alias("e9"), F.explode("fs").alias("s"))
-            .groupBy(F.col("s")["bucket"].alias("bucket"))
-            .agg(
-                F.sum(
-                    F.col("e9").cast(dec) * F.col("s")["x9"].cast(dec)
-                ).alias("G")
+        return p_nano - F.col("__y").cast("long") * F.lit(10**9)
+
+    fx = f.select(F.col(id_col), "__y", F.explode("fs").alias("s")).select(
+        id_col,
+        "__y",
+        F.col("s")["bucket"].alias("bucket"),
+        F.col("s")["x9"].alias("x9"),
+    )
+    for _ in range(iterations):
+        if wn and len(wn) > map_literal_max:
+            # large model: broadcast-join lookup (the str_to_map
+            # literal would be O(model) expression text per iteration)
+            wdf = df.sparkSession.createDataFrame(
+                sorted(wn.items()), "bucket long, wn long"
             )
-            .collect()
-        )
+            per_doc = (
+                fx.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy(id_col, "__y")
+                .agg(
+                    F.sum(
+                        F.col("x9").cast(dec)
+                        * F.coalesce("wn", F.lit(0)).cast(dec)
+                    ).alias("S")
+                )
+            )
+            err = per_doc.select(
+                F.col(id_col), _logit_err(F.col("S")).alias("e9")
+            )
+            grads = (
+                fx.join(err, id_col)
+                .groupBy("bucket")
+                .agg(
+                    F.sum(
+                        F.col("e9").cast(dec) * F.col("x9").cast(dec)
+                    ).alias("G")
+                )
+                .collect()
+            )
+        else:
+            if wn:
+                # small model: rides the plan as one constant-foldable
+                # str_to_map literal — no join, no per-doc exchange
+                pairs = ",".join(f"{b}:{v}" for b, v in sorted(wn.items()))
+                wmap = F.expr(f"str_to_map('{pairs}', ',', ':')")
+                S = F.aggregate(
+                    "fs",
+                    F.lit(0).cast(dec),
+                    lambda acc, s: acc
+                    + s["x9"].cast(dec)
+                    * F.coalesce(
+                        F.element_at(wmap, s["bucket"].cast("string")).cast(
+                            "long"
+                        ),
+                        F.lit(0),
+                    ).cast(dec),
+                )
+            else:
+                S = F.lit(0).cast(dec)
+            grads = (
+                f.select(_logit_err(S).alias("e9"), F.explode("fs").alias("s"))
+                .groupBy(F.col("s")["bucket"].alias("bucket"))
+                .agg(
+                    F.sum(
+                        F.col("e9").cast(dec) * F.col("s")["x9"].cast(dec)
+                    ).alias("G")
+                )
+                .collect()
+            )
         for r in grads:
             g = int(r["G"])
             wn[int(r["bucket"])] = wn.get(int(r["bucket"]), 0) - int(

@@ -80,3 +80,28 @@ def test_substring_fingerprints_chunked_still_map_only(spark):
     plan = wins._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.replace(" ", "").count("Generateexplode") == 2
+
+
+def test_classifier_train_broadcast_path_bitwise_equal(spark):
+    # ADVICE r8: a 64k-bucket model as a str_to_map literal is ~1MB of
+    # expression text per iteration. Above map_literal_max the model
+    # ships as a broadcast-joined weight table instead; the arithmetic
+    # is exact-integer in both paths, so forcing the join path must
+    # reproduce the literal path's weight table EXACTLY.
+    from betl_spark.operators.quality import classifier_train
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(120)
+    )
+    label = F.length("text") > 800
+    kw = dict(buckets=256, iterations=3, lr=0.5)
+    lit_w = classifier_train(
+        df, "doc_id", "text", label, map_literal_max=1 << 30, **kw
+    ).collect()
+    join_w = classifier_train(
+        df, "doc_id", "text", label, map_literal_max=0, **kw
+    ).collect()
+    as_map = lambda rows: {r["bucket"]: r["w"] for r in rows}
+    assert as_map(lit_w) == as_map(join_w)
+    assert len(lit_w) > 10  # the corpus actually produced a model
