@@ -25,6 +25,7 @@ from betl_spark.contract.round5 import QUERIES as _ROUND5
 from betl_spark.contract.round6 import QUERIES as _ROUND6
 from betl_spark.contract.round7 import QUERIES as _ROUND7
 from betl_spark.contract.round8 import QUERIES as _ROUND8
+from betl_spark.contract.round9 import QUERIES as _ROUND9
 
 _ALL = {
     **_TPCH,
@@ -37,6 +38,7 @@ _ALL = {
     **_ROUND6,
     **_ROUND7,
     **_ROUND8,
+    **_ROUND9,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
@@ -45,17 +47,19 @@ _ALL = {
 # ELEVEN round-8-new queries that have never held a driver-side green
 # row (the r8 verdict's #1 ask), then fills the remaining 39 slots from
 # the 46 queries whose last driver green dates from round 6 (2 rounds
-# old — the policy edge). Seven round-6 greens don't fit; each deferred
+# old — the policy edge). Eight round-6 greens don't fit; each deferred
 # one's code path is replayed by an in-window composite this round
 # (classifier_score by classifier_train_score; corpus_curation_v2 by
 # corpus_curation_v3; line_dedup by intra_doc_line_dedup's shared line
 # machinery; funnel_users by funnel_counts; pq_encode by pq_topk;
 # split_assign by hash_sample's shared deterministic-hash core;
 # pack_sequences_bpe by token_count_bpe's BPE counting + round-8-green
-# pack_sequences' packing), and all seven replay green in the pytest
-# parity suite every session. They lead the round-10 window.
+# pack_sequences' packing; doc_length_histogram by profile_documents'
+# shared profiling machinery), and all eight replay green in the
+# pytest parity suite every session. They lead the round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
+    "ivf_topk_trained",
     "classifier_train_score",
     "corpus_curation_v3",
     "crosslingual_near_dups",
@@ -76,7 +80,6 @@ _PRIORITY = [
     "dedup_bloom_incremental",
     "delta_load_fact",
     "derive_columns",
-    "doc_length_histogram",
     "dsir_scores",
     "filter_ops",
     "funnel_counts",
@@ -115,6 +118,7 @@ _PRIORITY = [
     "pq_encode",
     "split_assign",
     "pack_sequences_bpe",
+    "doc_length_histogram",
 ]
 
 QUERIES: dict = {}

@@ -249,7 +249,28 @@ def ivf_topk(
     Centroids are corpus rows named by id (``centroid_ids``) — a
     deterministic stand-in for trained k-means centroids, so the
     DuckDB oracle can rebuild the identical index with no stored
-    model. Swapping in trained centroids changes recall, not the plan.
+    model. Swapping in trained centroids changes recall, not the plan
+    (``ivf_topk_model`` is this same code against any centroid model —
+    e.g. ``kmeans_train``'s — and this function IS that call).
+    """
+    return ivf_topk_model(
+        df, id_col, vec_col, query_ids,
+        _seed_cents(df, id_col, vec_col, centroid_ids), k=k, nprobe=nprobe,
+    )
+
+
+def ivf_topk_model(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: list[int],
+    cents: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """``ivf_topk`` against an explicit centroid model (cell_id, cv,
+    cn) — seed rows (``_seed_cents``) or trained (``kmeans_train``);
+    recall changes, the plan does not.
 
     Scale shape: centroids are tiny → the assignment pass is one
     broadcast join + per-row argmax over |cells| cosines (no shuffle,
@@ -257,7 +278,6 @@ def ivf_topk(
     ~|corpus|/|cells| rows per cell — the classic IVF candidate
     reduction. Cell skew (hot centroids) is AQE's skew-join case.
     """
-    cents = _seed_cents(df, id_col, vec_col, centroid_ids)
     rows = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -649,6 +669,60 @@ def _trained_cents(
         )
         .select("cell_id", "cv", _norm(F.col("cv")).alias("cn"))
     )
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_ids: list[int],
+    iterations: int = 2,
+) -> DataFrame:
+    """N spherical k-means update rounds from the seed rows — the
+    trained centroid model (cell_id, cv, cn) the IVF family's
+    docstrings promise ("swapping in trained centroids changes recall,
+    not the plan"): feed the result to ``ivf_topk_model`` /
+    ``build_ivf_index``-style assignment and the probe plan is
+    unchanged while the cells actually fit the data.
+
+    Each round is ``centroid_update``'s exact shape — broadcast-argmax
+    assignment (map-side-combinable ``max_by``, the corpus never
+    shuffles) then a per-(cell, pos) mean rounded to 6 decimals — so
+    round t+1's centroids are short exact decimals and an independent
+    engine replaying the same arithmetic lands on the identical model
+    (the contract query's DuckDB oracle chains the rounds as CTEs).
+    The model itself is collected each round (bounded: ≤ |cells|·dim
+    values — the same bounded-model collect as ``classifier_train``'s
+    gradient) and re-broadcast, which also keeps the plan depth
+    constant across rounds. A cell that captures no rows in some round
+    drops out of the model (standard empty-cell behavior; determinism
+    is unaffected).
+    """
+    spark = df.sparkSession
+    cents = _seed_cents(df, id_col, vec_col, centroid_ids)
+    for _ in range(iterations):
+        long_rows = (
+            _assign_cells(df, id_col, vec_col, cents)
+            .select("cell_id", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(
+                F.round(F.avg(F.col("val").cast("double")), 6).alias("v")
+            )
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in long_rows:
+            by_cell.setdefault(int(r["cell_id"]), {})[int(r["pos"])] = float(
+                r["v"]
+            )
+        model = [
+            (cell, [vals[p] for p in sorted(vals)])
+            for cell, vals in sorted(by_cell.items())
+        ]
+        cents = spark.createDataFrame(
+            model, "cell_id long, cv array<double>"
+        ).select("cell_id", "cv", _norm(F.col("cv")).alias("cn"))
+    return cents
 
 
 # broadcasting the centroid model is safe up to ~10^5-10^6 centroids

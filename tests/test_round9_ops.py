@@ -105,3 +105,40 @@ def test_classifier_train_broadcast_path_bitwise_equal(spark):
     as_map = lambda rows: {r["bucket"]: r["w"] for r in rows}
     assert as_map(lit_w) == as_map(join_w)
     assert len(lit_w) > 10  # the corpus actually produced a model
+
+
+def test_kmeans_train_model_shape_and_ivf_delegation(spark):
+    # kmeans_train returns the (cell_id, cv, cn) model contract the
+    # IVF family broadcasts; ivf_topk must be exactly ivf_topk_model
+    # over seed cents (one probe plan, centroid table is the only knob)
+    from betl_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = [0, 5, 10, 15]
+    cents = similarity.kmeans_train(
+        emb, "vec_id", "embedding", seeds, iterations=2
+    )
+    rows = cents.collect()
+    assert 0 < len(rows) <= len(seeds)  # empty cells may drop
+    for r in rows:
+        assert len(r["cv"]) == 64 and r["cn"] > 0
+        # round-6 decimals: replaying engines see exact inputs
+        assert all(abs(v * 1e6 - round(v * 1e6)) < 1e-3 for v in r["cv"])
+
+    qids = list(range(5))
+    via_ids = similarity.ivf_topk(
+        emb, "vec_id", "embedding", qids, centroid_ids=seeds, k=3, nprobe=2
+    ).collect()
+    via_model = similarity.ivf_topk_model(
+        emb, "vec_id", "embedding", qids,
+        similarity._seed_cents(emb, "vec_id", "embedding", seeds),
+        k=3, nprobe=2,
+    ).collect()
+    assert sorted(map(tuple, via_ids)) == sorted(map(tuple, via_model))
+
+    # training is deterministic: same seeds, same model
+    again = similarity.kmeans_train(
+        emb, "vec_id", "embedding", seeds, iterations=2
+    ).collect()
+    key = lambda rs: sorted((r["cell_id"], tuple(r["cv"])) for r in rs)
+    assert key(rows) == key(again)
