@@ -126,7 +126,14 @@ def main() -> None:
         # the ratio is only comparable across rounds on the FULL basket
         # — a silently shrunken subset would masquerade as host drift
         if len(common) == len(_R4_TPCH_ANCHOR):
-            payload["tpch_subset_ratio_vs_r4"] = round(subset / anchor, 4)
+            ratio = subset / anchor
+            payload["tpch_subset_ratio_vs_r4"] = round(ratio, 4)
+            # PRIMARY cross-round number (round-8 verdict ask): the
+            # total rescaled to the round-4 host's delivered
+            # throughput, so comparisons no longer depend on which
+            # host speed a given round happened to draw (anchors
+            # ranged 0.92-1.26 across r7/r8 on identical-intent code).
+            payload["value_normalized"] = round(payload["value"] / ratio, 4)
     if errors:
         payload["errors"] = errors
     # full per-query timings for the judge (the stdout line is size-capped)

@@ -376,7 +376,10 @@ def main() -> None:
     from betl_spark.session import build_spark
 
     spark = build_spark("betl_spark_scale_rehearsal")
-    names = [n for n in REHEARSAL if n in QUERIES]
+    wanted = REHEARSAL
+    if "--only" in sys.argv:
+        wanted = sys.argv[sys.argv.index("--only") + 1].split(",")
+    names = [n for n in wanted if n in QUERIES]
     missing = [n for n in REHEARSAL if n not in QUERIES]
     if missing:
         print(f"# not in registry, skipped: {missing}", file=sys.stderr)
@@ -409,6 +412,15 @@ def main() -> None:
     from betl_spark.contract.round6 import SEMANTIC_THRESHOLD
     from betl_spark.contract.scale import IVF_CENTROID_IDS
     from betl_spark.operators import similarity
+
+    if "--only" in sys.argv:
+        print()
+        print("| query | sf0.1 (s) | sf1 (s) | growth (10x data) |")
+        print("|---|---|---|---|")
+        for n, a, b, r in sorted(rows, key=lambda x: -x[3]):
+            print(f"| `{n}` | {a:.2f} | {b:.2f} | x{r:.1f} |")
+        spark.stop()
+        return
 
     def sem_scaled(k_ids):
         def q(spark, sf_dir):
