@@ -9,6 +9,13 @@ query here is an executable correctness contract.
 Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
 - money/measure aggregation is done in DECIMAL(18,2) (the data is
   2-decimal exact) and only cast to DOUBLE at the end;
+- a high-scale decimal sum is ROUNDed to its natural scale (2dp for
+  money) BEFORE the final double cast: at scale 6 a ~1e10 sum's
+  unscaled integer exceeds 2^53, where decimal→double conversion is
+  not correctly rounded in every engine (found by the sf1 oracle
+  spot-check — DuckDB's hugeint/10^scale render of q1's sum_charge
+  landed one ulp away from Spark's BigDecimal render; the exact
+  decimal sums were identical);
 - averages are exact-decimal sums divided as doubles at the end;
 - LIMIT queries carry a total ORDER BY (tiebreak on a key);
 - timestamps are bucketed with floor(epoch/N) (truncation-safe in both

@@ -82,7 +82,7 @@ SELECT
   CAST(SUM({dec('l_quantity')}) AS DOUBLE) AS sum_qty,
   CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
   CAST(SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')})) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')}) * (1 + {dec('l_tax')})) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM({dec('l_extendedprice')} * (1 - {dec('l_discount')}) * (1 + {dec('l_tax')})), 2) AS DOUBLE) AS sum_charge,
   CAST(SUM({dec('l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM({dec('l_extendedprice')}) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM({dec('l_discount')}) AS DOUBLE) / COUNT(*) AS avg_disc,
