@@ -50,20 +50,28 @@ _ALL = {
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
 # dict order is the verification schedule, rotated each round so no
-# query's green row goes stale beyond 2 rounds. Round 9 leads with the
-# ELEVEN round-8-new queries that have never held a driver-side green
-# row (the r8 verdict's #1 ask), then fills the remaining 39 slots from
-# the 46 queries whose last driver green dates from round 6 (2 rounds
-# old — the policy edge). Eight round-6 greens don't fit; each deferred
-# one's code path is replayed by an in-window composite this round
-# (classifier_score by classifier_train_score; corpus_curation_v2 by
-# corpus_curation_v3; line_dedup by intra_doc_line_dedup's shared line
-# machinery; funnel_users by funnel_counts; pq_encode by pq_topk;
-# split_assign by hash_sample's shared deterministic-hash core;
-# pack_sequences_bpe by token_count_bpe's BPE counting + round-8-green
-# pack_sequences' packing; doc_length_histogram by profile_documents'
-# shared profiling machinery), and all eight replay green in the
-# pytest parity suite every session. They lead the round-10 window.
+# query's green row goes stale beyond 2 rounds — and, round 8's
+# lesson, so no NEW query ends a round without a driver green row.
+# Round 9 leads with the ELEVEN round-8-new queries that have never
+# held a driver-side green row (the r8 verdict's #1 ask) plus
+# ivf_topk_trained, then the NINE round-9-new breadth queries (so they
+# don't repeat round 8's never-verified gap), then fills the remaining
+# 29 slots from the round-6-stale greens. Seventeen round-6 greens
+# don't fit; each deferred one's code path is replayed by an in-window
+# query this round (classifier_score + dsir_scores by
+# classifier_train_score's shared hashed-ngram features;
+# corpus_curation_v2 by corpus_curation_v3; line_dedup by
+# intra_doc_line_dedup's shared line machinery; funnel_users by
+# funnel_counts; pq_encode by pq_topk; split_assign by hash_sample's
+# shared deterministic-hash core; pack_sequences_bpe +
+# mixture_rebalance_bpe by token_count_bpe's BPE counting;
+# doc_length_histogram by profile_documents; tpch_q4/q6/q7/q10 by the
+# customSQL surface tpch_q5 re-verified green r8; quantile_band_filter
+# by winsorized_event_stats' shared exact-percentile machinery; tf_idf
+# by hybrid_search's tf-idf scoring stage; write_readback by
+# star_schema_pipeline's write+read-back leg), and all seventeen
+# replay green in the pytest parity suite every session. They lead the
+# round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
     "ivf_topk_trained",
@@ -78,6 +86,16 @@ _PRIORITY = [
     "source_data_card",
     "trim_repeated_spans",
     "weighted_fixed_n",
+    # -- round-9-new (driver-verified the round they ship) --
+    "resample_gapfill_daily",
+    "rolling_zscore_events",
+    "time_weighted_avg_events",
+    "winsorized_event_stats",
+    "equidepth_histogram_chars",
+    "fuzzy_dedup_part_names",
+    "keyword_search_and",
+    "source_overlap_matrix",
+    "char_diversity_filter",
     # -- round-6 greens (2 rounds stale, the policy edge) --
     "chunk_documents",
     "clean_values",
@@ -87,36 +105,27 @@ _PRIORITY = [
     "dedup_bloom_incremental",
     "delta_load_fact",
     "derive_columns",
-    "dsir_scores",
     "filter_ops",
     "funnel_counts",
     "hash_sample",
     "hybrid_search",
     "intra_doc_line_dedup",
     "join_keepcols",
-    "mixture_rebalance_bpe",
     "ngram_lm_perplexity",
-    "perplexity_buckets",
     "pq_topk",
     "profile_documents",
     "psi_drift",
-    "quantile_band_filter",
     "set_nulls",
     "sk_dimension",
     "star_schema_pipeline",
-    "tf_idf",
     "token_count_bpe",
     "top_docs_per_lang",
-    "tpch_q10_returned_items",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
     "union_dedupe",
     "unpivot_part",
     "vocab_coverage",
     "window_funcs_events",
-    "write_readback",
     "zorder_key",
+    "perplexity_buckets",
     # -- deferred round-6 greens (lead the round-10 window) --
     "classifier_score",
     "corpus_curation_v2",
@@ -126,6 +135,15 @@ _PRIORITY = [
     "split_assign",
     "pack_sequences_bpe",
     "doc_length_histogram",
+    "dsir_scores",
+    "mixture_rebalance_bpe",
+    "quantile_band_filter",
+    "tf_idf",
+    "tpch_q10_returned_items",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "write_readback",
 ]
 
 QUERIES: dict = {}

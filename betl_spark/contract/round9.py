@@ -108,3 +108,358 @@ FROM ranked WHERE rank <= 5
 QUERIES = {
     "ivf_topk_trained": (q_ivf_topk_trained, IVF_TOPK_TRAINED_SQL),
 }
+
+
+# =====================================================================
+# Round-9 breadth: time-series continuous aggregates (gap-filled
+# resample, rolling anomaly z-score, TWAP), robust profiling
+# (winsorized moments, equi-depth histogram), record linkage (blocked
+# fuzzy name matching), retrieval (conjunctive keyword search), corpus
+# lineage (source n-gram overlap matrix), and character-distribution
+# quality — each a distinct plan shape the engine had no contract row
+# for, each 100 TB-safe per its operator docstring.
+# =====================================================================
+
+from betl_spark.contract.common import ts_micros
+from betl_spark.operators import corpus as corpus_ops
+from betl_spark.operators import linkage
+from betl_spark.operators import stats as stats_ops
+from betl_spark.operators import text as text_ops
+from betl_spark.operators import timeseries
+
+
+# ---- gap-filled daily resample per user ----
+def q_resample_gapfill(spark, sf_dir):
+    """Per-user daily continuous aggregate with gap rows and a
+    forward-filled mean — the hypertable rollup shape."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.resample_gapfill(
+        ev, "user_id", "__ts_us", "value", timeseries.MICROS_PER_DAY
+    )
+
+
+RESAMPLE_GAPFILL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS b,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE ts IS NOT NULL
+),
+bounds AS (SELECT min(b) AS b0, max(b) AS b1 FROM e),
+keys AS (SELECT DISTINCT user_id FROM e),
+spine AS (
+  SELECT k.user_id, u.b
+  FROM keys k CROSS JOIN
+       (SELECT unnest(generate_series(b0, b1)) AS b FROM bounds) u
+),
+agg AS (SELECT user_id, b, count(*) AS n, sum(v) AS sv FROM e GROUP BY 1, 2),
+j AS (
+  SELECT s.user_id, s.b AS bucket,
+         coalesce(a.n, 0) AS n_events,
+         coalesce(round(CAST(a.sv AS DOUBLE), 6), 0.0) AS sum_value,
+         round(CAST(a.sv AS DOUBLE) / a.n, 6) AS av
+  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.b = a.b
+),
+g AS (
+  SELECT *, count(av) OVER (PARTITION BY user_id ORDER BY bucket) AS grp
+  FROM j
+)
+SELECT user_id, bucket, n_events, sum_value,
+       max(av) OVER (PARTITION BY user_id, grp) AS ffill_avg
+FROM g
+"""
+
+QUERIES["resample_gapfill_daily"] = (q_resample_gapfill, RESAMPLE_GAPFILL_SQL)
+
+
+# ---- rolling z-score anomaly detection ----
+ZSCORE_WINDOW = 100
+ZSCORE_MIN = 20
+ZSCORE_THRESH = 3.0
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly scores per event_type: exact-decimal
+    rolling Σv/Σv² (never a double stddev — sliding-frame summation
+    order differs across engines), doubles only in the final IEEE
+    ops."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.rolling_zscore(
+        ev, "event_type", "__ts_us", "event_id", "value",
+        window_rows=ZSCORE_WINDOW, min_rows=ZSCORE_MIN, z_thresh=ZSCORE_THRESH,
+    )
+
+
+ROLLING_ZSCORE_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(value AS DECIMAL(12,3)) AS v,
+         CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))
+              AS DECIMAL(20,6)) AS v2
+  FROM events
+),
+w AS (
+  SELECT event_type, event_id, v,
+         count(v) OVER win AS n,
+         sum(v)   OVER win AS s,
+         sum(v2)  OVER win AS s2
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id
+                 ROWS BETWEEN {ZSCORE_WINDOW} PRECEDING AND 1 PRECEDING)
+),
+sc AS (
+  SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
+         CASE WHEN (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                   / (n - 1) > 0.0
+              THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                / (n - 1)), 6)
+              END AS zscore
+  FROM w WHERE n >= {ZSCORE_MIN}
+)
+SELECT event_type, event_id, value, zscore,
+       abs(zscore) > {ZSCORE_THRESH} AS is_anomaly
+FROM sc
+"""
+
+QUERIES["rolling_zscore_events"] = (q_rolling_zscore, ROLLING_ZSCORE_SQL)
+
+
+# ---- time-weighted average per user ----
+def q_time_weighted_avg(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.time_weighted_avg(ev, "user_id", "__ts_us", "value")
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(12,3)) AS v
+  FROM events
+),
+g AS (
+  SELECT user_id, v,
+         (lead(t) OVER (PARTITION BY user_id ORDER BY t, v) - t) // 1000000
+           AS dur_s
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dur_s) AS BIGINT) AS total_seconds,
+       round(CAST(sum(CAST(v * dur_s AS DECIMAL(28,3))) AS DOUBLE)
+             / CAST(sum(dur_s) AS DOUBLE), 6) AS twap
+FROM g WHERE dur_s IS NOT NULL
+GROUP BY user_id
+"""
+
+QUERIES["time_weighted_avg_events"] = (q_time_weighted_avg, TIME_WEIGHTED_AVG_SQL)
+
+
+# ---- winsorized per-group moments ----
+def q_winsorized_stats(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return stats_ops.winsorized_stats(
+        ev, ["event_type"], "value", p_lo=0.01, p_hi=0.99
+    )
+
+
+WINSORIZED_STATS_SQL = """
+WITH p AS (
+  SELECT event_type,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.01), 6) AS lo,
+         round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(p.lo, 6) AS lo,
+       round(p.hi, 6) AS hi,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) < p.lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_lo,
+       CAST(sum(CASE WHEN CAST(e.value AS DOUBLE) > p.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped_hi,
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_raw,
+       round(CAST(sum(CAST(least(greatest(CAST(e.value AS DOUBLE), p.lo), p.hi)
+                          AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS mean_winsor
+FROM events e JOIN p USING (event_type)
+GROUP BY e.event_type, p.lo, p.hi
+"""
+
+QUERIES["winsorized_event_stats"] = (q_winsorized_stats, WINSORIZED_STATS_SQL)
+
+
+# ---- equi-depth histogram over doc lengths ----
+def q_equidepth_histogram(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return stats_ops.equidepth_histogram(docs, "n_chars", "doc_id", n_buckets=10)
+
+
+EQUIDEPTH_HISTOGRAM_SQL = """
+WITH r AS (
+  SELECT n_chars AS v,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS rank,
+         count(*) OVER () AS n_total
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT (rank - 1) * 10 // n_total AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo, max(v) AS hi
+FROM r GROUP BY 1
+"""
+
+QUERIES["equidepth_histogram_chars"] = (q_equidepth_histogram, EQUIDEPTH_HISTOGRAM_SQL)
+
+
+# ---- blocked fuzzy matching over part names ----
+FUZZY_MAX_DIST = 3
+
+
+def q_fuzzy_dedup_part_names(spark, sf_dir):
+    """ER pipeline: canonicalize exact duplicates → block on the first
+    token → JVM levenshtein inside blocks only (never a cross join)."""
+    part = table(spark, sf_dir, "part")
+    names = linkage.canonicalize_names(part, "p_partkey", "p_name")
+    return linkage.fuzzy_join_blocked(
+        names, linkage.first_token_block, max_dist=FUZZY_MAX_DIST
+    )
+
+
+FUZZY_DEDUP_PART_NAMES_SQL = f"""
+WITH names AS (
+  SELECT p_name AS name, min(p_partkey) AS canonical_id,
+         count(*) AS n_members
+  FROM part GROUP BY 1
+),
+s AS (
+  SELECT split_part(name, ' ', 1) AS block, name, canonical_id, n_members
+  FROM names
+)
+SELECT a.block,
+       a.name AS name_a, b.name AS name_b,
+       a.canonical_id AS id_a, b.canonical_id AS id_b,
+       CAST(a.n_members AS BIGINT) AS n_members_a,
+       CAST(b.n_members AS BIGINT) AS n_members_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM s a JOIN s b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+"""
+
+QUERIES["fuzzy_dedup_part_names"] = (q_fuzzy_dedup_part_names, FUZZY_DEDUP_PART_NAMES_SQL)
+
+
+# ---- conjunctive keyword search ----
+SEARCH_TERMS = ["spark", "merge", "window"]
+
+
+def q_keyword_search_and(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.keyword_search_and(
+        docs, "doc_id", "text", SEARCH_TERMS, top_n=20, keep_cols=["lang"]
+    )
+
+
+KEYWORD_SEARCH_AND_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id, lang, t, count(*) AS tf
+  FROM toks WHERE t IN ({", ".join("'" + t + "'" for t in SEARCH_TERMS)})
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, lang,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_terms_matched,
+       CAST(sum(tf) AS BIGINT) AS score
+FROM tf GROUP BY doc_id, lang
+HAVING count(DISTINCT t) = {len(SEARCH_TERMS)}
+ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+QUERIES["keyword_search_and"] = (q_keyword_search_and, KEYWORD_SEARCH_AND_SQL)
+
+
+# ---- source n-gram overlap matrix ----
+OVERLAP_NGRAM = 8
+
+
+def q_source_overlap_matrix(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.source_overlap_matrix(
+        docs, "source", "text", ngram=OVERLAP_NGRAM
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+),
+pos AS (
+  SELECT source, w,
+         unnest(range(1, greatest(len(w) - {OVERLAP_NGRAM - 2}, 1))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT DISTINCT source AS g,
+         md5(array_to_string(
+           list_slice(w, CAST(i AS INTEGER),
+                      CAST(i AS INTEGER) + {OVERLAP_NGRAM - 1}), ' ')) AS h
+  FROM pos
+),
+sizes AS (SELECT g, count(*) AS n FROM grams GROUP BY 1),
+inter AS (
+  SELECT a.g AS group_a, b.g AS group_b, count(*) AS inter
+  FROM grams a JOIN grams b ON a.h = b.h AND a.g < b.g
+  GROUP BY 1, 2
+)
+SELECT i.group_a, i.group_b,
+       CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       round(CAST(i.inter AS DOUBLE)
+             / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.g = i.group_a
+JOIN sizes sb ON sb.g = i.group_b
+"""
+
+QUERIES["source_overlap_matrix"] = (q_source_overlap_matrix, SOURCE_OVERLAP_MATRIX_SQL)
+
+
+# ---- character-distribution quality ----
+def q_char_diversity(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return text_ops.char_diversity(docs, "doc_id", "text")
+
+
+CHAR_DIVERSITY_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(lower(text), '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, count(*) AS n FROM chars WHERE c != '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         CAST(sum(n) AS BIGINT) AS n_chars_counted,
+         CAST(count(*) AS BIGINT) AS distinct_chars,
+         max(n) AS top,
+         sum(n * n) AS s2
+  FROM counts GROUP BY 1
+)
+SELECT doc_id, n_chars_counted, distinct_chars,
+       round(CAST(top AS DOUBLE) / n_chars_counted, 6) AS top_char_ratio,
+       round(CAST(s2 AS DOUBLE)
+             / (CAST(n_chars_counted AS DOUBLE) * n_chars_counted), 6)
+         AS simpson_concentration,
+       (round(CAST(top AS DOUBLE) / n_chars_counted, 6) < 0.2
+        AND round(CAST(s2 AS DOUBLE)
+                  / (CAST(n_chars_counted AS DOUBLE) * n_chars_counted), 6)
+            < 0.1) AS keep
+FROM per
+"""
+
+QUERIES["char_diversity_filter"] = (q_char_diversity, CHAR_DIVERSITY_SQL)

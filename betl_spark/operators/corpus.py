@@ -344,3 +344,130 @@ def lm_score(
             F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
         )
     )
+
+
+def keyword_search_and(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    top_n: int = 20,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Conjunctive (AND) keyword search over an inverted-index shape:
+    docs containing EVERY query term, ranked by total term frequency.
+
+    Relational posting-list intersection: explode tokens → keep only
+    query terms (the filter lands BEFORE the shuffle, so the exploded
+    stream shrinks to matching postings immediately) → per-(doc, term)
+    tf → ``HAVING count(DISTINCT term) = |terms|`` is the intersection
+    → score = Σtf. At scale the postings shuffle is O(matches), not
+    O(tokens), and final top-n is TakeOrderedAndProject (no global
+    window). Ties break on id for a total order.
+
+    Output: (id, keep_cols..., n_terms_matched, score) — top_n rows by
+    (score DESC, id).
+    """
+    from betl_spark.operators.text import tokens
+
+    postings = (
+        df.select(
+            F.col(id_col), *(keep_cols or []), F.explode(tokens(text_col)).alias("__t")
+        )
+        .where(F.col("__t").isin(list(terms)))
+        .groupBy(id_col, *(keep_cols or []), "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    return (
+        postings.groupBy(id_col, *(keep_cols or []))
+        .agg(
+            F.countDistinct("__t").alias("n_terms_matched"),
+            F.sum("__tf").alias("score"),
+        )
+        .where(F.col("n_terms_matched") == F.lit(len(set(terms))))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(top_n)
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """Pairwise content overlap between corpus slices (sources, dumps,
+    snapshots): word n-gram Jaccard per (group_a, group_b) — the
+    lineage/contamination matrix a curation run consults before mixing
+    sources (a near-1 cell means one slice is a re-crawl of another).
+
+    Shape: distinct (group, md5(ngram)) — the distinct is map-side
+    combinable and collapses repeated boilerplate before any shuffle —
+    then a self-equi-join on the hash whose output is bounded by
+    |groups|² per gram, aggregated to |groups|²/2 rows. A
+    universally-common gram fans out to all-pairs for that gram — cost
+    |groups|², independent of corpus size, so the skew ceiling is the
+    group count, not the data.
+
+    Output: (group_a, group_b, inter, n_a, n_b, jaccard) for a < b,
+    jaccard 6dp.
+    """
+    from betl_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    # short/NULL docs yield an empty gram array (sequence(1, n<1) would
+    # otherwise step BACKWARD and fabricate grams — same guard as
+    # dedup.char_shingles)
+    positions = F.when(
+        F.size(toks) >= F.lit(ngram),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.transform(
+                    positions,
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(toks, i, F.lit(ngram)))
+                    ),
+                )
+            ).alias("__h"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        grams.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.__h") == F.col("b.__h"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("group_a"), F.col("b.__g").alias("group_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_a"), F.col("n").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("__g").alias("group_b"), F.col("n").alias("n_b"))),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -321,3 +321,109 @@ def histogram(
             "n",
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorized moments: clip ``value_col`` to the group's
+    [p_lo, p_hi] exact percentiles, then report raw vs clipped means —
+    the outlier-robust profiling step before feeding a metric into a
+    quality threshold (a handful of broken rows shouldn't move the
+    gate).
+
+    Two passes, both scale-safe: (1) ``grouped_quantiles``'s exact
+    percentile aggregate (one shuffle on the group key), (2) the clip +
+    re-aggregate with the O(groups) percentile table BROADCAST back —
+    the big side never shuffles twice. Means come from exact
+    DECIMAL(18,6) sums (double addition is order-dependent; decimal is
+    not) divided once at the end. Output: (group_cols..., n, lo, hi,
+    n_clipped_lo, n_clipped_hi, mean_raw, mean_winsor), 6dp.
+    """
+    pcts = grouped_quantiles(df, group_cols, value_col, (p_lo, p_hi))
+    lo_c, hi_c = _qname(p_lo), _qname(p_hi)
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.col(lo_c)), F.col(hi_c))
+    return (
+        df.join(F.broadcast(pcts), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first(lo_c), 6).alias("lo"),
+            F.round(F.first(hi_c), 6).alias("hi"),
+            F.sum((v < F.col(lo_c)).cast("long")).alias("n_clipped_lo"),
+            F.sum((v > F.col(hi_c)).cast("long")).alias("n_clipped_hi"),
+            F.sum(v.cast("decimal(18,6)")).alias("__sr"),
+            F.sum(clipped.cast("decimal(18,6)")).alias("__sw"),
+        )
+        .select(
+            *group_cols,
+            "n",
+            "lo",
+            "hi",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.round(
+                F.col("__sr").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean_raw"),
+            F.round(
+                F.col("__sw").cast("double") / F.col("n").cast("double"), 6
+            ).alias("mean_winsor"),
+        )
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-count) histogram: rank every row in
+    (value, tiebreak) total order, assign bucket = floor((rank−1)·B/N),
+    and report each bucket's count and value bounds — the
+    statistics-collection shape behind optimizer histograms and
+    quantile-sketch validation.
+
+    The global rank uses ``ranked_running_sum``'s banded two-pass
+    pattern — range-partition, per-band window, O(bands) driver prefix
+    sum — NOT a partition-less Window, so ranking 10⁹ rows spreads
+    across all executors (betl_spark/defaults/load.py:44 machinery).
+    floor((rank−1)·B/N) is pure integer arithmetic: engine-exact,
+    unlike ntile's remainder-spreading, which is convention-dependent.
+
+    Output: (bucket, n, lo, hi) — n differs by ≤1 across buckets.
+    """
+    ranked = ranked_running_sum(
+        df.select(
+            F.col(value_col).alias("__val"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.lit(1).alias("__one"),
+        ).where(F.col("__val").isNotNull()),
+        ["__val", "__tb"],
+        "__one",
+        rank_col="__rank",
+        cum_col="__cum",
+    )
+    total = ranked.agg(F.max("__cum").alias("__n"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            (
+                (F.col("__rank").cast("long") - 1)
+                * F.lit(int(n_buckets))
+                / F.col("__n")
+            ).cast("long").alias("bucket"),
+            "__val",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__val").alias("lo"),
+            F.max("__val").alias("hi"),
+        )
+    )

@@ -259,3 +259,66 @@ def chunk_documents(
             "chunk_text"
         ),
     )
+
+
+def char_diversity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_top_char_ratio: float = 0.2,
+    max_concentration: float = 0.1,
+) -> DataFrame:
+    """Character-distribution quality signals per document: distinct
+    character count, top-character frequency ratio, and Simpson
+    concentration Σ(cᵢ/n)² — the inverse-participation diversity index.
+    Low-diversity text (one char dominating, concentration near 1) is
+    the classic garbage signature: padding runs, base64 walls, ASCII
+    art, broken encodings. Simpson concentration carries the same
+    signal as character entropy but is a RATIO OF EXACT INTEGERS
+    (Σc²/n²), so the cross-engine contract never touches a
+    transcendental (log2's last ulp differs across libm
+    implementations; the ppl operator pays a 9dp-rounding tax for it —
+    corpus.py lm_score).
+
+    One explode→count per (doc, char) with map-side combine, then a
+    per-doc re-aggregate: two shuffles keyed on doc id, each group
+    bounded by the alphabet (≤ a few hundred rows), so reducers never
+    see more than |alphabet| rows per doc no matter the corpus size.
+
+    Output: (id, n_chars_counted, distinct_chars, top_char_ratio,
+    simpson_concentration, keep) — ratios 6dp; ``keep`` applies the
+    thresholds (strictly-below convention, engine-exact on the rounded
+    values).
+    """
+    counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), ""), lambda c: c != F.lit("")
+                )
+            ).alias("__c"),
+        )
+        .groupBy(id_col, "__c")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("n_chars_counted"),
+        F.count(F.lit(1)).alias("distinct_chars"),
+        F.max("__n").alias("__top"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__s2"),
+    )
+    n_d = F.col("n_chars_counted").cast("double")
+    top_ratio = F.round(F.col("__top").cast("double") / n_d, 6)
+    conc = F.round(F.col("__s2").cast("double") / (n_d * n_d), 6)
+    return per_doc.select(
+        id_col,
+        "n_chars_counted",
+        "distinct_chars",
+        top_ratio.alias("top_char_ratio"),
+        conc.alias("simpson_concentration"),
+        (
+            (top_ratio < F.lit(float(max_top_char_ratio)))
+            & (conc < F.lit(float(max_concentration)))
+        ).alias("keep"),
+    )

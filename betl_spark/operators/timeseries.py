@@ -1,0 +1,221 @@
+"""Time-series operators over event streams: gap-filled resampling,
+rolling-window anomaly scoring, and time-weighted averages — the
+hypertable-style continuous-aggregate shapes a metrics/observability
+workload runs on the `events` table.
+
+Scale shapes (all three):
+
+- ``resample_gapfill`` — one grouped-agg shuffle on (key, bucket); the
+  dense spine is GENERATED (``sequence`` + ``explode``) per key row, so
+  its cost is |keys|·|buckets| rows of pure map work distributed across
+  the key partitions, never a driver loop; the global bucket bounds are
+  a 1-row aggregate cross-joined in (broadcast — no shuffle of the key
+  side). Forward-fill is a Window PARTITIONED BY key: each key's
+  timeline sorts independently, in parallel.
+- ``rolling_zscore`` — a single Window per partition key with a
+  bounded ROWS frame: Spark keeps only ``window_rows`` rows buffered
+  per group while streaming the frame, so memory is O(frame), not
+  O(group). Partition keys parallelize across reducers.
+- ``time_weighted_avg`` — ``lead`` + one grouped agg, both on the same
+  key partitioning (one shuffle total, AQE coalesced).
+
+Determinism (the contract's oracle rules): epoch-micros bucketing by
+integer division (truncation-safe in Spark + DuckDB); every sum runs
+over narrow DECIMALs (exact, order-independent — double addition is
+not associative, so a shuffled double sum is not reproducible across
+engines); doubles appear only in final single-step divisions /
+multiplications, which IEEE 754 rounds exactly (engine-identical on
+identical inputs); decimal→double casts stay under 2**53 unscaled
+(see betl_spark/contract/__init__.py docstring for the ulp hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MICROS_PER_DAY = 86_400_000_000
+
+
+def resample_gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_micros_col: str,
+    value_col: str,
+    bucket_micros: int = MICROS_PER_DAY,
+) -> DataFrame:
+    """Resample events into fixed time buckets per key over the GLOBAL
+    [min, max] bucket range, emitting a row for every (key, bucket) —
+    including empty gaps — with zero-filled counts/sums and a
+    forward-filled average (the last observed bucket's mean carries
+    into the gap, the continuous-aggregate convention).
+
+    Output: (key, bucket, n_events, sum_value, ffill_avg); ``bucket``
+    is epoch-micros DIV ``bucket_micros``; ``ffill_avg`` is NULL before
+    a key's first observed bucket.
+    """
+    e = df.select(
+        F.col(key_col).alias("__key"),
+        # exact integer division (never a double-divide + truncate)
+        F.expr(
+            f"CAST(`{ts_micros_col}` AS BIGINT) DIV {int(bucket_micros)}"
+        ).alias("__b"),
+        F.col(value_col).cast("decimal(18,6)").alias("__v"),
+    ).where(F.col(ts_micros_col).isNotNull())
+    agg = e.groupBy("__key", "__b").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__v").alias("__sv"),
+    )
+    # global bucket bounds: 1 row, broadcast by the literal cross join
+    bounds = e.agg(F.min("__b").alias("__b0"), F.max("__b").alias("__b1"))
+    spine = (
+        e.select("__key")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "__key",
+            F.explode(F.sequence(F.col("__b0"), F.col("__b1"))).alias("__b"),
+        )
+    )
+    joined = spine.join(agg, ["__key", "__b"], "left").select(
+        "__key",
+        "__b",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce(
+            F.round(F.col("__sv").cast("double"), 6), F.lit(0.0)
+        ).alias("sum_value"),
+        # bucket mean from the exact decimal sum; one exactly-rounded
+        # double division, then 6dp — engine-identical
+        F.round(
+            F.col("__sv").cast("double") / F.col("n_events").cast("double"), 6
+        ).alias("__avg"),
+    )
+    w = Window.partitionBy("__key").orderBy("__b")
+    return joined.select(
+        F.col("__key").alias(key_col),
+        F.col("__b").alias("bucket"),
+        "n_events",
+        "sum_value",
+        F.last("__avg", ignorenulls=True).over(w).alias("ffill_avg"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    part_col: str,
+    ts_micros_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_rows: int = 100,
+    min_rows: int = 20,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection: each row's value is scored
+    against the mean/stddev of the PRECEDING ``window_rows`` rows in
+    its partition (trailing frame EXCLUDES the current row, so an
+    outlier can't dilute its own baseline). Rows with fewer than
+    ``min_rows`` preceding observations are unscored (NULL z).
+
+    Variance comes from exact decimal rolling sums (Σv, Σv²) — never a
+    builtin ``stddev`` over doubles, whose sliding-frame summation
+    order differs across engines — combined in doubles at the end:
+    var = (Σv² − (Σv)²/n) / (n−1), sample convention.
+
+    Output: one row per scored event (part, tiebreak, value, z,
+    is_anomaly), z rounded to 6dp.
+    """
+    v = F.col(value_col).cast("decimal(12,3)")
+    base = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(ts_micros_col).alias("__t"),
+        F.col(tiebreak_col).alias("__id"),
+        v.alias("__v"),
+        (v * v).cast("decimal(20,6)").alias("__v2"),
+    )
+    w = (
+        Window.partitionBy("__p")
+        .orderBy("__t", "__id")
+        .rowsBetween(-window_rows, -1)
+    )
+    scored = base.select(
+        "__p",
+        "__id",
+        "__v",
+        F.count("__v").over(w).alias("__n"),
+        F.sum("__v").over(w).alias("__s"),
+        F.sum("__v2").over(w).alias("__s2"),
+    )
+    # Σv ≤ 100·1e6 at scale 3 (unscaled 1e11), Σv² ≤ 100·1e9 at scale 6
+    # (unscaled 1e17 < 2**63, double cast ≤ 1e11 · 2^? — magnitude 1e11
+    # < 2**53 after the value is read at scale 6): exact double casts.
+    n_d = F.col("__n").cast("double")
+    s_d = F.col("__s").cast("double")
+    s2_d = F.col("__s2").cast("double")
+    var = (s2_d - (s_d * s_d) / n_d) / (n_d - F.lit(1.0))
+    # constant windows (var ≤ 0, incl. fp cancellation exactly at 0)
+    # are unscoreable: NULL z, never a div-by-zero (whose double
+    # semantics differ across engines: NULL in Spark, ±inf under
+    # DuckDB's ieee_floating_point_ops)
+    z = F.when(
+        var > F.lit(0.0),
+        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6),
+    )
+    return (
+        scored.where(F.col("__n") >= min_rows)
+        .select(
+            F.col("__p").alias(part_col),
+            F.col("__id").alias(tiebreak_col),
+            F.col("__v").cast("double").alias(value_col),
+            z.alias("zscore"),
+            (F.abs(z) > F.lit(z_thresh)).alias("is_anomaly"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_micros_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (the TWAP shape): each value is
+    weighted by how long it was "current" — the whole-second gap to the
+    key's next event (``lead``); a key's last event has no duration and
+    drops out. Keys with a single event produce no row.
+
+    Σ(value·seconds) runs in DECIMAL (value at scale 3 × bigint
+    seconds — exact); the final division is one exactly-rounded double
+    op. Output: (key, n_intervals, total_seconds, twap), twap 6dp.
+    """
+    # order ties on (ts, value): under equal timestamps the smaller
+    # value takes the zero-length interval — an arbitrary but
+    # deterministic convention both engines replay identically
+    w = Window.partitionBy("__k").orderBy("__t", "__v")
+    e = df.select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_micros_col).alias("__t"),
+        F.col(value_col).cast("decimal(12,3)").alias("__v"),
+    )
+    gap = (
+        (F.lead("__t").over(w) - F.col("__t")) / F.lit(1_000_000)
+    ).cast("long")
+    terms = e.select(
+        "__k",
+        "__v",
+        gap.alias("__dur_s"),
+    ).where(F.col("__dur_s").isNotNull())
+    out = terms.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("__dur_s").alias("total_seconds"),
+        F.sum(
+            (F.col("__v") * F.col("__dur_s")).cast("decimal(28,3)")
+        ).alias("__w"),
+    )
+    return out.select(
+        F.col("__k").alias(key_col),
+        "n_intervals",
+        "total_seconds",
+        F.round(
+            F.col("__w").cast("double") / F.col("total_seconds").cast("double"),
+            6,
+        ).alias("twap"),
+    )

@@ -142,3 +142,218 @@ def test_kmeans_train_model_shape_and_ivf_delegation(spark):
     ).collect()
     key = lambda rs: sorted((r["cell_id"], tuple(r["cv"])) for r in rs)
     assert key(rows) == key(again)
+
+
+# ---------------------------------------------------------------------
+# Round-9 breadth operators: time-series, robust stats, linkage,
+# search, overlap, char diversity
+# ---------------------------------------------------------------------
+
+def test_resample_gapfill_fills_gaps_and_forward_fills(spark):
+    from betl_spark.operators.timeseries import resample_gapfill
+
+    D = 86_400_000_000
+    df = spark.createDataFrame(
+        [
+            ("a", 0 * D + 5, 10.0),
+            ("a", 0 * D + 6, 20.0),   # day 0: n=2, avg 15
+            ("a", 3 * D + 1, 40.0),   # day 3 (days 1-2 are gaps)
+            ("b", 2 * D + 9, 7.0),    # b starts at day 2: days 0-1 NULL avg
+        ],
+        "k string, t long, v double",
+    )
+    out = {
+        (r["k"], r["bucket"]): (r["n_events"], r["sum_value"], r["ffill_avg"])
+        for r in resample_gapfill(df, "k", "t", "v", D).collect()
+    }
+    assert len(out) == 8  # 2 keys x days 0..3 (global bounds)
+    assert out[("a", 0)] == (2, 30.0, 15.0)
+    assert out[("a", 1)] == (0, 0.0, 15.0)      # gap: zero-filled, ffill
+    assert out[("a", 2)] == (0, 0.0, 15.0)
+    assert out[("a", 3)] == (1, 40.0, 40.0)
+    assert out[("b", 0)] == (0, 0.0, None)      # before first obs: NULL
+    assert out[("b", 1)] == (0, 0.0, None)
+    assert out[("b", 2)] == (1, 7.0, 7.0)
+    assert out[("b", 3)] == (0, 0.0, 7.0)
+
+
+def test_resample_gapfill_empty_input(spark):
+    from betl_spark.operators.timeseries import resample_gapfill
+
+    df = spark.createDataFrame([], "k string, t long, v double")
+    assert resample_gapfill(df, "k", "t", "v").count() == 0
+
+
+def test_rolling_zscore_flags_outlier_and_skips_warmup(spark):
+    from betl_spark.operators.timeseries import rolling_zscore
+
+    rows_in = [("x", i, i, 10.0 + (i % 3)) for i in range(30)]
+    rows_in.append(("x", 30, 30, 500.0))  # clear anomaly
+    df = spark.createDataFrame(rows_in, "p string, t long, id long, v double")
+    out = rolling_zscore(
+        df, "p", "t", "id", "v", window_rows=10, min_rows=5, z_thresh=3.0
+    )
+    got = {r["id"]: (r["zscore"], r["is_anomaly"]) for r in out.collect()}
+    assert min(got) == 5          # ids 0-4 lack min_rows preceding
+    assert got[30][1] is True     # the planted outlier is flagged
+    assert all(not v[1] for k, v in got.items() if k != 30)
+
+
+def test_rolling_zscore_constant_window_yields_null(spark):
+    from betl_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame(
+        [("x", i, i, 5.0) for i in range(10)], "p string, t long, id long, v double"
+    )
+    out = rolling_zscore(df, "p", "t", "id", "v", window_rows=5, min_rows=3)
+    # var == 0 everywhere: z must be NULL, never inf/NaN
+    assert all(r["zscore"] is None for r in out.collect())
+
+
+def test_time_weighted_avg_weights_by_duration(spark):
+    from betl_spark.operators.timeseries import time_weighted_avg
+
+    M = 1_000_000
+    df = spark.createDataFrame(
+        [
+            ("u", 0 * M, 10.0),    # current for 10s
+            ("u", 10 * M, 20.0),   # current for 30s
+            ("u", 40 * M, 99.0),   # last event: no duration, drops
+            ("solo", 5 * M, 7.0),  # single event: no row
+        ],
+        "k string, t long, v double",
+    )
+    out = {r["k"]: r for r in time_weighted_avg(df, "k", "t", "v").collect()}
+    assert set(out) == {"u"}
+    r = out["u"]
+    assert (r["n_intervals"], r["total_seconds"]) == (2, 40)
+    assert r["twap"] == round((10.0 * 10 + 20.0 * 30) / 40, 6)  # 17.5
+
+
+def test_winsorized_stats_clips_tails(spark):
+    from betl_spark.operators.stats import winsorized_stats
+
+    vals = [float(i) for i in range(1, 100)] + [10_000.0]  # one huge outlier
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    r = winsorized_stats(df, ["g"], "v", p_lo=0.05, p_hi=0.95).collect()[0]
+    assert r["n"] == 100
+    assert r["n_clipped_lo"] > 0 and r["n_clipped_hi"] > 0
+    assert r["mean_winsor"] < r["mean_raw"]  # outlier's pull removed
+    assert r["lo"] < r["hi"] < 10_000.0
+
+
+def test_equidepth_histogram_buckets_balanced(spark):
+    from betl_spark.operators.stats import equidepth_histogram
+
+    df = spark.createDataFrame(
+        [(i, float(i * i)) for i in range(103)], "id long, v double"
+    )
+    out = sorted(
+        (r["bucket"], r["n"], r["lo"], r["hi"])
+        for r in equidepth_histogram(df, "v", "id", n_buckets=10).collect()
+    )
+    assert [b for b, *_ in out] == list(range(10))
+    assert sum(n for _, n, *_ in out) == 103
+    assert max(n for _, n, *_ in out) - min(n for _, n, *_ in out) <= 1
+    # bucket ranges tile the domain in order
+    for (_, _, _, hi_prev), (_, _, lo_next, _) in zip(out, out[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_fuzzy_join_blocked_respects_blocks_and_threshold(spark):
+    from betl_spark.operators.linkage import (
+        canonicalize_names,
+        first_token_block,
+        fuzzy_join_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "red ring"),
+            (2, "red ring"),    # exact dup: collapses in canonicalize
+            (3, "red rings"),   # dist 1 to "red ring"
+            (4, "red widget"),  # same block, too far
+            (5, "blue ring"),   # different block: never paired
+        ],
+        "id long, name string",
+    )
+    names = canonicalize_names(df, "id", "name")
+    assert names.count() == 4
+    assert {
+        (r["name"], r["canonical_id"], r["n_members"]) for r in names.collect()
+    } >= {("red ring", 1, 2)}
+    pairs = fuzzy_join_blocked(names, first_token_block, max_dist=2).collect()
+    assert [(p["name_a"], p["name_b"], p["dist"]) for p in pairs] == [
+        ("red ring", "red rings", 1)
+    ]
+
+
+def test_keyword_search_and_requires_all_terms(spark):
+    from betl_spark.operators.corpus import keyword_search_and
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "spark merge window spark"),     # all 3, score 4
+            (2, "en", "spark merge merge"),            # missing window
+            (3, "fr", "window spark merge"),           # all 3, score 3
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = keyword_search_and(
+        df, "doc_id", "text", ["spark", "merge", "window"], keep_cols=["lang"]
+    ).collect()
+    assert [(r["doc_id"], r["lang"], r["score"]) for r in out] == [
+        (1, "en", 4),
+        (3, "fr", 3),
+    ]
+
+
+def test_source_overlap_matrix_counts_shared_grams(spark):
+    from betl_spark.operators.corpus import source_overlap_matrix
+
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens -> 8 3-grams
+    df = spark.createDataFrame(
+        [
+            ("s1", text),
+            ("s2", text),               # identical corpus: jaccard 1.0
+            ("s3", "totally different words here nothing shared at all ok"),
+        ],
+        "source string, text string",
+    )
+    out = {
+        (r["group_a"], r["group_b"]): r
+        for r in source_overlap_matrix(df, "source", "text", ngram=3).collect()
+    }
+    assert out[("s1", "s2")]["jaccard"] == 1.0
+    assert out[("s1", "s2")]["inter"] == 8
+    assert ("s1", "s3") not in out  # zero overlap: no row (inner join)
+
+
+def test_source_overlap_short_doc_yields_no_grams(spark):
+    from betl_spark.operators.corpus import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [("s1", "just three words"), ("s2", "just three words")],
+        "source string, text string",
+    )
+    # 3 tokens < ngram=8: no grams, no pairs — and no sequence() error
+    assert source_overlap_matrix(df, "source", "text", ngram=8).count() == 0
+
+
+def test_char_diversity_flags_low_diversity(spark):
+    from betl_spark.operators.text import char_diversity
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaaaaaa"),             # one char: conc 1.0
+            (2, "The quick brown fox jumps over."),  # healthy prose
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in char_diversity(df, "doc_id", "text").collect()}
+    assert out[1]["distinct_chars"] == 1
+    assert out[1]["simpson_concentration"] == 1.0
+    assert out[1]["top_char_ratio"] == 1.0
+    assert out[1]["keep"] is False
+    assert out[2]["distinct_chars"] > 10
+    assert out[2]["keep"] is True
