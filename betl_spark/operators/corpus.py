@@ -401,13 +401,17 @@ def source_overlap_matrix(
     lineage/contamination matrix a curation run consults before mixing
     sources (a near-1 cell means one slice is a re-crawl of another).
 
-    Shape: distinct (group, md5(ngram)) — the distinct is map-side
-    combinable and collapses repeated boilerplate before any shuffle —
-    then a self-equi-join on the hash whose output is bounded by
-    |groups|² per gram, aggregated to |groups|²/2 rows. A
-    universally-common gram fans out to all-pairs for that gram — cost
-    |groups|², independent of corpus size, so the skew ceiling is the
-    group count, not the data.
+    Shape: ONE gram-extraction scan (a self-join formulation would
+    tokenize and hash the corpus twice), distinct (group, md5(ngram))
+    with map-side combine collapsing repeated boilerplate before the
+    shuffle, then ONE aggregation keyed on the gram hash:
+    ``collect_set(group)`` per gram — bounded by |groups| — expanded
+    row-locally into its a<b pair combinations. Per-group gram counts
+    fall out of the same grouped result (explode + re-count), so the
+    extraction runs once and the corpus crosses the wire once. A
+    universally-common gram expands to all-pairs — cost |groups|²,
+    independent of corpus size, so the skew ceiling is the group
+    count, not the data.
 
     Output: (group_a, group_b, inter, n_a, n_b, jaccard) for a < b,
     jaccard 6dp.
@@ -436,16 +440,33 @@ def source_overlap_matrix(
         )
         .distinct()
     )
-    sizes = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        grams.alias("a")
-        .join(
-            grams.alias("b"),
-            (F.col("a.__h") == F.col("b.__h"))
-            & (F.col("a.__g") < F.col("b.__g")),
+    # one shuffle on the gram hash; each gram's group set is ≤ |groups|
+    by_gram = grams.groupBy("__h").agg(
+        F.array_sort(F.collect_set("__g")).alias("__gs")
+    )
+    sizes = (
+        by_gram.select(F.explode("__gs").alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # row-local a<b combination expansion: x paired with every LATER
+    # element of the sorted set
+    pair_combos = F.flatten(
+        F.transform(
+            F.col("__gs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("__gs"), i + F.lit(2), F.size(F.col("__gs"))
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    inter = (
+        by_gram.where(F.size("__gs") >= 2)
+        .select(F.explode(pair_combos).alias("__p"))
         .groupBy(
-            F.col("a.__g").alias("group_a"), F.col("b.__g").alias("group_b")
+            F.col("__p.a").alias("group_a"), F.col("__p.b").alias("group_b")
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )

@@ -94,6 +94,17 @@ REHEARSAL = [
     "semantic_ingest_2day",
     "similarity_ann_lsh_tables",
     "source_data_card",
+    # round-9 additions
+    "ivf_topk_trained",
+    "resample_gapfill_daily",
+    "rolling_zscore_events",
+    "time_weighted_avg_events",
+    "winsorized_event_stats",
+    "equidepth_histogram_chars",
+    "fuzzy_dedup_part_names",
+    "keyword_search_and",
+    "source_overlap_matrix",
+    "char_diversity_filter",
 ]
 
 
