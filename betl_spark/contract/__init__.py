@@ -54,11 +54,11 @@ _ALL = {
 # lesson, so no NEW query ends a round without a driver green row.
 # Round 9 leads with the ELEVEN round-8-new queries that have never
 # held a driver-side green row (the r8 verdict's #1 ask) plus
-# ivf_topk_trained, then the NINE round-9-new breadth queries (so they
-# don't repeat round 8's never-verified gap), then fills the remaining
-# 29 slots from the round-6-stale greens. Seventeen round-6 greens
-# don't fit; each deferred one's code path is replayed by an in-window
-# query this round (classifier_score + dsir_scores by
+# ivf_topk_trained, then the FOURTEEN round-9-new breadth queries (so
+# they don't repeat round 8's never-verified gap), then fills the
+# remaining 24 slots from the round-6-stale greens. Twenty-two
+# round-6 greens don't fit; each deferred one's code path is replayed
+# by an in-window query this round (classifier_score + dsir_scores by
 # classifier_train_score's shared hashed-ngram features;
 # corpus_curation_v2 by corpus_curation_v3; line_dedup by
 # intra_doc_line_dedup's shared line machinery; funnel_users by
@@ -69,9 +69,15 @@ _ALL = {
 # customSQL surface tpch_q5 re-verified green r8; quantile_band_filter
 # by winsorized_event_stats' shared exact-percentile machinery; tf_idf
 # by hybrid_search's tf-idf scoring stage; write_readback by
-# star_schema_pipeline's write+read-back leg), and all seventeen
-# replay green in the pytest parity suite every session. They lead the
-# round-10 window.
+# star_schema_pipeline's write+read-back leg; perplexity_buckets by
+# ngram_lm_perplexity (its input) + winsorized/equidepth quantile
+# machinery; vocab_coverage + top_docs_per_lang by
+# equidepth_histogram_chars' banded-rank core and bm25_topk_docs'
+# ranked-top-n shape; window_funcs_events by rolling_zscore_events'
+# frame windows + r7-green window_top_orders_per_segment;
+# dedup_bloom_incremental by r7-green dedup_bloom_bucketed's shared
+# bloom machinery), and all twenty-two replay green in the pytest
+# parity suite every session. They lead the round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
     "ivf_topk_trained",
@@ -96,13 +102,17 @@ _PRIORITY = [
     "keyword_search_and",
     "source_overlap_matrix",
     "char_diversity_filter",
+    "bm25_topk_docs",
+    "token_pmi_topk",
+    "referential_integrity_audit",
+    "events_time_rollup",
+    "events_stream_anomaly",
     # -- round-6 greens (2 rounds stale, the policy edge) --
     "chunk_documents",
     "clean_values",
     "collapse_nk",
     "data_quality_gate",
     "decontaminate_remove",
-    "dedup_bloom_incremental",
     "delta_load_fact",
     "derive_columns",
     "filter_ops",
@@ -119,13 +129,9 @@ _PRIORITY = [
     "sk_dimension",
     "star_schema_pipeline",
     "token_count_bpe",
-    "top_docs_per_lang",
     "union_dedupe",
     "unpivot_part",
-    "vocab_coverage",
-    "window_funcs_events",
     "zorder_key",
-    "perplexity_buckets",
     # -- deferred round-6 greens (lead the round-10 window) --
     "classifier_score",
     "corpus_curation_v2",
@@ -144,6 +150,11 @@ _PRIORITY = [
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "write_readback",
+    "perplexity_buckets",
+    "vocab_coverage",
+    "top_docs_per_lang",
+    "window_funcs_events",
+    "dedup_bloom_incremental",
 ]
 
 QUERIES: dict = {}

@@ -463,3 +463,261 @@ FROM per
 """
 
 QUERIES["char_diversity_filter"] = (q_char_diversity, CHAR_DIVERSITY_SQL)
+
+
+# =====================================================================
+# Round-9 batch 2: BM25 retrieval, PMI collocations, referential
+# integrity audit, time-hierarchy rollup, streaming online anomaly.
+# =====================================================================
+
+BM25_TERMS = ["spark", "merge", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.bm25_topk(
+        docs, "doc_id", "text", BM25_TERMS, k1=BM25_K1, b=BM25_B,
+        top_n=20, keep_cols=["lang"],
+    )
+
+
+_BM25_IDF = (
+    "round(ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)), 9)"
+)
+_BM25_W = (
+    f"({_BM25_IDF} * (CAST(tf AS DOUBLE) * {BM25_K1 + 1.0}))"
+    f" / (CAST(tf AS DOUBLE) + {BM25_K1} * ({1.0 - BM25_B}"
+    f" + {BM25_B} * CAST(len AS DOUBLE)"
+    f" / (CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+)
+
+BM25_TOPK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS len,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+postings AS (
+  SELECT doc_id, lang, len, t, count(*) AS tf
+  FROM (SELECT doc_id, lang, len, unnest(toks) AS t FROM base)
+  WHERE t IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+  GROUP BY 1, 2, 3, 4
+),
+cs AS (SELECT count(*) AS n_docs, sum(len) AS sum_len FROM base),
+dfq AS (SELECT t, count(*) AS df FROM postings GROUP BY 1),
+sc AS (
+  SELECT p.doc_id, p.lang, p.t,
+         CAST(round(round({_BM25_W}, 9) * 1e9) AS BIGINT) AS nanos
+  FROM postings p JOIN dfq USING (t) CROSS JOIN cs
+)
+SELECT doc_id, lang,
+       CAST(count(DISTINCT t) AS BIGINT) AS n_terms_matched,
+       round(CAST(sum(nanos) AS DOUBLE) / 1e9, 6) AS score
+FROM sc GROUP BY doc_id, lang
+ORDER BY sum(nanos) DESC, doc_id LIMIT 20
+"""
+
+QUERIES["bm25_topk_docs"] = (q_bm25_topk, BM25_TOPK_SQL)
+
+
+# ---- PMI collocations ----
+PMI_MIN_COUNT = 5
+
+
+def q_token_pmi_topk(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    return corpus_ops.pmi_topk(docs, "text", min_count=PMI_MIN_COUNT, top_n=50)
+
+
+TOKEN_PMI_TOPK_SQL = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+uni AS (
+  SELECT t AS w, count(*) AS c_w
+  FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
+),
+bi AS (
+  SELECT w1, w2, count(*) AS c_bigram FROM (
+    SELECT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i AS INTEGER) + 1] AS w2
+    FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
+  ) GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+),
+nu AS (SELECT sum(c_w) AS nu FROM uni),
+nb AS (SELECT sum(c_bigram) AS nb FROM bi)
+SELECT b.w1, b.w2,
+       CAST(b.c_bigram AS BIGINT) AS c_bigram,
+       CAST(u1.c_w AS BIGINT) AS c_w1,
+       CAST(u2.c_w AS BIGINT) AS c_w2,
+       round(ln((CAST(b.c_bigram AS DOUBLE) * CAST(nu AS DOUBLE)
+                 * CAST(nu AS DOUBLE))
+                / (CAST(nb AS DOUBLE) * CAST(u1.c_w AS DOUBLE)
+                   * CAST(u2.c_w AS DOUBLE))), 6) AS pmi
+FROM bi b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, b.w1, b.w2 LIMIT 50
+"""
+
+QUERIES["token_pmi_topk"] = (q_token_pmi_topk, TOKEN_PMI_TOPK_SQL)
+
+
+# ---- referential integrity audit ----
+RI_SPECS = [
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_referential_integrity(spark, sf_dir):
+    """Warehouse FK health check: orphan counts per relationship via
+    anti joins against distinct parent keys (operators/profile.py)."""
+    from betl_spark.operators import profile as profile_ops
+
+    specs = [
+        (name, table(spark, sf_dir, c), [ck], table(spark, sf_dir, p), [pk])
+        for name, c, ck, p, pk in RI_SPECS
+    ]
+    return profile_ops.referential_integrity(specs)
+
+
+def _ri_spec_sql(name, child, ck, parent, pk) -> str:
+    return f"""
+SELECT '{name}' AS relationship,
+  CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_child,
+  CAST((SELECT count(*) FROM {child} WHERE {ck} IS NULL) AS BIGINT)
+    AS n_null_key,
+  CAST((SELECT count(*) FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{ck} = p.{pk}
+        WHERE c.{ck} IS NOT NULL AND p.{pk} IS NULL) AS BIGINT) AS n_orphans,
+  CASE WHEN (SELECT count(*) FROM {child} WHERE {ck} IS NOT NULL) > 0
+       THEN round(
+         CAST((SELECT count(*) FROM {child} c
+               LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+                 ON c.{ck} = p.{pk}
+               WHERE c.{ck} IS NOT NULL AND p.{pk} IS NULL) AS DOUBLE)
+         / CAST((SELECT count(*) FROM {child} WHERE {ck} IS NOT NULL)
+                AS DOUBLE), 6)
+       END AS orphan_rate"""
+
+
+REFERENTIAL_INTEGRITY_SQL = "\nUNION ALL\n".join(
+    _ri_spec_sql(*s) for s in RI_SPECS
+)
+
+QUERIES["referential_integrity_audit"] = (
+    q_referential_integrity,
+    REFERENTIAL_INTEGRITY_SQL,
+)
+
+
+# ---- time-hierarchy rollup (partial ROLLUP grouping sets) ----
+def q_events_time_rollup(spark, sf_dir):
+    """Per-event-type calendar rollup: GROUP BY event_type,
+    ROLLUP(year, month) — the continuous-aggregate hierarchy (leaf,
+    monthly subtotal, yearly subtotal) in ONE pass; Spark plans
+    grouping sets as a single Expand + hash aggregate, so the corpus
+    is scanned once for all three levels."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    view = "events_r9_rollup"
+    ev.select(
+        "event_type",
+        F.year(F.timestamp_micros(F.col("__ts_us"))).alias("y"),
+        F.month(F.timestamp_micros(F.col("__ts_us"))).alias("m"),
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    ).createOrReplaceTempView(view)
+    return ev.sparkSession.sql(f"""
+        SELECT event_type, y, m,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(v) AS DOUBLE), 6) AS sum_value
+        FROM {view}
+        GROUP BY event_type, ROLLUP(y, m)
+    """)
+
+
+EVENTS_TIME_ROLLUP_SQL = """
+WITH e AS (
+  SELECT event_type, year(ts) AS y, month(ts) AS m,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM events
+)
+SELECT event_type, CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(CAST(sum(v) AS DOUBLE), 6) AS sum_value
+FROM e
+GROUP BY event_type, ROLLUP(y, m)
+"""
+
+QUERIES["events_time_rollup"] = (q_events_time_rollup, EVENTS_TIME_ROLLUP_SQL)
+
+
+# ---- streaming online anomaly scores ----
+ANOMALY_MIN_ROWS = 20
+ANOMALY_THRESH = 3.0
+
+
+def q_events_stream_anomaly(spark, sf_dir):
+    """Online per-user anomaly scoring (applyInPandasWithState): each
+    event z-scored against the user's expanding exact-integer history,
+    batch-parity-checked against the equivalent windowed SQL."""
+    from betl_spark.contract.streaming_delta import STATE_PARTS
+    from betl_spark.streaming.events import (
+        event_stream,
+        run_stream_to_table,
+        stateful_anomaly_scores,
+    )
+
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    return run_stream_to_table(
+        stateful_anomaly_scores(
+            stream, min_rows=ANOMALY_MIN_ROWS, z_thresh=ANOMALY_THRESH
+        ),
+        output_mode="append",
+        state_partitions=STATE_PARTS,
+    )
+
+
+EVENTS_STREAM_ANOMALY_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CAST(value AS DOUBLE) AS v,
+         CAST(round(value * 1000) AS BIGINT) AS milli
+  FROM events
+),
+w AS (
+  SELECT user_id, event_id, v, milli,
+         count(*) OVER win AS n,
+         sum(milli) OVER win AS s,
+         sum(milli * milli) OVER win AS s2
+  FROM e
+  WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+sc AS (
+  SELECT user_id, event_id, v AS value,
+         CASE WHEN n >= {ANOMALY_MIN_ROWS}
+                   AND (CAST(s2 AS DOUBLE)
+                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                       / (n - 1) > 0.0
+              THEN round((CAST(milli AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                         / sqrt((CAST(s2 AS DOUBLE)
+                                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                / (n - 1)), 6)
+              END AS zscore
+  FROM w
+)
+SELECT user_id, event_id, value, zscore,
+       abs(zscore) > {ANOMALY_THRESH} AS is_anomaly
+FROM sc
+"""
+
+QUERIES["events_stream_anomaly"] = (
+    q_events_stream_anomaly,
+    EVENTS_STREAM_ANOMALY_SQL,
+)

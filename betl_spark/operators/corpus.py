@@ -492,3 +492,181 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """BM25-ranked retrieval (disjunctive — any matching term scores)
+    over the same relational posting shape as ``keyword_search_and``:
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)),
+    idf = ln(1 + (N−df+0.5)/(df+0.5)) — the Robertson/Sparck-Jones
+    formulation Lucene uses.
+
+    One corpus scan computes (doc, len) and the exploded postings;
+    term stats (df per term) are O(|terms|) and the corpus-level
+    (N, Σlen) is a 1-row aggregate — both broadcast back, so the only
+    data-sized shuffle is the posting groupBy. Cross-engine
+    determinism: each (doc, term) partial score rounds to 9dp and
+    converts to integer NANOS before the per-doc sum (double addition
+    is order-dependent; integer addition is not — the lm_score
+    pattern), and ranking ties break on the exact nano sum then id.
+
+    Output: (id, keep_cols..., n_terms_matched, score), top_n by
+    (score DESC, id); score 6dp.
+    """
+    from betl_spark.operators.text import tokens
+
+    keep = list(keep_cols or [])
+    base = df.select(
+        F.col(id_col),
+        *keep,
+        F.size(tokens(text_col)).alias("__len"),
+        tokens(text_col).alias("__toks"),
+    )
+    postings = (
+        base.select(
+            id_col, *keep, "__len", F.explode("__toks").alias("__t")
+        )
+        .where(F.col("__t").isin(list(terms)))
+        .groupBy(id_col, *keep, "__len", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    corpus_stats = base.agg(
+        F.count(F.lit(1)).alias("__n_docs"),
+        F.sum("__len").alias("__sum_len"),
+    )
+    doc_freq = postings.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    n_docs = F.col("__n_docs").cast("double")
+    avglen = F.col("__sum_len").cast("double") / n_docs
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (n_docs - F.col("__df") + F.lit(0.5))
+            / (F.col("__df") + F.lit(0.5))
+        ),
+        9,
+    )
+    tf_d = F.col("__tf").cast("double")
+    len_norm = F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("__len").cast("double") / avglen
+    )
+    w = idf * (tf_d * F.lit(float(k1 + 1.0))) / (tf_d + len_norm)
+    scored = (
+        postings.join(F.broadcast(doc_freq), "__t")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select(
+            id_col,
+            *keep,
+            "__t",
+            F.round(F.round(w, 9) * F.lit(1e9)).cast("long").alias("__nanos"),
+        )
+    )
+    return (
+        scored.groupBy(id_col, *keep)
+        .agg(
+            F.countDistinct("__t").alias("n_terms_matched"),
+            F.sum("__nanos").alias("__sn"),
+        )
+        .select(
+            id_col,
+            *keep,
+            "n_terms_matched",
+            F.round(F.col("__sn").cast("double") / F.lit(1e9), 6).alias("score"),
+            "__sn",
+        )
+        .orderBy(F.col("__sn").desc(), F.col(id_col))
+        .limit(top_n)
+        .drop("__sn")
+    )
+
+
+def pmi_topk(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    token bigrams: pmi = ln(p(ab) / (p(a)·p(b))) with p(ab) = c_ab/N_b
+    and p(a) = c_a/N_u — the corpus-analysis step behind multi-word
+    vocabulary entries and tokenizer merge candidates.
+
+    Unigram and bigram censuses are two map-side-combinable
+    aggregations; the totals are 1-row aggregates broadcast back, and
+    per-word counts join the bigram table twice (broadcast — the
+    vocabulary is tiny next to the corpus; at web scale these become
+    AQE-elected shuffle joins on the word key). The PMI ratio
+    multiplies in DOUBLES throughout (the integer product c_ab·N_u²
+    overflows int64 on a big corpus) — exact-rounded IEEE ops on exact
+    integer inputs, one final ln, 6dp.
+
+    Output: (w1, w2, c_bigram, c_w1, c_w2, pmi), ``c_bigram ≥
+    min_count``, top_n by (pmi DESC, w1, w2).
+    """
+    from betl_spark.operators.text import tokens
+
+    toks = df.select(tokens(text_col).alias("__ts"))
+    uni = (
+        toks.select(F.explode("__ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.when(
+                    F.size("__ts") >= 2,
+                    F.arrays_zip(
+                        F.slice("__ts", 1, F.size("__ts") - 1).alias("w1"),
+                        F.slice("__ts", 2, F.size("__ts") - 1).alias("w2"),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bigram"))
+        .where(F.col("c_bigram") >= F.lit(int(min_count)))
+    )
+    totals_u = uni.agg(F.sum("c_w").alias("__nu"))
+    totals_b = bi.agg(F.sum("c_bigram").alias("__nb"))
+    pmi = F.round(
+        F.log(
+            (
+                F.col("c_bigram").cast("double")
+                * F.col("__nu").cast("double")
+                * F.col("__nu").cast("double")
+            )
+            / (
+                F.col("__nb").cast("double")
+                * F.col("c_w1").cast("double")
+                * F.col("c_w2").cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        bi.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals_u))
+        .crossJoin(F.broadcast(totals_b))
+        .select("w1", "w2", "c_bigram", "c_w1", "c_w2", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(top_n)
+    )

@@ -256,3 +256,64 @@ def check_rules(df: DataFrame, rules: list[dict]) -> DataFrame:
         "s.n_violations",
         (F.col("s.n_violations") == 0).alias("passed"),
     )
+
+
+def referential_integrity(
+    specs: list[tuple[str, DataFrame, list[str], DataFrame, list[str]]],
+) -> DataFrame:
+    """Foreign-key orphan audit across a warehouse: for each
+    (name, child, child_keys, parent, parent_keys) spec, count the
+    child rows whose key has no parent — the referential-integrity
+    health check a load pipeline runs before promoting a batch
+    (betl's own loads assume intact NKs; this makes the assumption
+    auditable).
+
+    Each spec is one LEFT ANTI join against the DISTINCT parent keys
+    (the distinct collapses the parent to its key cardinality before
+    the shuffle; a small dimension broadcasts). Counts aggregate to
+    one row per spec and union — the result is O(|specs|) rows, fully
+    lazy (no driver-side counts). Child rows with a NULL key component
+    are reported separately (NULL never matches a parent; conflating
+    "missing parent" with "missing key" hides which upstream bug you
+    have).
+
+    Output: (relationship, n_child, n_null_key, n_orphans,
+    orphan_rate 6dp of the non-null-keyed rows).
+    """
+    outs = []
+    for name, child, child_keys, parent, parent_keys in specs:
+        ck = child.select(
+            *[F.col(c) for c in child_keys],
+        )
+        non_null = ck.where(
+            F.expr(" AND ".join(f"`{c}` IS NOT NULL" for c in child_keys))
+        )
+        pk = parent.select(
+            *[F.col(p).alias(c) for c, p in zip(child_keys, parent_keys)]
+        ).distinct()
+        orphans = non_null.join(pk, child_keys, "left_anti")
+        counts = (
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(non_null.agg(F.count(F.lit(1)).alias("__nn")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+        )
+        outs.append(
+            counts.select(
+                F.lit(name).alias("relationship"),
+                "n_child",
+                (F.col("n_child") - F.col("__nn")).alias("n_null_key"),
+                "n_orphans",
+                F.when(
+                    F.col("__nn") > 0,
+                    F.round(
+                        F.col("n_orphans").cast("double")
+                        / F.col("__nn").cast("double"),
+                        6,
+                    ),
+                ).alias("orphan_rate"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

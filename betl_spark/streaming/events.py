@@ -26,6 +26,7 @@ source — every downstream operator sees a single stable clock.
 
 from __future__ import annotations
 
+import math
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -428,3 +429,111 @@ def stream_stream_time_join(
     for c in on:
         cond = (F.col(c) == F.col(f"__r_{c}")) & cond
     return lsel.join(rsel, cond, "inner").drop(*[f"__r_{c}" for c in on])
+
+
+_ANOMALY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s_milli", T.LongType()),
+        T.StructField("s2_milli2", T.LongType()),
+    ]
+)
+_ANOMALY_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+
+def stateful_anomaly_scores(
+    events: DataFrame, min_rows: int = 20, z_thresh: float = 3.0
+) -> DataFrame:
+    """Online anomaly detection (``applyInPandasWithState``): each
+    event is z-scored against its user's EXPANDING history — every
+    event seen so far, across micro-batches — then folded into the
+    state. The state is three integers (n, Σv, Σv²) in exact
+    milli-units, so a perpetual stream's state never grows with volume
+    and restarts resume bit-exactly from the store.
+
+    Streaming-vs-batch determinism (the contract's parity bar): values
+    are quantized to int64 millis (``rint`` — the data is 2dp, so a
+    .5-milli tie cannot occur and banker's-vs-half-up is moot); sums
+    accumulate as exact integers; z is computed in doubles from those
+    exact integers with the SAME expression tree the SQL oracle uses
+    ((v−s/n)/√((s2−s²/n)/(n−1)), s² via float — s can exceed the int64
+    square bound — all IEEE-exact); events with fewer than ``min_rows``
+    predecessors, or a zero-variance history, emit NULL z.
+
+    Rows inside a micro-batch are processed in (event-time, event_id)
+    order — Spark does NOT order rows within a group's batch, so the
+    operator sorts each group's buffer; cross-batch order is the
+    stream's natural file order (the batch-parity harness feeds one
+    availableNow batch, making the order total).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ts_col = _event_time_col(events.schema["ts"].dataType)
+    prepared = events.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(ts_col).alias("__t_us"),
+    )
+
+    def score(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n, s, s2 = state.get if state.exists else (0, 0, 0)
+        frames = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(frames, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["__t_us", "event_id"], kind="mergesort")
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        milli = np.rint(v * 1000.0).astype(np.int64)
+        # exact integer prefix sums of the PRECEDING rows (vectorized —
+        # no per-row Python), seeded from the cross-batch state
+        c1 = np.cumsum(milli)
+        c2 = np.cumsum(milli * milli)
+        n_b = n + np.arange(len(pdf), dtype=np.int64)
+        s_b = s + np.concatenate(([0], c1[:-1]))
+        s2_b = s2 + np.concatenate(([0], c2[:-1]))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nf = n_b.astype(np.float64)
+            sf = s_b.astype(np.float64)
+            var = (s2_b.astype(np.float64) - sf * sf / nf) / (nf - 1.0)
+            zs = np.round(
+                (milli.astype(np.float64) - sf / nf) / np.sqrt(var), 6
+            )
+        zs[(n_b < min_rows) | ~(var > 0.0)] = np.nan
+        n = int(n_b[-1]) + 1 if len(pdf) else n
+        s = int(c1[-1]) + s if len(pdf) else s
+        s2 = int(c2[-1]) + s2 if len(pdf) else s2
+        state.update((n, s, s2))
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(pdf), user_id, dtype=np.int64),
+                "event_id": pdf["event_id"].to_numpy(dtype=np.int64),
+                "value": v,
+                "zscore": zs,
+                "is_anomaly": pd.array(
+                    [None if math.isnan(z) else bool(abs(z) > z_thresh) for z in zs],
+                    dtype="boolean",
+                ),
+            }
+        )
+        out["zscore"] = out["zscore"].astype(object).where(~pd.isna(out["zscore"]), None)
+        yield out
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=_ANOMALY_OUT_SCHEMA,
+        stateStructType=_ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -105,6 +105,11 @@ REHEARSAL = [
     "keyword_search_and",
     "source_overlap_matrix",
     "char_diversity_filter",
+    "bm25_topk_docs",
+    "token_pmi_topk",
+    "referential_integrity_audit",
+    "events_time_rollup",
+    "events_stream_anomaly",
 ]
 
 

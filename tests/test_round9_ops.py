@@ -357,3 +357,144 @@ def test_char_diversity_flags_low_diversity(spark):
     assert out[1]["keep"] is False
     assert out[2]["distinct_chars"] > 10
     assert out[2]["keep"] is True
+
+
+def test_bm25_ranks_rare_term_matches_higher(spark):
+    from betl_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "rare common common common common"),   # has the rare term
+            (2, "common common common common common"), # only common
+            (3, "rare rare common common filler"),     # rare twice
+            (4, "filler words only here today ok"),    # no match: no row
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, "doc_id", "text", ["rare", "common"], top_n=10)
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    assert 4 not in rows_out
+    # idf(rare) >> idf(common): doc 3 (2x rare) > doc 1 (1x rare) > doc 2
+    assert rows_out[3]["score"] > rows_out[1]["score"] > rows_out[2]["score"]
+    assert rows_out[1]["n_terms_matched"] == 2
+    assert rows_out[2]["n_terms_matched"] == 1
+
+
+def test_pmi_flags_true_collocation(spark):
+    from betl_spark.operators.corpus import pmi_topk
+
+    # "hong kong" always adjacent; "the", "cat" independent fillers
+    docs = [("hong kong " + "the cat sat on a mat " * 3,)] * 10
+    df = spark.createDataFrame(docs, "text string")
+    out = pmi_topk(df, "text", min_count=5, top_n=5).collect()
+    assert out[0]["w1"] == "hong" and out[0]["w2"] == "kong"
+    assert out[0]["pmi"] > 0
+    got = {(r["w1"], r["w2"]): r["pmi"] for r in out}
+    # a frequent-but-independent pair scores below the collocation
+    assert all(p <= out[0]["pmi"] for p in got.values())
+
+
+def test_referential_integrity_counts_orphans_and_null_keys(spark):
+    from betl_spark.operators.profile import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = referential_integrity(
+        [("child->parent", child, ["fk"], parent, ["pk"])]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_child"], r["n_null_key"], r["n_orphans"]) == (4, 1, 1)
+    assert r["orphan_rate"] == round(1 / 3, 6)
+
+
+def test_referential_integrity_composite_key(spark):
+    from betl_spark.operators.profile import referential_integrity
+
+    child = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", 9)], "id long, k1 string, k2 long"
+    )
+    parent = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "p1 string, p2 long"
+    )
+    r = referential_integrity(
+        [("c->p", child, ["k1", "k2"], parent, ["p1", "p2"])]
+    ).collect()[0]
+    assert (r["n_child"], r["n_orphans"]) == (3, 1)
+
+
+def test_stateful_anomaly_scores_multi_batch_state(spark, tmp_path):
+    """State must carry across micro-batches: feeding the same rows as
+    two files/batches must equal the single-batch run (the expanding
+    history is a property of the STREAM, not the batch)."""
+    import pandas as pd
+
+    from betl_spark.streaming.events import (
+        event_stream,
+        run_stream_to_table,
+        stateful_anomaly_scores,
+    )
+
+    rows_in = [(i, i * 1_000_000, 7, 10.0 + (i % 5)) for i in range(45)]
+    rows_in.append((45, 45_000_000, 7, 400.0))  # planted outlier
+    pdf = pd.DataFrame(rows_in, columns=["event_id", "t", "user_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["t"], unit="us")
+    sdf = spark.createDataFrame(pdf[["event_id", "ts", "user_id", "value"]])
+
+    import glob
+    import os
+
+    one = str(tmp_path / "one")
+    sdf.coalesce(1).write.parquet(one)
+    two = str(tmp_path / "two")
+    sdf.where("event_id < 23").coalesce(1).write.parquet(two)
+    # pin file order: the file source processes by (modTime, path), so
+    # day-1's file must be strictly older than day-2's
+    for f in glob.glob(f"{two}/*.parquet"):
+        os.utime(f, (1_000_000, 1_000_000))
+    sdf.where("event_id >= 23").coalesce(1).write.parquet(
+        two, mode="append"
+    )
+
+    def run(path, mfpt=None):
+        out = run_stream_to_table(
+            stateful_anomaly_scores(
+                event_stream(spark, path, max_files_per_trigger=mfpt),
+                min_rows=20,
+                z_thresh=3.0,
+            ),
+            output_mode="append",
+            state_partitions=4,
+        )
+        return sorted(
+            (r["event_id"], r["zscore"], r["is_anomaly"]) for r in out.collect()
+        )
+
+    got_one = run(one)
+    assert len(got_one) == 46
+    by_id = dict((e, (z, a)) for e, z, a in got_one)
+    assert all(by_id[i][0] is None for i in range(20))  # warmup unscored
+    assert by_id[45][1] is True                         # outlier flagged
+    assert all(by_id[i][1] is not True for i in range(45))
+    # maxFilesPerTrigger=1 forces TWO micro-batches: identical output
+    # proves the (n, Σv, Σv²) state carries bit-exactly across batches
+    assert got_one == run(two, mfpt=1)
+
+
+def test_events_time_rollup_levels(spark):
+    from betl_spark.contract.round9 import q_events_time_rollup
+
+    out = q_events_time_rollup(spark, "/root/testdata/sf0.001").collect()
+    leaves = [r for r in out if r["m"] is not None]
+    yearly = [r for r in out if r["m"] is None and r["y"] is not None]
+    per_type = [r for r in out if r["y"] is None]
+    assert leaves and yearly and per_type
+    # subtotals must reconcile exactly
+    for yr in yearly:
+        s = sum(
+            r["n_events"] for r in leaves
+            if r["event_type"] == yr["event_type"] and r["y"] == yr["y"]
+        )
+        assert s == yr["n_events"]
