@@ -54,9 +54,9 @@ _ALL = {
 # lesson, so no NEW query ends a round without a driver green row.
 # Round 9 leads with the ELEVEN round-8-new queries that have never
 # held a driver-side green row (the r8 verdict's #1 ask) plus
-# ivf_topk_trained, then the FOURTEEN round-9-new breadth queries (so
+# ivf_topk_trained, then the SIXTEEN round-9-new breadth queries (so
 # they don't repeat round 8's never-verified gap), then fills the
-# remaining 24 slots from the round-6-stale greens. Twenty-two
+# remaining 22 slots from the round-6-stale greens. Twenty-four
 # round-6 greens don't fit; each deferred one's code path is replayed
 # by an in-window query this round (classifier_score + dsir_scores by
 # classifier_train_score's shared hashed-ngram features;
@@ -76,8 +76,12 @@ _ALL = {
 # ranked-top-n shape; window_funcs_events by rolling_zscore_events'
 # frame windows + r7-green window_top_orders_per_segment;
 # dedup_bloom_incremental by r7-green dedup_bloom_bucketed's shared
-# bloom machinery), and all twenty-two replay green in the pytest
-# parity suite every session. They lead the round-10 window.
+# bloom machinery; set_nulls by clean_values' shared ops_data surface
+# (the ''→NULL boundary is ALSO property-tested per session,
+# test_properties.py); union_dedupe by r7-green setop greens for the
+# set-op surface + test_ops_data_merge's direct union/dedupe coverage),
+# and all deferred queries replay green in the pytest parity suite
+# every session. They lead the round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
     "ivf_topk_trained",
@@ -107,6 +111,8 @@ _PRIORITY = [
     "referential_integrity_audit",
     "events_time_rollup",
     "events_stream_anomaly",
+    "json_props_stats",
+    "rolling_active_users",
     # -- round-6 greens (2 rounds stale, the policy edge) --
     "chunk_documents",
     "clean_values",
@@ -125,11 +131,9 @@ _PRIORITY = [
     "pq_topk",
     "profile_documents",
     "psi_drift",
-    "set_nulls",
     "sk_dimension",
     "star_schema_pipeline",
     "token_count_bpe",
-    "union_dedupe",
     "unpivot_part",
     "zorder_key",
     # -- deferred round-6 greens (lead the round-10 window) --
@@ -155,6 +159,8 @@ _PRIORITY = [
     "top_docs_per_lang",
     "window_funcs_events",
     "dedup_bloom_incremental",
+    "set_nulls",
+    "union_dedupe",
 ]
 
 QUERIES: dict = {}

@@ -721,3 +721,87 @@ QUERIES["events_stream_anomaly"] = (
     q_events_stream_anomaly,
     EVENTS_STREAM_ANOMALY_SQL,
 )
+
+
+# =====================================================================
+# Round-9 batch 3: semi-structured shredding + sliding distinct actives
+# =====================================================================
+
+def q_json_props_stats(spark, sf_dir):
+    """Schema-on-read JSON shredding (explicit schema — no inference
+    pre-scan) of the events `props` blob, then typed per-event_type
+    stats over the extracted field; broken documents and missing
+    fields are counted, not dropped."""
+    from betl_spark.operators.semistructured import shred_json
+
+    ev = table(spark, sf_dir, "events")
+    shredded = shred_json(
+        ev, "props", {"k": "bigint"}, keep_cols=["event_type"]
+    )
+    return shredded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("parse_ok")).cast("long")).alias("n_bad_json"),
+        F.sum(
+            (F.col("parse_ok") & F.col("k").isNull()).cast("long")
+        ).alias("n_missing_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(
+            F.sum("k").cast("double") / F.count("k").cast("double"), 6
+        ).alias("avg_k"),
+    )
+
+
+JSON_PROPS_STATS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN json_valid(props) THEN 0 ELSE 1 END AS bad,
+         CASE WHEN json_valid(props)
+              THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+              END AS k
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(bad) AS BIGINT) AS n_bad_json,
+       CAST(sum(CASE WHEN bad = 0 AND k IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(CAST(sum(k) AS DOUBLE) / count(k), 6) AS avg_k
+FROM e GROUP BY event_type
+"""
+
+QUERIES["json_props_stats"] = (q_json_props_stats, JSON_PROPS_STATS_SQL)
+
+
+# ---- rolling 7-day distinct active users ----
+ACTIVE_WINDOW_DAYS = 7
+
+
+def q_rolling_active_users(spark, sf_dir):
+    """Trailing 7-day distinct users per day via contribution explode
+    (a sliding DISTINCT has no frame decomposition; each event feeds
+    the 7 windows that contain it, then one distinct agg)."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.rolling_distinct_count(
+        ev, "__ts_us", "user_id", window_buckets=ACTIVE_WINDOW_DAYS
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS b
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT b + CAST(r.range AS BIGINT) AS bucket,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS active_entities,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM e CROSS JOIN range({ACTIVE_WINDOW_DAYS}) r
+GROUP BY 1
+"""
+
+QUERIES["rolling_active_users"] = (q_rolling_active_users, ROLLING_ACTIVE_USERS_SQL)

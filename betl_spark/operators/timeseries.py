@@ -219,3 +219,50 @@ def time_weighted_avg(
             6,
         ).alias("twap"),
     )
+
+
+def rolling_distinct_count(
+    df: DataFrame,
+    ts_micros_col: str,
+    entity_col: str,
+    window_buckets: int = 7,
+    bucket_micros: int = MICROS_PER_DAY,
+) -> DataFrame:
+    """Trailing-window distinct entities per bucket — "rolling 7-day
+    active users": for each bucket b, the distinct entities seen in
+    buckets (b−W+1 … b], plus the raw event count in that window.
+
+    A sliding DISTINCT cannot use a window frame (distinct doesn't
+    decompose over frame slides) and a per-bucket self-join is O(W·n)
+    shuffled twice; the scalable formulation is CONTRIBUTION EXPLODE:
+    each event contributes its entity to the W buckets whose trailing
+    window contains it (``sequence(b, b+W−1)`` + explode — pure map
+    work, W× row inflation of a two-column projection), then ONE
+    distinct aggregation keyed on the bucket. Spark plans the
+    count_distinct as partial-distinct before the final shuffle, so
+    wire volume is per-partition distinct (bucket, entity) pairs, not
+    raw events. Buckets with no contributing events yield no row
+    (gap-fill with ``resample_gapfill`` if a dense axis is needed);
+    trailing buckets past the data's max extend W−1 buckets (they
+    still summarize real events).
+
+    Output: (bucket, active_entities, n_events).
+    """
+    e = df.select(
+        F.expr(
+            f"CAST(`{ts_micros_col}` AS BIGINT) DIV {int(bucket_micros)}"
+        ).alias("__b"),
+        F.col(entity_col).alias("__e"),
+    ).where(F.col(ts_micros_col).isNotNull())
+    contrib = e.select(
+        F.explode(
+            F.sequence(
+                F.col("__b"), F.col("__b") + F.lit(int(window_buckets) - 1)
+            )
+        ).alias("bucket"),
+        "__e",
+    )
+    return contrib.groupBy("bucket").agg(
+        F.countDistinct("__e").alias("active_entities"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

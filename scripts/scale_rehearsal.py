@@ -110,6 +110,8 @@ REHEARSAL = [
     "referential_integrity_audit",
     "events_time_rollup",
     "events_stream_anomaly",
+    "json_props_stats",
+    "rolling_active_users",
 ]
 
 

@@ -498,3 +498,51 @@ def test_events_time_rollup_levels(spark):
             if r["event_type"] == yr["event_type"] and r["y"] == yr["y"]
         )
         assert s == yr["n_events"]
+
+
+def test_shred_json_flags_bad_documents_and_missing_fields(spark):
+    from betl_spark.operators.semistructured import shred_json
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": 5, "tag": "x"}'),
+            (2, '{"tag": "y"}'),       # field missing, doc fine
+            (3, "{not json"),          # broken document
+            (4, None),                 # NULL blob
+        ],
+        "id long, props string",
+    )
+    out = {
+        r["id"]: r
+        for r in shred_json(
+            df, "props", {"k": "bigint", "tag": "string"}, keep_cols=["id"]
+        ).collect()
+    }
+    assert (out[1]["k"], out[1]["tag"], out[1]["parse_ok"]) == (5, "x", True)
+    assert (out[2]["k"], out[2]["tag"], out[2]["parse_ok"]) == (None, "y", True)
+    assert out[3]["parse_ok"] is False and out[3]["k"] is None
+    assert out[4]["parse_ok"] is False
+
+
+def test_rolling_distinct_count_window_containment(spark):
+    from betl_spark.operators.timeseries import rolling_distinct_count
+
+    D = 86_400_000_000
+    df = spark.createDataFrame(
+        [
+            (0 * D, "a"),
+            (0 * D + 5, "b"),
+            (2 * D, "a"),
+            (9 * D, "c"),   # outside day 2's 3-day window
+        ],
+        "t long, u string",
+    )
+    out = {
+        r["bucket"]: (r["active_entities"], r["n_events"])
+        for r in rolling_distinct_count(df, "t", "u", window_buckets=3).collect()
+    }
+    assert out[0] == (2, 2)       # day 0: a, b
+    assert out[2] == (2, 3)       # days 0-2: {a, b} distinct, 3 events
+    assert out[4] == (1, 1)       # days 2-4: only day-2 a
+    assert out[9] == (1, 1)       # c alone
+    assert 5 not in out and 8 not in out  # gap days: no row
