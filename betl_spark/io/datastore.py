@@ -34,7 +34,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 SUPPORTED = (
-    "FILESYSTEM", "PARQUET", "JSONL", "ORC", "FIXEDWIDTH",
+    "FILESYSTEM", "PARQUET", "JSONL", "ORC", "FIXEDWIDTH", "XML", "TEXT",
     "POSTGRES", "SQLITE", "GSHEET", "EXCEL",
 )
 
@@ -66,6 +66,10 @@ class Datastore:
         if t == "ORC" and self.file_ext == ".csv":
             self.file_ext = ".orc"
         if t == "FIXEDWIDTH" and self.file_ext == ".csv":
+            self.file_ext = ".txt"
+        if t == "XML" and self.file_ext == ".csv":
+            self.file_ext = ".xml"
+        if t == "TEXT" and self.file_ext == ".csv":
             self.file_ext = ".txt"
 
     def table_path(self, table_name: str) -> str:

@@ -122,6 +122,35 @@ def read_source_table(
                 for name, start, width in colspecs
             ]
         )
+    elif t == "XML":
+        # Spark 4 native XML source (the spark-xml package, merged
+        # upstream): rowTag-delimited records. Schema inference costs a
+        # full extra pass over the files — at scale pass
+        # extra['schema'] (DDL string or StructType), like JSONL.
+        reader = spark.read.format("xml").option(
+            "rowTag", datastore.extra.get("row_tag", "row")
+        )
+        schema = datastore.extra.get("schema")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.load(datastore.table_path(table_name))
+    elif t == "TEXT":
+        # raw text corpus: line mode (default — splittable, one record
+        # per line) or extra['wholetext'] (one record per FILE — the
+        # natural unit for document ingestion; not splittable, so
+        # parallelism = file count: shard the corpus into many files).
+        # extra['with_path'] adds the source file as `doc_path` (the
+        # natural document id).
+        # NOTE: wholetext must go through the .text() kwarg — the text
+        # source ignores a .option("wholetext", ...) set on the reader
+        df = spark.read.text(
+            datastore.table_path(table_name),
+            wholetext=bool(datastore.extra.get("wholetext")),
+        )
+        if datastore.extra.get("with_path"):
+            df = df.select(
+                F.input_file_name().alias("doc_path"), F.col("value")
+            )
     elif t in ("POSTGRES", "SQLITE"):
         if datastore.jdbc_url:
             reader = spark.read.format("jdbc").option("url", datastore.jdbc_url).option(

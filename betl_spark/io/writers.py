@@ -210,3 +210,54 @@ def write_fixed_width(
     df.select(line).write.mode(
         "overwrite" if mode == "replace" else mode
     ).text(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML export through Spark 4's native XML sink (the upstreamed
+    spark-xml): one <row_tag> element per record under <root_tag>, one
+    file per task like every file sink. NULL fields are omitted
+    elements (the XML convention), so a NULL/''-preserving roundtrip
+    belongs to staged parquet, not XML interchange."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode("overwrite" if mode == "replace" else mode)
+        .save(path)
+    )
+
+
+def write_text_lines(
+    df: DataFrame,
+    path: str,
+    text_col: str = "value",
+    mode: str = "overwrite",
+) -> None:
+    """One-line-per-record text export (the TEXT datastore's write
+    half): ``text_col`` cast to string; NULL rows are rejected by the
+    sink (a NULL line has no textual representation — coalesce
+    upstream if '' is the intent). Embedded newlines would silently
+    change the record count on re-read, so they fail the write — via
+    an in-row ``raise_error`` guard, not a separate validation scan
+    (a pre-scan would read the data twice; this costs one codegen
+    branch in the single write pass)."""
+    s = F.col(text_col).cast("string")
+    guarded = F.when(
+        s.contains("\n"),
+        F.raise_error(
+            F.lit(
+                f"write_text_lines: {text_col!r} contains embedded "
+                "newlines; escape or chunk them first (line-mode text "
+                "is one record per line by definition)"
+            )
+        ),
+    ).otherwise(s)
+    df.select(guarded.alias("value")).write.mode(
+        "overwrite" if mode == "replace" else mode
+    ).text(path)
