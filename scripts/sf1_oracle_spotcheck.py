@@ -40,6 +40,15 @@ SPOTCHECK = [
     "tpch_q1_pricing_summary",
     "tpch_q5_local_supplier",
     "weighted_fixed_n",
+    # round-9 family: exact-decimal window sums (rolling_zscore),
+    # forward-fill windows (resample), streaming-state integer
+    # arithmetic (events_stream_anomaly), log-based scoring at 10x
+    # counts (bm25), and the pair-expansion overlap matrix
+    "resample_gapfill_daily",
+    "rolling_zscore_events",
+    "events_stream_anomaly",
+    "bm25_topk_docs",
+    "source_overlap_matrix",
 ]
 
 

@@ -328,3 +328,106 @@ def test_boilerplate_removal_has_no_cartesian(spark):
     # frequent-set and group-size joins are equi-joins / broadcasts
     nlj = re.findall(r"\(\d+\) (\w*NestedLoopJoin)", p)
     assert all(j == "BroadcastNestedLoopJoin" for j in nlj)
+
+
+def test_round9_queries_have_no_cartesian_or_python_eval(spark):
+    """The round-9 breadth family: no cross products (the 1-row
+    bounds/totals crossJoins plan as broadcast nested loops over ONE
+    row — cheap by construction — but a real CartesianProduct is a
+    bug), and no row-at-a-time Python in any hot path (the streaming
+    scorer's FlatMapGroupsInPandasWithState is Arrow-batched and
+    excluded by design)."""
+    from betl_spark.contract.round9 import (
+        q_bm25_topk,
+        q_char_diversity,
+        q_fuzzy_dedup_part_names,
+        q_keyword_search_and,
+        q_resample_gapfill,
+        q_rolling_active_users,
+        q_rolling_zscore,
+        q_source_overlap_matrix,
+        q_time_weighted_avg,
+        q_token_pmi_topk,
+        q_winsorized_stats,
+    )
+
+    for q in (
+        q_bm25_topk,
+        q_char_diversity,
+        q_fuzzy_dedup_part_names,
+        q_keyword_search_and,
+        q_resample_gapfill,
+        q_rolling_active_users,
+        q_rolling_zscore,
+        q_source_overlap_matrix,
+        q_time_weighted_avg,
+        q_token_pmi_topk,
+        q_winsorized_stats,
+    ):
+        p = plan(q(spark, SF))
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p, p
+
+
+def test_winsorized_stats_broadcasts_percentile_table(spark):
+    # the O(groups) percentile table must broadcast back onto the big
+    # side — a second shuffle of the raw data would double the job
+    from betl_spark.operators.stats import winsorized_stats
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = plan(winsorized_stats(ev, ["event_type"], "value"))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_equidepth_histogram_has_no_single_partition_exchange(spark):
+    # global rank rides the banded two-pass machinery: range partition
+    # + per-band windows, never Exchange SinglePartition before a sort
+    from betl_spark.operators.stats import equidepth_histogram
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(equidepth_histogram(docs, "n_chars", "doc_id"))
+    # the rank comes from range-partitioned per-band windows
+    assert "rangepartitioning" in p.lower(), p
+    assert "__band" in p, p
+    # the only single-partition stage allowed is the 1-row total agg —
+    # the ranking window itself must be partitioned (its Window node
+    # carries the __band partition spec, asserted above), so no
+    # data-sized sort funnels through one task
+
+
+def test_fuzzy_join_blocked_joins_on_block_key(spark):
+    # the ER pairwise stage must be an equi-join on the block key with
+    # the levenshtein as a post-join filter — never a cross join with
+    # a distance predicate
+    from betl_spark.contract.round9 import q_fuzzy_dedup_part_names
+
+    p = plan(q_fuzzy_dedup_part_names(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    assert "levenshtein" in p, p
+
+
+def test_keyword_search_filters_before_posting_shuffle(spark):
+    # the term filter must land under the first Exchange (on the
+    # exploded token stream), so only matching postings shuffle
+    from betl_spark.contract.round9 import q_keyword_search_and
+
+    p = plan(q_keyword_search_and(spark, SF))
+    # structural check: a Filter mentioning the IN-list sits below the
+    # first Exchange in the formatted plan's operator list
+    ops = [l for l in p.splitlines() if re.match(r"^\(\d+\)", l.strip())]
+    names = [re.sub(r"^\(\d+\)\s*", "", o).strip() for o in ops]
+    fi = next(i for i, n in enumerate(names) if n.startswith("Filter"))
+    ei = next(i for i, n in enumerate(names) if n.startswith("Exchange"))
+    # formatted plans list leaves first: Filter node id < Exchange node id
+    assert fi < ei, p
+
+
+def test_rolling_active_users_single_distinct_aggregation(spark):
+    # contribution explode then ONE distinct agg: exactly the
+    # count_distinct two-phase exchanges, no join anywhere
+    from betl_spark.contract.round9 import q_rolling_active_users
+
+    p = plan(q_rolling_active_users(spark, SF))
+    assert "Join" not in p, p
+    assert "Generate explode" in p or "explode" in p, p
