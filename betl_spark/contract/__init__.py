@@ -54,9 +54,9 @@ _ALL = {
 # lesson, so no NEW query ends a round without a driver green row.
 # Round 9 leads with the ELEVEN round-8-new queries that have never
 # held a driver-side green row (the r8 verdict's #1 ask) plus
-# ivf_topk_trained, then the SIXTEEN round-9-new breadth queries (so
+# ivf_topk_trained, then the EIGHTEEN round-9-new breadth queries (so
 # they don't repeat round 8's never-verified gap), then fills the
-# remaining 22 slots from the round-6-stale greens. Twenty-four
+# remaining 20 slots from the round-6-stale greens. Twenty-six
 # round-6 greens don't fit; each deferred one's code path is replayed
 # by an in-window query this round (classifier_score + dsir_scores by
 # classifier_train_score's shared hashed-ngram features;
@@ -79,9 +79,12 @@ _ALL = {
 # bloom machinery; set_nulls by clean_values' shared ops_data surface
 # (the ''→NULL boundary is ALSO property-tested per session,
 # test_properties.py); union_dedupe by r7-green setop greens for the
-# set-op surface + test_ops_data_merge's direct union/dedupe coverage),
-# and all deferred queries replay green in the pytest parity suite
-# every session. They lead the round-10 window.
+# set-op surface + test_ops_data_merge's direct union/dedupe coverage;
+# sk_dimension by r8-green delta_load_dimension — the SAME SK-engine
+# load path; delta_load_fact by r8-green delta_classify + r7-green
+# fact_fk_resolution, whose composition it is), and all deferred
+# queries replay green in the pytest parity suite every session. They
+# lead the round-10 window.
 _PRIORITY = [
     # -- never driver-verified (first oracle check at the driver) --
     "ivf_topk_trained",
@@ -113,13 +116,14 @@ _PRIORITY = [
     "events_stream_anomaly",
     "json_props_stats",
     "rolling_active_users",
+    "grouped_corr_events",
+    "event_transitions",
     # -- round-6 greens (2 rounds stale, the policy edge) --
     "chunk_documents",
     "clean_values",
     "collapse_nk",
     "data_quality_gate",
     "decontaminate_remove",
-    "delta_load_fact",
     "derive_columns",
     "filter_ops",
     "funnel_counts",
@@ -131,7 +135,6 @@ _PRIORITY = [
     "pq_topk",
     "profile_documents",
     "psi_drift",
-    "sk_dimension",
     "star_schema_pipeline",
     "token_count_bpe",
     "unpivot_part",
@@ -161,6 +164,8 @@ _PRIORITY = [
     "dedup_bloom_incremental",
     "set_nulls",
     "union_dedupe",
+    "sk_dimension",
+    "delta_load_fact",
 ]
 
 QUERIES: dict = {}

@@ -805,3 +805,98 @@ GROUP BY 1
 """
 
 QUERIES["rolling_active_users"] = (q_rolling_active_users, ROLLING_ACTIVE_USERS_SQL)
+
+
+# =====================================================================
+# Round-9 batch 4: exact-moment grouped Pearson (composed with JSON
+# shredding) and the Markov event-transition matrix.
+# =====================================================================
+
+def q_grouped_corr_events(spark, sf_dir):
+    """Per-event-type Pearson correlation between the typed value and
+    a JSON-shredded property — exact moment sums (never builtin corr,
+    whose double accumulation is partition-order-dependent), composed
+    with schema-on-read shredding."""
+    from betl_spark.operators.semistructured import shred_json
+
+    ev = table(spark, sf_dir, "events")
+    shredded = shred_json(
+        ev, "props", {"k": "bigint"}, keep_cols=["event_type", "value"]
+    )
+    return stats_ops.grouped_pearson(
+        shredded, ["event_type"], "value", "k", x_scale=2, y_scale=0
+    )
+
+
+GROUPED_CORR_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,2)) AS x,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+              AS DECIMAL(18,0)) AS y
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN 1 END)
+              AS BIGINT) AS n,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sx,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sy,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * y AS DECIMAL(30,2)) END) AS sxy,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(30,4)) END) AS sxx,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(y * y AS DECIMAL(30,0)) END) AS syy
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS r
+FROM a
+"""
+
+QUERIES["grouped_corr_events"] = (q_grouped_corr_events, GROUPED_CORR_EVENTS_SQL)
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    streams (operators/sessions.py:event_transitions)."""
+    from betl_spark.operators.sessions import event_transitions
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return event_transitions(ev, "user_id", "__ts_us", "event_id", "event_type")
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+),
+pairs AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id)
+           AS to_state
+  FROM e
+),
+c AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM pairs WHERE to_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.from_state, c.to_state, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob
+FROM c JOIN tot USING (from_state)
+"""
+
+QUERIES["event_transitions"] = (q_event_transitions, EVENT_TRANSITIONS_SQL)

@@ -28,6 +28,7 @@ from betl_spark.dataflow.mdm import MDMOps
 from betl_spark.dataflow.ops_custom import CustomOps
 from betl_spark.dataflow.ops_data import DataOps
 from betl_spark.dataflow.ops_io import IOOps
+from betl_spark.dataflow.ops_analytics import AnalyticsOps
 from betl_spark.dataflow.ops_merge import MergeOps
 from betl_spark.dataflow.ops_row import RowOps
 from betl_spark.dataflow.ops_scale import ScaleOps
@@ -37,7 +38,8 @@ from betl_spark.session import build_spark
 
 
 class DataFlow(
-    IOOps, RowOps, SchemaOps, DataOps, MergeOps, CustomOps, LoadPrepOps, MDMOps, ScaleOps
+    IOOps, RowOps, SchemaOps, DataOps, MergeOps, CustomOps, LoadPrepOps, MDMOps,
+    ScaleOps, AnalyticsOps,
 ):
     def __init__(
         self,

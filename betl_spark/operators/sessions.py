@@ -80,3 +80,46 @@ def session_stats(
             .alias("total_value")
         )
     return s.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+) -> DataFrame:
+    """First-order (Markov) transition matrix over per-key event
+    sequences: for each observed (from_state, to_state) adjacency in a
+    key's (ts, tiebreak)-ordered stream, the count and the
+    row-normalized transition probability — the behavioral-analytics
+    companion to sessionization (where do users go NEXT from each
+    step).
+
+    One ``lead`` window partitioned by key (parallel across keys, the
+    same shape as sessionize) feeds one grouped count; the
+    normalization total joins back broadcast (O(|states|) rows). The
+    probability is a single exactly-rounded double division of two
+    exact counts. Output: (from_state, to_state, n, prob 6dp).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .where(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("prob"),
+    )

@@ -427,3 +427,59 @@ def equidepth_histogram(
             F.max("__val").alias("hi"),
         )
     )
+
+
+def grouped_pearson(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+    x_scale: int = 6,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT moment sums:
+    r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² − (Σy)²)).
+
+    One map-side-combinable aggregation per group — never a builtin
+    ``corr`` (whose double accumulation is partition-order-dependent
+    and thus not reproducible across engines). x and y quantize to
+    fixed decimal scales (pass the data's natural precision; the
+    products x·y, x², y² are then EXACT decimals), the five sums
+    accumulate exactly, and r is one engine-identical IEEE expression
+    over their double casts. Double casts stay exact while a group's
+    Σ(x·y)·10^(x_scale+y_scale) < 2⁵³ — size the scales to the data,
+    not smaller (e.g. 2dp money × integer counts wants scales (2, 0),
+    giving ~10¹³ headroom per trillion-row group).
+
+    ``x_col``/``y_col`` accept names or Column expressions. Groups
+    with no variance in either variable yield NULL r. Output:
+    (group_cols..., n, r) with r rounded 6dp.
+    """
+    x = (x_col if not isinstance(x_col, str) else F.col(x_col)).cast(
+        f"decimal(18,{x_scale})"
+    )
+    y = (y_col if not isinstance(y_col, str) else F.col(y_col)).cast(
+        f"decimal(18,{y_scale})"
+    )
+    both = x.isNotNull() & y.isNotNull()
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.when(both, 1)).alias("n"),
+        F.sum(F.when(both, x)).alias("__sx"),
+        F.sum(F.when(both, y)).alias("__sy"),
+        F.sum(F.when(both, (x * y).cast(f"decimal(30,{x_scale + y_scale})"))).alias("__sxy"),
+        F.sum(F.when(both, (x * x).cast(f"decimal(30,{2 * x_scale})"))).alias("__sxx"),
+        F.sum(F.when(both, (y * y).cast(f"decimal(30,{2 * y_scale})"))).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    r = F.when(
+        (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
+        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6),
+    )
+    return agg.select(*group_cols, "n", r.alias("r"))

@@ -112,6 +112,8 @@ REHEARSAL = [
     "events_stream_anomaly",
     "json_props_stats",
     "rolling_active_users",
+    "grouped_corr_events",
+    "event_transitions",
 ]
 
 

@@ -546,3 +546,75 @@ def test_rolling_distinct_count_window_containment(spark):
     assert out[4] == (1, 1)       # days 2-4: only day-2 a
     assert out[9] == (1, 1)       # c alone
     assert 5 not in out and 8 not in out  # gap days: no row
+
+
+def test_grouped_pearson_exact_endpoints(spark):
+    from betl_spark.operators.stats import grouped_pearson
+
+    rows_in = (
+        [("pos", float(i), i * 2) for i in range(1, 11)]        # r = 1
+        + [("neg", float(i), -3 * i) for i in range(1, 11)]     # r = -1
+        + [("flat", float(i), 7) for i in range(1, 11)]         # no y var
+        + [("pos", None, 5), ("pos", 4.0, None)]                # null pairs drop
+    )
+    df = spark.createDataFrame(rows_in, "g string, x double, y long")
+    out = {r["g"]: r for r in grouped_pearson(df, ["g"], "x", "y", 2, 0).collect()}
+    assert out["pos"]["n"] == 10 and out["pos"]["r"] == 1.0
+    assert out["neg"]["r"] == -1.0
+    assert out["flat"]["r"] is None
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from betl_spark.operators.sessions import event_transitions
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, 1, "a"), (1, 2, 2, "b"), (1, 3, 3, "a"), (1, 4, 4, "c"),
+            (2, 1, 5, "a"), (2, 2, 6, "b"),
+        ],
+        "u long, t long, id long, s string",
+    )
+    out = {
+        (r["from_state"], r["to_state"]): (r["n"], r["prob"])
+        for r in event_transitions(df, "u", "t", "id", "s").collect()
+    }
+    # from 'a': a->b twice (u1, u2), a->c once
+    assert out[("a", "b")] == (2, round(2 / 3, 6))
+    assert out[("a", "c")] == (1, round(1 / 3, 6))
+    assert out[("b", "a")] == (1, 1.0)
+    # the last event of each user emits no transition
+    assert ("c", "a") not in out
+
+
+def test_dataflow_analytics_verbs_journal_and_delegate(spark, dfl):
+    # the verb surface: dataset-in/dataset-out, journaled, same results
+    # as the canonical operators
+    import pandas as pd
+
+    from betl_spark.operators.timeseries import resample_gapfill
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a", "a", "b"],
+            "t": [0, 86_400_000_000 * 2, 5],
+            "v": [1.0, 3.0, 9.0],
+        }
+    )
+    dfl.data["ev"] = spark.createDataFrame(pdf)
+    out = dfl.resampleGapfill("ev", "k", "t", "v")
+    direct = resample_gapfill(dfl.data["ev"], "k", "t", "v")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert "ev_resampled" in dfl.data
+    assert any(s.op == "resampleGapfill" for s in dfl.journal.steps)
+
+    dfl.data["docs"] = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta")], "id long, name string"
+    )
+    pairs = dfl.fuzzyMatchNames("docs", "id", "name", maxDist=2)
+    assert pairs.count() == 0  # one canonical name, no pair
+    audit = dfl.integrityAudit(
+        [("docs->ev", "docs", ["id"], "docs", ["id"])]
+    )
+    assert audit.collect()[0]["n_orphans"] == 0
