@@ -54,9 +54,9 @@ _ALL = {
 # lesson, so no NEW query ends a round without a driver green row.
 # Round 9 leads with the ELEVEN round-8-new queries that have never
 # held a driver-side green row (the r8 verdict's #1 ask) plus
-# ivf_topk_trained, then the EIGHTEEN round-9-new breadth queries (so
+# ivf_topk_trained, then the TWENTY round-9-new breadth queries (so
 # they don't repeat round 8's never-verified gap), then fills the
-# remaining 20 slots from the round-6-stale greens. Twenty-six
+# remaining 18 slots from the round-6-stale greens. Twenty-eight
 # round-6 greens don't fit; each deferred one's code path is replayed
 # by an in-window query this round (classifier_score + dsir_scores by
 # classifier_train_score's shared hashed-ngram features;
@@ -82,7 +82,12 @@ _ALL = {
 # set-op surface + test_ops_data_merge's direct union/dedupe coverage;
 # sk_dimension by r8-green delta_load_dimension — the SAME SK-engine
 # load path; delta_load_fact by r8-green delta_classify + r7-green
-# fact_fk_resolution, whose composition it is), and all deferred
+# fact_fk_resolution, whose composition it is; psi_drift by
+# in-window ks_drift_sources — the same drift contract through the
+# binning-free statistic — plus the quantile-bucket machinery in
+# winsorized_event_stats; decontaminate_remove by r7-green
+# semantic_decontaminate and r7-green decontaminate_docs' shared
+# n-gram decontam machinery), and all deferred
 # queries replay green in the pytest parity suite every session. They
 # lead the round-10 window.
 _PRIORITY = [
@@ -118,12 +123,13 @@ _PRIORITY = [
     "rolling_active_users",
     "grouped_corr_events",
     "event_transitions",
+    "ks_drift_sources",
+    "ab_test_events",
     # -- round-6 greens (2 rounds stale, the policy edge) --
     "chunk_documents",
     "clean_values",
     "collapse_nk",
     "data_quality_gate",
-    "decontaminate_remove",
     "derive_columns",
     "filter_ops",
     "funnel_counts",
@@ -134,7 +140,6 @@ _PRIORITY = [
     "ngram_lm_perplexity",
     "pq_topk",
     "profile_documents",
-    "psi_drift",
     "star_schema_pipeline",
     "token_count_bpe",
     "unpivot_part",
@@ -166,6 +171,8 @@ _PRIORITY = [
     "union_dedupe",
     "sk_dimension",
     "delta_load_fact",
+    "psi_drift",
+    "decontaminate_remove",
 ]
 
 QUERIES: dict = {}

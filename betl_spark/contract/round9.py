@@ -900,3 +900,115 @@ FROM c JOIN tot USING (from_state)
 """
 
 QUERIES["event_transitions"] = (q_event_transitions, EVENT_TRANSITIONS_SQL)
+
+
+# =====================================================================
+# Round-9 batch 5: KS drift between corpus slices, A/B proportion test
+# =====================================================================
+
+def q_ks_drift_sources(spark, sf_dir):
+    """KS distribution-shift statistic on doc lengths between the
+    first and second half of the source catalog — the binning-free
+    companion to psi_drift, cumulated through the banded rank
+    machinery (operators/profile.py:ks_drift)."""
+    from betl_spark.operators.profile import ks_drift
+
+    docs = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    return ks_drift(
+        docs.where(src_num < 10), docs.where(src_num >= 10), "n_chars"
+    )
+
+
+KS_DRIFT_SOURCES_SQL = """
+WITH a AS (
+  SELECT n_chars AS v FROM documents
+  WHERE CAST(substr(source, 4) AS INTEGER) < 10 AND n_chars IS NOT NULL
+),
+b AS (
+  SELECT n_chars AS v FROM documents
+  WHERE CAST(substr(source, 4) AS INTEGER) >= 10 AND n_chars IS NOT NULL
+),
+ca AS (SELECT v, count(*) AS na FROM a GROUP BY 1),
+cb AS (SELECT v, count(*) AS nb FROM b GROUP BY 1),
+m AS (
+  SELECT coalesce(ca.v, cb.v) AS v,
+         coalesce(na, 0) AS na, coalesce(nb, 0) AS nb
+  FROM ca FULL OUTER JOIN cb ON ca.v = cb.v
+),
+c AS (
+  SELECT v, sum(na) OVER (ORDER BY v) AS cna,
+         sum(nb) OVER (ORDER BY v) AS cnb
+  FROM m
+),
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nv FROM m)
+SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
+       CAST(nv AS BIGINT) AS n_values,
+       round(max(abs(CAST(cna AS DOUBLE) / CAST(ta AS DOUBLE)
+                     - CAST(cnb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
+         AS ks_d
+FROM c CROSS JOIN t GROUP BY ta, tb, nv
+"""
+
+QUERIES["ks_drift_sources"] = (q_ks_drift_sources, KS_DRIFT_SOURCES_SQL)
+
+
+# ---- A/B proportion z-test ----
+AB_SUCCESS_VALUE = 250.0
+
+
+def q_ab_test_events(spark, sf_dir):
+    """Two-proportion z-test per event_type over a deterministic
+    md5-hash user split (variant A = even bucket): exact success/trial
+    counts, one IEEE expression for z
+    (operators/stats.py:ab_test_proportions)."""
+    from betl_spark.operators.sampling import hash_bucket
+
+    ev = table(spark, sf_dir, "events")
+    return stats_ops.ab_test_proportions(
+        ev,
+        ["event_type"],
+        hash_bucket("user_id", 2) == 0,
+        F.col("value") > AB_SUCCESS_VALUE,
+    )
+
+
+AB_TEST_EVENTS_SQL = f"""
+WITH e AS (
+  SELECT event_type,
+         (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 2) = 0 AS is_a,
+         CASE WHEN value > {AB_SUCCESS_VALUE} THEN 1 ELSE 0 END AS s
+  FROM events
+),
+a AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+         sum(CASE WHEN is_a THEN s ELSE 0 END) AS sa,
+         sum(CASE WHEN is_a THEN 0 ELSE s END) AS sb
+  FROM e GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       CASE WHEN n_a > 0
+            THEN round(CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE), 6) END
+         AS conv_a,
+       CASE WHEN n_b > 0
+            THEN round(CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE), 6) END
+         AS conv_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND CAST(sa + sb AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) > 0.0
+             AND CAST(sa + sb AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) < 1.0
+            THEN round(
+              (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+              / sqrt(CAST(sa + sb AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                     * (1.0 - CAST(sa + sb AS DOUBLE)
+                              / CAST(n_a + n_b AS DOUBLE))
+                     * (1.0 / CAST(n_a AS DOUBLE)
+                        + 1.0 / CAST(n_b AS DOUBLE))), 6)
+            END AS z
+FROM a
+"""
+
+QUERIES["ab_test_events"] = (q_ab_test_events, AB_TEST_EVENTS_SQL)

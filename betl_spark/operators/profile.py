@@ -317,3 +317,66 @@ def referential_integrity(
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+def ks_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between two
+    corpus snapshots: D = max over observed values of
+    |CDF_a(v) − CDF_b(v)| — the distribution-shift companion to
+    ``psi_drift`` that needs no binning choice (PSI's buckets can hide
+    a shift that lands inside one bucket).
+
+    Exact and engine-reproducible: per-value counts from two grouped
+    censuses, a full-outer align on the value, cumulative counts
+    through the banded two-pass rank machinery (``ranked_running_sum``
+    twice — no partition-less Window even with billions of distinct
+    values), and one final max over exactly-divided doubles. Output is
+    a single row (n_a, n_b, n_values, ks_d).
+    """
+    from betl_spark.operators.stats import ranked_running_sum
+
+    ca = df_a.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("na"))
+    cb = df_b.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(value_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    merged = (
+        ca.join(cb, "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    cum_a = ranked_running_sum(
+        merged, ["v"], "na", rank_col="__r", cum_col="__ca"
+    )
+    cum_ab = ranked_running_sum(
+        cum_a, ["v"], "nb", rank_col="__r2", cum_col="__cb"
+    )
+    totals = merged.agg(
+        F.sum("na").alias("__ta"), F.sum("nb").alias("__tb")
+    )
+    return (
+        cum_ab.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("__ca").cast("double") / F.col("__ta").cast("double")
+                - F.col("__cb").cast("double") / F.col("__tb").cast("double")
+            ).alias("__d"),
+            "__ta",
+            "__tb",
+        )
+        .agg(
+            F.first("__ta").alias("n_a"),
+            F.first("__tb").alias("n_b"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.max("__d"), round_to).alias("ks_d"),
+        )
+    )

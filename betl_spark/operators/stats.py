@@ -483,3 +483,57 @@ def grouped_pearson(
         F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6),
     )
     return agg.select(*group_cols, "n", r.alias("r"))
+
+
+def ab_test_proportions(
+    df: DataFrame,
+    group_cols: list[str],
+    variant_col,
+    success_col,
+) -> DataFrame:
+    """Two-proportion z-test per group over a deterministic A/B split:
+    z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)) with p̂ the pooled
+    rate — the experiment-analysis readout over event logs. Pair it
+    with ``sampling.hash_bucket`` for the assignment (deterministic
+    md5 split, no RNG state).
+
+    One grouped aggregation of four exact counts (successes/trials per
+    variant), then a single engine-identical IEEE expression. Groups
+    with an empty variant or a degenerate pooled rate (p̂ ∈ {0, 1})
+    yield NULL z. Output: (group_cols..., n_a, n_b, conv_a 6dp,
+    conv_b 6dp, z 6dp).
+    """
+    is_a = variant_col if not isinstance(variant_col, str) else F.col(variant_col)
+    succ = success_col if not isinstance(success_col, str) else F.col(success_col)
+    s = succ.cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_a, s).otherwise(0)).alias("__sa"),
+        F.sum(F.when(~is_a, s).otherwise(0)).alias("__sb"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    p_a = F.col("__sa").cast("double") / n_a
+    p_b = F.col("__sb").cast("double") / n_b
+    pooled = (F.col("__sa") + F.col("__sb")).cast("double") / (n_a + n_b)
+    se = F.sqrt(
+        pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    )
+    z = F.when(
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (pooled > F.lit(0.0))
+        & (pooled < F.lit(1.0)),
+        F.round((p_a - p_b) / se, 6),
+    )
+    # empty arms: NULL conversion rate, never a divide-by-zero (ANSI
+    # mode throws; the CASE guard short-circuits the division)
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, F.round(p_a, 6)).alias("conv_a"),
+        F.when(F.col("n_b") > 0, F.round(p_b, 6)).alias("conv_b"),
+        z.alias("z"),
+    )

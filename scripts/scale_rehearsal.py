@@ -114,6 +114,8 @@ REHEARSAL = [
     "rolling_active_users",
     "grouped_corr_events",
     "event_transitions",
+    "ks_drift_sources",
+    "ab_test_events",
 ]
 
 

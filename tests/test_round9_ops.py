@@ -618,3 +618,39 @@ def test_dataflow_analytics_verbs_journal_and_delegate(spark, dfl):
         [("docs->ev", "docs", ["id"], "docs", ["id"])]
     )
     assert audit.collect()[0]["n_orphans"] == 0
+
+
+def test_ks_drift_detects_shift_and_identity(spark):
+    from betl_spark.operators.profile import ks_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(100)], "v double")
+    b_same = spark.createDataFrame([(float(i % 10),) for i in range(50)], "v double")
+    b_shift = spark.createDataFrame(
+        [(float(i % 10) + 5.0,) for i in range(50)], "v double"
+    )
+    same = ks_drift(a, b_same, "v").collect()[0]
+    assert same["ks_d"] == 0.0 and same["n_a"] == 100 and same["n_b"] == 50
+    shifted = ks_drift(a, b_shift, "v").collect()[0]
+    assert shifted["ks_d"] == 0.5  # half the mass displaced past the overlap
+    assert shifted["n_values"] == 15  # 0..9 union 5..14
+
+
+def test_ab_test_proportions_signs_and_guards(spark):
+    from betl_spark.operators.stats import ab_test_proportions
+
+    rows_in = (
+        [("g", True, 1)] * 80 + [("g", True, 0)] * 20     # A converts 80%
+        + [("g", False, 1)] * 20 + [("g", False, 0)] * 80  # B converts 20%
+        + [("onesided", True, 1)] * 10                     # no B arm: NULL z
+        + [("allwin", True, 1)] * 5 + [("allwin", False, 1)] * 5  # p̂=1: NULL
+    )
+    df = spark.createDataFrame(rows_in, "g string, isa boolean, s int")
+    out = {
+        r["g"]: r
+        for r in ab_test_proportions(df, ["g"], F.col("isa"), F.col("s") == 1).collect()
+    }
+    g = out["g"]
+    assert (g["n_a"], g["n_b"], g["conv_a"], g["conv_b"]) == (100, 100, 0.8, 0.2)
+    assert g["z"] > 8  # wildly significant, positive (A > B)
+    assert out["onesided"]["z"] is None
+    assert out["allwin"]["z"] is None
