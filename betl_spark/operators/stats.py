@@ -76,15 +76,21 @@ def ranked_running_sum(
     spark = df.sparkSession
     if n_bands is None:
         n_bands = spark.sparkContext.defaultParallelism
-    # persisted so the stats job below doesn't recompute the range
-    # partitioning; released as soon as the stats are collected (the
-    # returned plan recomputes it once when the caller acts). Recompute
-    # is deterministic — RangePartitioner's boundary sampling is seeded
-    # per partition index, so band ids reproduce.
+    # The band assignment MUST be frozen: RangePartitioner's boundary
+    # sampling is seeded by rdd.id (a global counter), so a RE-EXECUTION
+    # of repartitionByRange draws different boundaries than the run the
+    # offsets below were collected from — overlapping/gapped global
+    # ranks. Invisible below ~20·bands rows per partition (the "sample"
+    # is the whole partition, boundaries identical regardless of seed);
+    # found REAL by the sf1 oracle spot-check (equidepth ranks had
+    # 47,492 distinct of 50,000). localCheckpoint(eager) materializes
+    # the banded rows once — the stats job and every later action on
+    # the returned plan read the SAME bands — and its blocks are freed
+    # by the ContextCleaner when the caller drops the result.
     banded = (
         df.repartitionByRange(n_bands, *order_cols)
         .withColumn("__band", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql import Window
 
@@ -101,11 +107,9 @@ def ranked_running_sum(
         .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
         .collect()
     }
-    # release the cache now that the O(bands) stats are on the driver:
-    # the returned plan recomputes the banded input once when acted on
-    # (deterministic per above), and a long session of calls no longer
-    # accumulates one leaked cache entry per call.
-    banded.unpersist(blocking=False)
+    # no unpersist: the checkpoint blocks ARE the band assignment —
+    # releasing them would reintroduce the divergent-recompute bug; the
+    # ContextCleaner frees them once the caller drops the returned plan
     rn_off: dict[int, int] = {}
     cum_off: dict[int, int] = {}
     acc_n, acc_s = 0, 0

@@ -387,13 +387,18 @@ def test_equidepth_histogram_has_no_single_partition_exchange(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan(equidepth_histogram(docs, "n_chars", "doc_id"))
-    # the rank comes from range-partitioned per-band windows
-    assert "rangepartitioning" in p.lower(), p
-    assert "__band" in p, p
+    # the rank comes from per-band windows over the FROZEN banded rows
+    # (ranked_running_sum localCheckpoints the range partitioning —
+    # the plan reads ExistingRDD; a re-planned repartitionByRange here
+    # would reintroduce the divergent-boundary bug the sf1 spot-check
+    # caught), so every Window node must be keyed by __band
+    windows = list(re.finditer(r"\(\d+\) Window", p))
+    assert windows, p
+    for m in windows:
+        assert "windowspecdefinition(__band" in p[m.start() : m.start() + 500], p
     # the only single-partition stage allowed is the 1-row total agg —
-    # the ranking window itself must be partitioned (its Window node
-    # carries the __band partition spec, asserted above), so no
-    # data-sized sort funnels through one task
+    # the ranking window itself is partitioned, so no data-sized sort
+    # funnels through one task
 
 
 def test_fuzzy_join_blocked_joins_on_block_key(spark):

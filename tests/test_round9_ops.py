@@ -654,3 +654,31 @@ def test_ab_test_proportions_signs_and_guards(spark):
     assert g["z"] > 8  # wildly significant, positive (A > B)
     assert out["onesided"]["z"] is None
     assert out["allwin"]["z"] is None
+
+
+def test_ranked_running_sum_ranks_unique_past_sampling_threshold(spark):
+    """Regression (found by the sf1 oracle spot-check): with enough
+    rows that RangePartitioner actually SAMPLES (rather than seeing
+    every row), re-executions of the banded plan used to draw
+    different boundaries than the collected offsets — rdd.id seeds the
+    sampler — producing overlapping/gapped global ranks (47,492
+    distinct of 50,000 at sf1). The banded rows are now frozen with an
+    eager localCheckpoint; ranks must be a dense 1..n permutation on
+    EVERY action over the returned plan."""
+    from betl_spark.operators.stats import ranked_running_sum
+
+    n = 120_000
+    df = spark.range(n).select(
+        (F.col("id") * 2654435761 % 1000).alias("__val"),  # heavy ties
+        F.col("id").alias("__tb"),
+        F.lit(1).alias("__one"),
+    )
+    ranked = ranked_running_sum(
+        df, ["__val", "__tb"], "__one", rank_col="__rank", cum_col="__cum"
+    )
+    # two separate actions: both must see the same frozen bands
+    assert ranked.select("__rank").distinct().count() == n
+    mm = ranked.agg(
+        F.min("__rank"), F.max("__rank"), F.max("__cum")
+    ).collect()[0]
+    assert tuple(mm) == (1, n, n)
