@@ -941,13 +941,18 @@ c AS (
          sum(nb) OVER (ORDER BY v) AS cnb
   FROM m
 ),
-t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nv FROM m)
+t AS (SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nv FROM m),
+d AS (
+  SELECT max(CASE WHEN ta > 0 AND tb > 0
+                  THEN abs(CAST(cna AS DOUBLE) / CAST(ta AS DOUBLE)
+                           - CAST(cnb AS DOUBLE) / CAST(tb AS DOUBLE))
+             END) AS mx
+  FROM c CROSS JOIN t
+)
 SELECT CAST(ta AS BIGINT) AS n_a, CAST(tb AS BIGINT) AS n_b,
        CAST(nv AS BIGINT) AS n_values,
-       round(max(abs(CAST(cna AS DOUBLE) / CAST(ta AS DOUBLE)
-                     - CAST(cnb AS DOUBLE) / CAST(tb AS DOUBLE))), 6)
-         AS ks_d
-FROM c CROSS JOIN t GROUP BY ta, tb, nv
+       round(mx, 6) AS ks_d
+FROM t CROSS JOIN d
 """
 
 QUERIES["ks_drift_sources"] = (q_ks_drift_sources, KS_DRIFT_SOURCES_SQL)

@@ -363,16 +363,20 @@ def ks_drift(
     totals = merged.agg(
         F.sum("na").alias("__ta"), F.sum("nb").alias("__tb")
     )
+    # a one-sided comparison (either snapshot empty) has no defined D —
+    # guard the divisions (ANSI mode turns 0/0 into a job abort) and
+    # report NULL; a fully empty pair yields the single summary row
+    # (0 values, NULL totals), matching the oracle's global aggregate
+    d = F.when(
+        (F.col("__ta") > 0) & (F.col("__tb") > 0),
+        F.abs(
+            F.col("__ca").cast("double") / F.col("__ta").cast("double")
+            - F.col("__cb").cast("double") / F.col("__tb").cast("double")
+        ),
+    )
     return (
         cum_ab.crossJoin(F.broadcast(totals))
-        .select(
-            F.abs(
-                F.col("__ca").cast("double") / F.col("__ta").cast("double")
-                - F.col("__cb").cast("double") / F.col("__tb").cast("double")
-            ).alias("__d"),
-            "__ta",
-            "__tb",
-        )
+        .select(d.alias("__d"), "__ta", "__tb")
         .agg(
             F.first("__ta").alias("n_a"),
             F.first("__tb").alias("n_b"),
