@@ -266,3 +266,113 @@ def rolling_distinct_count(
         F.countDistinct("__e").alias("active_entities"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def rolling_zscore_time(
+    df: DataFrame,
+    part_col: str,
+    ts_micros_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    window_micros: int,
+    min_rows: int = 20,
+    z_thresh: float = 3.0,
+    chunk_micros: int | None = None,
+) -> DataFrame:
+    """Rolling z-score over a TIME window (all events in the preceding
+    ``window_micros``, current row excluded) — and the scale answer to
+    ``rolling_zscore``'s parallelism ceiling: a ROWS/RANGE frame
+    partitioned only by key serializes each key through one task, so a
+    5-key stream uses 5 cores no matter the cluster.
+
+    With ``chunk_micros`` set (must be ≥ ``window_micros``), the
+    timeline shards into (key, chunk) windows: every event is
+    replicated once into the NEXT chunk as frame CONTEXT (emitting no
+    score there), so each chunk scores its own rows with the full
+    preceding-window history present locally. Parallelism becomes
+    |keys| × |chunks| at the cost of ≤ 2× row volume through the
+    shuffle — the standard overlap-window sharding. Scores are
+    BIT-IDENTICAL to the unsharded frame (equality-pinned in
+    tests/test_round9_ops.py): context replication is exact, not
+    approximate, because a time frame's reach is bounded by
+    ``window_micros`` ≤ ``chunk_micros``, which a ROWS frame cannot
+    guarantee (100 rows may reach arbitrarily far back — why the
+    sharded variant exists only for time frames).
+
+    Same exact-decimal Σv/Σv² discipline as ``rolling_zscore``.
+    Output: (part, tiebreak, value, zscore, is_anomaly) for every
+    event, NULL z under ``min_rows`` preceding or zero variance.
+    """
+    v = F.col(value_col).cast("decimal(12,3)")
+    base = df.select(
+        F.col(part_col).alias("__p"),
+        F.col(ts_micros_col).cast("long").alias("__t"),
+        F.col(tiebreak_col).alias("__id"),
+        v.alias("__v"),
+        (v * v).cast("decimal(20,6)").alias("__v2"),
+    )
+    if chunk_micros is None:
+        w = (
+            Window.partitionBy("__p")
+            .orderBy("__t")
+            .rangeBetween(-int(window_micros), -1)
+        )
+        scored = base.select(
+            "__p", "__id", "__v",
+            F.count("__v").over(w).alias("__n"),
+            F.sum("__v").over(w).alias("__s"),
+            F.sum("__v2").over(w).alias("__s2"),
+        )
+    else:
+        if chunk_micros < window_micros:
+            raise ValueError(
+                "rolling_zscore_time: chunk_micros must be >= window_micros "
+                "(a chunk's context replica must cover the whole frame)"
+            )
+        chunk = F.expr(f"__t DIV {int(chunk_micros)}")
+        # native copy scores in its own chunk; the context copy only
+        # supplies frame history to the following chunk
+        sharded = base.withColumn("__chunk", chunk).select(
+            "*",
+            F.explode(
+                F.array(F.lit(0), F.lit(1))
+            ).alias("__shift"),
+        ).select(
+            "__p",
+            (F.col("__chunk") + F.col("__shift")).alias("__c"),
+            (F.col("__shift") == 0).alias("__native"),
+            "__t",
+            "__id",
+            "__v",
+            "__v2",
+        )
+        w = (
+            Window.partitionBy("__p", "__c")
+            .orderBy("__t")
+            .rangeBetween(-int(window_micros), -1)
+        )
+        scored = (
+            sharded.select(
+                "__p", "__id", "__v", "__native",
+                F.count("__v").over(w).alias("__n"),
+                F.sum("__v").over(w).alias("__s"),
+                F.sum("__v2").over(w).alias("__s2"),
+            )
+            .where(F.col("__native"))
+            .drop("__native")
+        )
+    n_d = F.col("__n").cast("double")
+    s_d = F.col("__s").cast("double")
+    s2_d = F.col("__s2").cast("double")
+    var = (s2_d - (s_d * s_d) / n_d) / (n_d - F.lit(1.0))
+    z = F.when(
+        (F.col("__n") >= min_rows) & (var > F.lit(0.0)),
+        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6),
+    )
+    return scored.select(
+        F.col("__p").alias(part_col),
+        F.col("__id").alias(tiebreak_col),
+        F.col("__v").cast("double").alias(value_col),
+        z.alias("zscore"),
+        (F.abs(z) > F.lit(z_thresh)).alias("is_anomaly"),
+    )

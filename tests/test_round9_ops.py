@@ -682,3 +682,102 @@ def test_ranked_running_sum_ranks_unique_past_sampling_threshold(spark):
         F.min("__rank"), F.max("__rank"), F.max("__cum")
     ).collect()[0]
     assert tuple(mm) == (1, n, n)
+
+
+def test_rolling_zscore_time_sharded_equals_unsharded(spark):
+    """The overlap-chunk sharding must be EXACT: scores from the
+    (key, chunk)-parallel plan equal the single-window-per-key plan
+    bit for bit, across chunk sizes (= the window, 2x, odd sizes) —
+    including events whose frame spans a chunk boundary."""
+    import random
+
+    from betl_spark.operators.timeseries import rolling_zscore_time
+
+    rng = random.Random(9)
+    rows_in = [
+        (p, rng.randrange(0, 4_000_000), i, round(rng.uniform(0, 100), 2))
+        for p in ("x", "y")
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows_in, "p string, t long, id long, v double")
+    W = 500_000
+    base = sorted(
+        map(tuple, rolling_zscore_time(df, "p", "t", "id", "v", W, min_rows=5).collect())
+    )
+    assert any(r[3] is not None for r in base)  # scores actually happen
+    for chunk in (W, 2 * W, 777_777):
+        sharded = sorted(
+            map(
+                tuple,
+                rolling_zscore_time(
+                    df, "p", "t", "id", "v", W, min_rows=5, chunk_micros=chunk
+                ).collect(),
+            )
+        )
+        assert sharded == base, f"chunk={chunk}"
+    with pytest.raises(ValueError, match="chunk_micros"):
+        rolling_zscore_time(df, "p", "t", "id", "v", W, chunk_micros=W - 1)
+
+
+def test_rolling_zscore_time_matches_sql_oracle(spark):
+    """Independent-engine check (DuckDB) of the time-frame semantics,
+    pinning the operator before its round-10 contract entry."""
+    import duckdb
+
+    from betl_spark.operators.timeseries import rolling_zscore_time
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from betl_spark.contract.common import ts_micros
+
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    W = 3_600_000_000  # 1 hour
+    got = sorted(
+        map(
+            tuple,
+            rolling_zscore_time(
+                ev, "event_type", "__ts_us", "event_id", "value", W,
+                min_rows=5, chunk_micros=2 * W,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(value AS DECIMAL(12,3)) AS v,
+         CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))
+              AS DECIMAL(20,6)) AS v2
+  FROM events
+),
+w AS (
+  SELECT event_type, event_id, v,
+         count(v) OVER win AS n, sum(v) OVER win AS s,
+         sum(v2) OVER win AS s2
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN {W} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
+       CASE WHEN n >= 5
+             AND (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                 / (n - 1) > 0.0
+            THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                              / (n - 1)), 6) END AS z,
+       abs(CASE WHEN n >= 5
+             AND (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                 / (n - 1) > 0.0
+            THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                              / (n - 1)), 6) END) > 3.0 AS is_anomaly
+FROM w
+""").fetchall()
+    )
+    assert got == want
