@@ -15,8 +15,12 @@ A-ES sampling — RNG/threshold logic that must not drift with scale).
 Any mismatch is a release-blocking bug, not noise: the oracle is
 deterministic and the queries are engineered order-independent.
 
-Usage: python scripts/sf1_oracle_spotcheck.py
-(~15 min: each side re-executes at 10x bench scale.)
+Usage: PYTHONPATH=/root/repo python scripts/sf1_oracle_spotcheck.py
+(HOURS, not minutes: the semantic-dedup family's DUCKDB side replays
+the fixed-k quadratic pair stage single-threaded at sf1. To check only
+newly-added queries, run the parity suite directly with
+SPARK_GRAFT_SF_DIR_TEST=/root/repo/.scale/sf1 and -k <names> — the
+previously-recorded families' sf1 greens are logged in SCALE.md.)
 
 Results are recorded in SCALE.md ("sf1 oracle spot-check").
 """
