@@ -44,7 +44,7 @@ def q_sessionize_events(spark, sf_dir):
 SESSIONIZE_EVENTS_SQL = f"""
 WITH ordered AS (
   SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, ts, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), flagged AS (
   SELECT user_id, ts_s, value,
          CASE WHEN lag(ts_s) OVER w IS NULL

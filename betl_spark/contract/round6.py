@@ -695,15 +695,20 @@ FROM joined j CROSS JOIN tot t
 # ---- window-function family over the event log (SQL surface) ----
 WINDOW_FUNCS_EVENTS = """
 SELECT event_id, user_id,
-       lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       lag(value) OVER (PARTITION BY user_id
+                        ORDER BY ts NULLS FIRST, event_id)
          AS prev_value,
-       lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       lead(value) OVER (PARTITION BY user_id
+                         ORDER BY ts NULLS FIRST, event_id)
          AS next_value,
        round(percent_rank() OVER (
-         PARTITION BY user_id ORDER BY value, event_id), 6) AS pct_rank,
+         PARTITION BY user_id ORDER BY value NULLS FIRST, event_id), 6)
+         AS pct_rank,
        round(cume_dist() OVER (
-         PARTITION BY user_id ORDER BY value, event_id), 6) AS cume,
-       CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         PARTITION BY user_id ORDER BY value NULLS FIRST, event_id), 6)
+         AS cume,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS FIRST, event_id)
          AS INTEGER) AS quartile
 FROM events
 """

@@ -197,7 +197,7 @@ WITH e AS (
          CAST(value AS DECIMAL(12,3)) AS v,
          CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))
               AS DECIMAL(20,6)) AS v2
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 w AS (
   SELECT event_type, event_id, v,
@@ -237,7 +237,7 @@ def q_time_weighted_avg(spark, sf_dir):
 TIME_WEIGHTED_AVG_SQL = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS t, CAST(value AS DECIMAL(12,3)) AS v
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ),
 g AS (
   SELECT user_id, v,
@@ -832,8 +832,10 @@ GROUPED_CORR_EVENTS_SQL = """
 WITH e AS (
   SELECT event_type,
          CAST(value AS DECIMAL(18,2)) AS x,
-         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-              AS DECIMAL(18,0)) AS y
+         CASE WHEN props IS NOT NULL AND json_valid(props)
+              THEN CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                        AS DECIMAL(18,0))
+              END AS y
   FROM events
 ),
 a AS (
@@ -881,7 +883,8 @@ def q_event_transitions(spark, sf_dir):
 
 EVENT_TRANSITIONS_SQL = """
 WITH e AS (
-  SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events
+  SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+  FROM events WHERE ts IS NOT NULL
 ),
 pairs AS (
   SELECT event_type AS from_state,

@@ -35,7 +35,13 @@ def sessionize(
     the session ASSIGNMENT is tie-order-invariant because the gap test
     only sees the timestamp, but downstream first/last-in-session
     logic may not be).
+
+    Events with a NULL timestamp are EXCLUDED: they have no position in
+    any session, and engines disagree on where NULL sorts (Spark window
+    ORDER BY puts nulls first, DuckDB last — the events-NULL sweep
+    caught the divergence).
     """
+    events = events.where(F.col(ts_col).isNotNull())
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(user_col).orderBy(*order)
     ts_s = F.unix_timestamp(F.col(ts_col))
@@ -100,11 +106,14 @@ def event_transitions(
     same shape as sessionize) feeds one grouped count; the
     normalization total joins back broadcast (O(|states|) rows). The
     probability is a single exactly-rounded double division of two
-    exact counts. Output: (from_state, to_state, n, prob 6dp).
+    exact counts. NULL-timestamp events are excluded (no position in
+    the sequence; NULL sort order differs across engines). Output:
+    (from_state, to_state, n, prob 6dp).
     """
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    df = df.where(F.col(ts_col).isNotNull())
     pairs = (
         df.select(
             F.col(state_col).alias("from_state"),

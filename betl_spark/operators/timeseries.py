@@ -124,7 +124,9 @@ def rolling_zscore(
     is_anomaly), z rounded to 6dp.
     """
     v = F.col(value_col).cast("decimal(12,3)")
-    base = df.select(
+    # NULL-timestamp events have no position in the trailing frame and
+    # NULL sort order differs across engines (Spark first, DuckDB last)
+    base = df.where(F.col(ts_micros_col).isNotNull()).select(
         F.col(part_col).alias("__p"),
         F.col(ts_micros_col).alias("__t"),
         F.col(tiebreak_col).alias("__id"),
@@ -190,7 +192,7 @@ def time_weighted_avg(
     # value takes the zero-length interval — an arbitrary but
     # deterministic convention both engines replay identically
     w = Window.partitionBy("__k").orderBy("__t", "__v")
-    e = df.select(
+    e = df.where(F.col(ts_micros_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
         F.col(ts_micros_col).alias("__t"),
         F.col(value_col).cast("decimal(12,3)").alias("__v"),
@@ -304,7 +306,7 @@ def rolling_zscore_time(
     event, NULL z under ``min_rows`` preceding or zero variance.
     """
     v = F.col(value_col).cast("decimal(12,3)")
-    base = df.select(
+    base = df.where(F.col(ts_micros_col).isNotNull()).select(
         F.col(part_col).alias("__p"),
         F.col(ts_micros_col).cast("long").alias("__t"),
         F.col(tiebreak_col).alias("__id"),
