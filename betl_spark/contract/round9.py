@@ -248,8 +248,9 @@ g AS (
 SELECT user_id,
        CAST(count(*) AS BIGINT) AS n_intervals,
        CAST(sum(dur_s) AS BIGINT) AS total_seconds,
-       round(CAST(sum(CAST(v * dur_s AS DECIMAL(28,3))) AS DOUBLE)
-             / CAST(sum(dur_s) AS DOUBLE), 6) AS twap
+       CASE WHEN sum(dur_s) > 0
+            THEN round(CAST(sum(CAST(v * dur_s AS DECIMAL(28,3))) AS DOUBLE)
+                       / CAST(sum(dur_s) AS DOUBLE), 6) END AS twap
 FROM g WHERE dur_s IS NOT NULL
 GROUP BY user_id
 """

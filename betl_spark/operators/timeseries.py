@@ -212,13 +212,20 @@ def time_weighted_avg(
             (F.col("__v") * F.col("__dur_s")).cast("decimal(28,3)")
         ).alias("__w"),
     )
+    # a key whose events all fall inside one second has zero total
+    # weight: NULL twap, never a divide-by-zero (ANSI aborts the job;
+    # found by the hypothesis property sweep)
     return out.select(
         F.col("__k").alias(key_col),
         "n_intervals",
         "total_seconds",
-        F.round(
-            F.col("__w").cast("double") / F.col("total_seconds").cast("double"),
-            6,
+        F.when(
+            F.col("total_seconds") > 0,
+            F.round(
+                F.col("__w").cast("double")
+                / F.col("total_seconds").cast("double"),
+                6,
+            ),
         ).alias("twap"),
     )
 

@@ -448,3 +448,124 @@ def test_classifier_train_matches_python_reference(spark, texts, labels):
     }
     want = _clf_reference(rows, 32, 2, 0.5)
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# Round-9 time-series / stats invariants over generated event streams
+# ---------------------------------------------------------------------
+
+EVENT_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                      # key
+        st.integers(min_value=0, max_value=10**9),        # ts micros
+        st.integers(min_value=0, max_value=50_000),       # value cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP_SETTINGS
+@given(rows=EVENT_ROWS)
+def test_resample_gapfill_matches_python_reference(spark, rows):
+    """Dense spine, zero-fill, forward-fill — checked against a direct
+    Python replay for arbitrary (key, ts, value) streams."""
+    from betl_spark.operators.timeseries import resample_gapfill
+
+    B = 100_000_000  # small bucket so streams span several
+    df = spark.createDataFrame(
+        [(k, t, c / 100.0) for k, t, c in rows], "k string, t long, v double"
+    )
+    got = {
+        (r["k"], r["bucket"]): (r["n_events"], r["sum_value"], r["ffill_avg"])
+        for r in resample_gapfill(df, "k", "t", "v", B).collect()
+    }
+
+    import collections
+    from decimal import Decimal
+
+    per = collections.defaultdict(list)
+    for k, t, c in rows:
+        per[(k, t // B)].append(Decimal(c) / 100)
+    b0 = min(t // B for _, t, _ in rows)
+    b1 = max(t // B for _, t, _ in rows)
+    keys = {k for k, _, _ in rows}
+    want = {}
+    for k in keys:
+        ff = None
+        for b in range(b0, b1 + 1):
+            vals = per.get((k, b), [])
+            if vals:
+                ff = round(float(sum(vals)) / len(vals), 6)
+            want[(k, b)] = (
+                len(vals),
+                round(float(sum(vals)), 6) if vals else 0.0,
+                ff,
+            )
+    assert got == want
+
+
+@PROP_SETTINGS
+@given(rows=EVENT_ROWS)
+def test_time_weighted_avg_matches_python_reference(spark, rows):
+    from betl_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [(k, t, c / 100.0) for k, t, c in rows], "k string, t long, v double"
+    )
+    got = {
+        r["k"]: (r["n_intervals"], r["total_seconds"], r["twap"])
+        for r in time_weighted_avg(df, "k", "t", "v").collect()
+    }
+
+    import collections
+    from decimal import Decimal
+
+    per = collections.defaultdict(list)
+    for k, t, c in rows:
+        per[k].append((t, Decimal(c) / 100))
+    want = {}
+    for k, evs in per.items():
+        evs.sort()  # (t, v) — the operator's documented tie order
+        terms = [
+            ((b_t - a_t) // 1_000_000, a_v)
+            for (a_t, a_v), (b_t, _) in zip(evs, evs[1:])
+        ]
+        if not terms:
+            continue
+        tot = sum(d for d, _ in terms)
+        w = sum(v * d for d, v in terms)
+        want[k] = (
+            len(terms),
+            tot,
+            round(float(w) / tot, 6) if tot else None,
+        )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][:2] == want[k][:2], k
+        if want[k][2] is not None:
+            assert got[k][2] == pytest.approx(want[k][2], abs=2e-6), k
+
+
+@PROP_SETTINGS
+@given(rows=EVENT_ROWS)
+def test_rolling_distinct_count_matches_python_reference(spark, rows):
+    from betl_spark.operators.timeseries import rolling_distinct_count
+
+    B, W = 100_000_000, 3
+    df = spark.createDataFrame(
+        [(k, t) for k, t, _ in rows], "k string, t long"
+    )
+    got = {
+        r["bucket"]: (r["active_entities"], r["n_events"])
+        for r in rolling_distinct_count(df, "t", "k", W, B).collect()
+    }
+    import collections
+
+    ents = collections.defaultdict(set)
+    cnts = collections.defaultdict(int)
+    for k, t, _ in rows:
+        for i in range(W):
+            ents[t // B + i].add(k)
+            cnts[t // B + i] += 1
+    assert got == {b: (len(ents[b]), cnts[b]) for b in ents}
