@@ -16,6 +16,7 @@ import tempfile
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from betl_spark.io.writers import empty_to_null, null_to_empty
 from betl_spark.schema.registry import all_string_schema
@@ -569,3 +570,136 @@ def test_rolling_distinct_count_matches_python_reference(spark, rows):
             ents[t // B + i].add(k)
             cnts[t // B + i] += 1
     assert got == {b: (len(ents[b]), cnts[b]) for b in ents}
+
+
+@PROP_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=3, max_size=30
+    )
+)
+def test_winsorized_stats_matches_python_reference(spark, vals):
+    """Clip bounds from R-7 percentiles, clipped mean, tail counts —
+    against numpy's identical linear interpolation."""
+    import numpy as np
+
+    from betl_spark.operators.stats import winsorized_stats
+
+    df = spark.createDataFrame(
+        [("g", c / 100.0) for c in vals], "g string, v double"
+    )
+    r = winsorized_stats(df, ["g"], "v", p_lo=0.1, p_hi=0.9).collect()[0]
+    arr = np.array([c / 100.0 for c in vals])
+    lo = round(float(np.percentile(arr, 10)), 6)
+    hi = round(float(np.percentile(arr, 90)), 6)
+    assert (r["lo"], r["hi"]) == (lo, hi)
+    assert r["n"] == len(vals)
+    assert r["n_clipped_lo"] == int((arr < lo).sum())
+    assert r["n_clipped_hi"] == int((arr > hi).sum())
+    assert r["mean_raw"] == pytest.approx(arr.mean(), abs=2e-6)
+    assert r["mean_winsor"] == pytest.approx(
+        np.clip(arr, lo, hi).mean(), abs=2e-6
+    )
+
+
+@PROP_SETTINGS
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=3,
+        max_size=25,
+    )
+)
+def test_grouped_pearson_matches_numpy(spark, pts):
+    import numpy as np
+
+    from betl_spark.operators.stats import grouped_pearson
+
+    df = spark.createDataFrame(
+        [("g", x / 100.0, y) for x, y in pts], "g string, x double, y long"
+    )
+    r = grouped_pearson(df, ["g"], "x", "y", x_scale=2, y_scale=0).collect()[0]
+    xs = np.array([x / 100.0 for x, _ in pts])
+    ys = np.array([float(y) for _, y in pts])
+    if xs.std() == 0 or ys.std() == 0:
+        assert r["r"] is None
+    else:
+        assert r["r"] == pytest.approx(
+            float(np.corrcoef(xs, ys)[0, 1]), abs=2e-6
+        )
+
+
+@PROP_SETTINGS
+@given(
+    arms=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=1, max_size=40
+    )
+)
+def test_ab_test_matches_statsmodels_formula(spark, arms):
+    import math
+
+    from betl_spark.operators.stats import ab_test_proportions
+
+    df = spark.createDataFrame(
+        [("g", a, s) for a, s in arms], "g string, isa boolean, s boolean"
+    )
+    r = ab_test_proportions(df, ["g"], F.col("isa"), F.col("s")).collect()[0]
+    na = sum(1 for a, _ in arms if a)
+    nb = len(arms) - na
+    sa = sum(1 for a, s in arms if a and s)
+    sb = sum(1 for a, s in arms if not a and s)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    pooled = (sa + sb) / len(arms)
+    if na == 0 or nb == 0 or pooled in (0.0, 1.0):
+        assert r["z"] is None
+    else:
+        se = math.sqrt(pooled * (1 - pooled) * (1 / na + 1 / nb))
+        assert r["z"] == pytest.approx(
+            (sa / na - sb / nb) / se, abs=2e-6
+        )
+
+
+@PROP_SETTINGS
+@given(
+    texts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab XYé")), max_size=30),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_char_diversity_matches_python_counter(spark, texts):
+    import collections
+
+    from betl_spark.operators.text import char_diversity
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in char_diversity(df, "doc_id", "text").collect()
+    }
+
+    def r6(x: float) -> float:
+        # Spark/DuckDB ROUND is half-away-from-zero; python round() is
+        # banker's, and ratios of small ints DO land on exact binary
+        # midpoints (226/256 = 0.8828125 — found by this very sweep)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    for i, t in enumerate(texts):
+        c = collections.Counter(t.lower())
+        if not c:
+            assert i not in got  # no chars -> no row
+            continue
+        n = sum(c.values())
+        r = got[i]
+        assert r["n_chars_counted"] == n
+        assert r["distinct_chars"] == len(c)
+        assert r["top_char_ratio"] == r6(max(c.values()) / n)
+        assert r["simpson_concentration"] == r6(
+            sum(v * v for v in c.values()) / (float(n) * n)
+        )
