@@ -261,3 +261,61 @@ def write_text_lines(
     df.select(guarded.alias("value")).write.mode(
         "overwrite" if mode == "replace" else mode
     ).text(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction for a parquet dataset: rewrite ``path``
+    with file counts sized to the data (total bytes / target size) —
+    the maintenance job every incremental sink eventually needs
+    (streaming and per-batch appends accumulate files; at 100 TB a
+    million 1 MB files costs more in scan planning and open() round
+    trips than the data itself).
+
+    Sizing reads the FILESYSTEM (one listing, no data scan); the
+    rewrite is one job through a staging directory with an atomic
+    swap at the end (rename), so readers never observe a half-compacted
+    dataset; the pre-compaction files survive until the swap succeeds.
+    With ``partition_by`` the rewrite re-partitions on those keys so
+    Hive-style layouts keep their pruning. Returns
+    {files_before, files_after, bytes}.
+    """
+    import os
+    import shutil
+    import uuid
+
+    def _list(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    out.append(os.path.join(root, f))
+        return out
+
+    before = _list(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(path)
+    staging = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.repartition(int(n_files), *(partition_by or [])) if partition_by else df.coalesce(int(n_files))
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back: readers keep the original
+        raise
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_list(path)),
+        "bytes": int(total),
+    }

@@ -78,3 +78,31 @@ def test_text_wholetext_one_doc_per_file_with_path(spark, tmp_path):
         os.path.basename(r["doc_path"]): r["value"] for r in got.collect()
     }
     assert rows == {"a.txt": "doc A\nspans lines", "b.txt": "doc B"}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from betl_spark.io.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(20).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_file_mb=128)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1  # tiny data, one target-size file
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before  # atomic swap preserved every row
+
+
+def test_compact_parquet_keeps_hive_partitions(spark, tmp_path):
+    from betl_spark.io.writers import compact_parquet
+    import os
+
+    path = str(tmp_path / "hive")
+    df = spark.range(1000).selectExpr("id", "id % 3 AS part")
+    df.repartition(12).write.partitionBy("part").parquet(path)
+    stats = compact_parquet(spark, path, target_file_mb=128, partition_by=["part"])
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    assert spark.read.parquet(path).count() == 1000
