@@ -322,3 +322,33 @@ def admin(
     if run_table_rebuilds:
         run_rebuilds(spark, conf, registry)
     return registry
+
+
+def compact_warehouse(
+    spark: SparkSession,
+    conf: Conf,
+    registry: SchemaRegistry,
+    layers=("BSE", "SUM"),
+    target_file_mb: int = 128,
+) -> dict[str, dict]:
+    """Maintenance verb: small-file compaction across every declared
+    warehouse table (beyond-reference — the reference's Postgres
+    warehouse has autovacuum; a parquet warehouse fed by incremental
+    loads accumulates per-batch files instead, and a million 1 MB
+    files costs more in scan planning than the data). Delegates to
+    ``io.writers.compact_parquet`` (size-driven rewrite, atomic swap)
+    per table; tables whose storage doesn't exist yet are skipped.
+    Returns {layer.table: {files_before, files_after, bytes}}.
+    """
+    from betl_spark.io.writers import compact_parquet
+
+    out: dict[str, dict] = {}
+    for layer in layers:
+        for t in registry.tables(layer):
+            path = conf.layer_path(layer, t.name)
+            if not os.path.isdir(path):
+                continue
+            out[f"{layer}.{t.name}"] = compact_parquet(
+                spark, path, target_file_mb=target_file_mb
+            )
+    return out

@@ -313,3 +313,27 @@ def test_excel_inference_end_to_end(spark, tmp_path):
     assert [c.name for c in t2.columns if not c.name.startswith("audit_")] == ["k"]
     # the persisted schema desc round-trips the inferred tables
     assert load_schema_desc(conf).get_table("EXT", "mapping") is not None
+
+
+def test_compact_warehouse_merges_fragmented_tables(spark, tmp_path):
+    from betl_spark.admin import compact_warehouse, run_rebuilds
+
+    conf = Conf(app_root=str(tmp_path))
+    reg = SchemaRegistry()
+    reg.define(
+        "BSE", "dm_frag",
+        [("sk", "SERIAL", "Surrogate key"), ("nk", "TEXT", "Natural key")],
+    )
+    run_rebuilds(spark, conf, reg)
+    path = conf.layer_path("BSE", "dm_frag")
+    # simulate 8 incremental appends -> 8+ small files
+    for i in range(8):
+        spark.createDataFrame([(i, f"nk{i}")], "sk long, nk string").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    stats = compact_warehouse(spark, conf, reg)
+    assert set(stats) == {"BSE.dm_frag"}
+    assert stats["BSE.dm_frag"]["files_before"] >= 8
+    assert stats["BSE.dm_frag"]["files_after"] == 1
+    got = sorted(r["nk"] for r in spark.read.parquet(path).collect())
+    assert got == [f"nk{i}" for i in range(8)]
