@@ -781,3 +781,22 @@ FROM w
 """).fetchall()
     )
     assert got == want
+
+
+def test_correctness_window_invariants():
+    """The driver verifies exactly the first 50 contract entries; the
+    rotation policy lives in _PRIORITY. Pin the invariants a bad edit
+    would silently break: no unknown/duplicate names, every round-9
+    query inside the window, full oracle coverage."""
+    from betl_spark.contract import ORACLES, QUERIES, _ALL, _PRIORITY
+
+    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
+    unknown = [n for n in _PRIORITY if n not in _ALL]
+    assert not unknown, f"_PRIORITY names not in registry: {unknown}"
+    names = list(QUERIES)
+    window = set(names[:50])
+    from betl_spark.contract.round9 import QUERIES as R9
+
+    missing = [n for n in R9 if n not in window]
+    assert not missing, f"round-9 queries outside the window: {missing}"
+    assert set(ORACLES) == set(QUERIES), "every query needs an oracle"
