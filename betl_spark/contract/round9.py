@@ -539,14 +539,15 @@ uni AS (
   SELECT t AS w, count(*) AS c_w
   FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY 1
 ),
-bi AS (
+bi_all AS (
   SELECT w1, w2, count(*) AS c_bigram FROM (
     SELECT ts[CAST(i AS INTEGER)] AS w1, ts[CAST(i AS INTEGER) + 1] AS w2
     FROM (SELECT ts, unnest(range(1, len(ts))) AS i FROM toks)
-  ) GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_COUNT}
+  ) GROUP BY 1, 2
 ),
+bi AS (SELECT * FROM bi_all WHERE c_bigram >= {PMI_MIN_COUNT}),
 nu AS (SELECT sum(c_w) AS nu FROM uni),
-nb AS (SELECT sum(c_bigram) AS nb FROM bi)
+nb AS (SELECT sum(c_bigram) AS nb FROM bi_all)
 SELECT b.w1, b.w2,
        CAST(b.c_bigram AS BIGINT) AS c_bigram,
        CAST(u1.c_w AS BIGINT) AS c_w1,

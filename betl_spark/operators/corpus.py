@@ -621,7 +621,7 @@ def pmi_topk(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_w"))
     )
-    bi = (
+    bi_all = (
         toks.select(
             F.explode(
                 F.when(
@@ -636,10 +636,13 @@ def pmi_topk(
         .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_bigram"))
-        .where(F.col("c_bigram") >= F.lit(int(min_count)))
     )
+    bi = bi_all.where(F.col("c_bigram") >= F.lit(int(min_count)))
     totals_u = uni.agg(F.sum("c_w").alias("__nu"))
-    totals_b = bi.agg(F.sum("c_bigram").alias("__nb"))
+    # N_b is ALL adjacent pairs — normalizing by the filtered subset
+    # would inflate every pmi by a constant ln factor (rank-preserving
+    # but wrong as a probability; caught by the python-replay sweep)
+    totals_b = bi_all.agg(F.sum("c_bigram").alias("__nb"))
     pmi = F.round(
         F.log(
             (

@@ -703,3 +703,125 @@ def test_char_diversity_matches_python_counter(spark, texts):
         assert r["simpson_concentration"] == r6(
             sum(v * v for v in c.values()) / (float(n) * n)
         )
+
+
+TOKEN_TEXTS = st.lists(
+    st.lists(
+        st.sampled_from(["spark", "merge", "window", "row", "agg", "key"]),
+        min_size=0,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@PROP_SETTINGS
+@given(texts=TOKEN_TEXTS)
+def test_bm25_matches_python_reference(spark, texts):
+    """BM25 scores against a direct python replay of the Robertson
+    formulation, same 9dp-nanos discipline."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from betl_spark.operators.corpus import bm25_topk
+
+    terms = ["spark", "merge"]
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_topk(df, "doc_id", "text", terms, k1=k1, b=b, top_n=100).collect()
+    }
+
+    def r9(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP))
+
+    toks = [t.split(" ") if t else [""] for t in texts]
+    n_docs = len(texts)
+    avglen = sum(len(tk) for tk in toks) / n_docs
+    dfreq = {
+        t: sum(1 for tk in toks if t in tk) for t in terms
+    }
+    want = {}
+    for i, tk in enumerate(toks):
+        nanos, matched = 0, 0
+        for t in terms:
+            tf = tk.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = r9(math.log(1.0 + (n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5)))
+            w = (idf * (tf * (k1 + 1.0))) / (tf + k1 * (1 - b + b * len(tk) / avglen))
+            nanos += int(round(r9(w) * 1e9))
+        if matched:
+            want[i] = (matched, round(nanos / 1e9, 6))
+    assert got == want
+
+
+@PROP_SETTINGS
+@given(texts=TOKEN_TEXTS)
+def test_source_overlap_matches_python_sets(spark, texts):
+    from betl_spark.operators.corpus import source_overlap_matrix
+
+    N = 3
+    rows = [(f"s{i % 2}", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["group_a"], r["group_b"]): (r["inter"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in source_overlap_matrix(df, "source", "text", ngram=N).collect()
+    }
+    grams = {"s0": set(), "s1": set()}
+    for src, t in rows:
+        tk = t.split(" ") if t else [""]
+        for i in range(len(tk) - N + 1):
+            grams[src].add(" ".join(tk[i : i + N]))
+    a, b = grams["s0"], grams["s1"]
+    inter = len(a & b)
+    if inter:
+        assert got == {
+            ("s0", "s1"): (
+                inter,
+                len(a),
+                len(b),
+                round(inter / (len(a) + len(b) - inter), 6),
+            )
+        }
+    else:
+        assert got == {}
+
+
+@PROP_SETTINGS
+@given(texts=TOKEN_TEXTS)
+def test_pmi_matches_python_reference(spark, texts):
+    import collections
+    import math
+
+    from betl_spark.operators.corpus import pmi_topk
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["c_bigram"], r["c_w1"], r["c_w2"], r["pmi"])
+        for r in pmi_topk(df, "text", min_count=2, top_n=1000).collect()
+    }
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for t in texts:
+        tk = t.split(" ") if t else [""]
+        uni.update(tk)
+        bi.update(zip(tk, tk[1:]))
+    nu = sum(uni.values())
+    nb = sum(c for c in bi.values())
+    want = {}
+    for (w1, w2), c in bi.items():
+        if c < 2:
+            continue
+        want[(w1, w2)] = (
+            c,
+            uni[w1],
+            uni[w2],
+            round(math.log((c * float(nu) * nu) / (float(nb) * uni[w1] * uni[w2])), 6),
+        )
+    assert got == want
