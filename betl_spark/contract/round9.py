@@ -749,8 +749,13 @@ def q_json_props_stats(spark, sf_dir):
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
-        F.round(
-            F.sum("k").cast("double") / F.count("k").cast("double"), 6
+        # count("k")=0 (every row in the group bad/missing) must yield
+        # NULL, not an ANSI DIVIDE_BY_ZERO abort (round-9 advisor item).
+        F.when(
+            F.count("k") > 0,
+            F.round(
+                F.sum("k").cast("double") / F.count("k").cast("double"), 6
+            ),
         ).alias("avg_k"),
     )
 
@@ -975,6 +980,10 @@ def q_ab_test_events(spark, sf_dir):
     from betl_spark.operators.sampling import hash_bucket
 
     ev = table(spark, sf_dir, "events")
+    # A NULL user_id has no arm: Spark's ~is_a is NULL (row lands in
+    # neither bucket) while a bare CASE..ELSE would put it in B —
+    # exclude NULL keys on BOTH sides (round-9 advisor item).
+    ev = ev.where(F.col("user_id").isNotNull())
     return stats_ops.ab_test_proportions(
         ev,
         ["event_type"],
@@ -989,7 +998,7 @@ WITH e AS (
          (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
           % 2) = 0 AS is_a,
          CASE WHEN value > {AB_SUCCESS_VALUE} THEN 1 ELSE 0 END AS s
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 a AS (
   SELECT event_type,

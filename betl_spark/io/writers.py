@@ -248,13 +248,17 @@ def write_text_lines(
     (a pre-scan would read the data twice; this costs one codegen
     branch in the single write pass)."""
     s = F.col(text_col).cast("string")
+    # Hadoop's LineRecordReader terminates a line on \n, \r\n, OR a
+    # lone \r — so a bare contains("\n") guard would pass a record
+    # that still splits on re-read (round-9 advisor item).
     guarded = F.when(
-        s.contains("\n"),
+        s.rlike("[\\r\\n]"),
         F.raise_error(
             F.lit(
                 f"write_text_lines: {text_col!r} contains embedded "
-                "newlines; escape or chunk them first (line-mode text "
-                "is one record per line by definition)"
+                "line terminators (\\n or \\r); escape or chunk them "
+                "first (line-mode text is one record per line by "
+                "definition)"
             )
         ),
     ).otherwise(s)

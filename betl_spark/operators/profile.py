@@ -280,6 +280,12 @@ def referential_integrity(
     Output: (relationship, n_child, n_null_key, n_orphans,
     orphan_rate 6dp of the non-null-keyed rows).
     """
+    if not specs:
+        raise ValueError(
+            "referential_integrity: at least one "
+            "(name, child, child_keys, parent, parent_keys) spec is "
+            "required — an empty audit has no result schema to return"
+        )
     outs = []
     for name, child, child_keys, parent, parent_keys in specs:
         ck = child.select(

@@ -417,11 +417,15 @@ def equidepth_histogram(
     return (
         ranked.crossJoin(F.broadcast(total))
         .select(
-            (
-                (F.col("__rank").cast("long") - 1)
-                * F.lit(int(n_buckets))
-                / F.col("__n")
-            ).cast("long").alias("bucket"),
+            # Exact long arithmetic end-to-end: `/` would detour through
+            # a double and can truncate differently from integer floor
+            # once (rank−1)·B nears 2^53 (round-9 advisor item). DIV is
+            # Spark's integral division — same semantics as DuckDB `//`
+            # on non-negative operands.
+            F.expr(
+                f"(CAST(__rank AS BIGINT) - 1L) * {int(n_buckets)}L"
+                " DIV __n"
+            ).alias("bucket"),
             "__val",
         )
         .groupBy("bucket")

@@ -40,6 +40,11 @@ def nullev_dir(tmp_path_factory):
     ev.loc[ev.index[7:9], "value"] = pd.NA
     ev.loc[ev.index[11:13], "props"] = None
     ev.loc[ev.index[15:16], "props"] = "{not valid json"
+    # NULL user_id: a hash-split arm predicate is NULL for a NULL key,
+    # which lands the row in NEITHER arm in Spark but in the ELSE arm
+    # of a bare CASE — the round-9 advisor's ab_test_events finding.
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    ev.loc[ev.index[18:20], "user_id"] = pd.NA
     ev.to_parquet(f"{dst}/events.parquet", index=False)
     return dst
 

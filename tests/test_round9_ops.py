@@ -410,6 +410,13 @@ def test_referential_integrity_counts_orphans_and_null_keys(spark):
     assert r["orphan_rate"] == round(1 / 3, 6)
 
 
+def test_referential_integrity_rejects_empty_specs(spark):
+    from betl_spark.operators.profile import referential_integrity
+
+    with pytest.raises(ValueError, match="at least one"):
+        referential_integrity([])
+
+
 def test_referential_integrity_composite_key(spark):
     from betl_spark.operators.profile import referential_integrity
 

@@ -61,6 +61,14 @@ def test_text_sink_rejects_embedded_newlines(spark, tmp_path):
         write_text_lines(src, str(tmp_path / "bad.txt"))
 
 
+def test_text_sink_rejects_lone_carriage_return(spark, tmp_path):
+    # LineRecordReader also splits on a lone \r, so the guard must
+    # catch it too (round-9 advisor item).
+    src = spark.createDataFrame([("a\rb",)], "value string")
+    with pytest.raises(Exception, match="embedded"):
+        write_text_lines(src, str(tmp_path / "bad_cr.txt"))
+
+
 def test_text_wholetext_one_doc_per_file_with_path(spark, tmp_path):
     docs = tmp_path / "t_docs.txt"
     docs.mkdir()
