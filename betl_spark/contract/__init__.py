@@ -33,6 +33,7 @@ from betl_spark.contract.round6 import QUERIES as _ROUND6
 from betl_spark.contract.round7 import QUERIES as _ROUND7
 from betl_spark.contract.round8 import QUERIES as _ROUND8
 from betl_spark.contract.round9 import QUERIES as _ROUND9
+from betl_spark.contract.round10 import QUERIES as _ROUND10
 
 _ALL = {
     **_TPCH,
@@ -46,133 +47,40 @@ _ALL = {
     **_ROUND7,
     **_ROUND8,
     **_ROUND9,
+    **_ROUND10,
 }
 
-# The driver's per-round CORRECTNESS run covers the FIRST 50 entries, so
-# dict order is the verification schedule, rotated each round so no
-# query's green row goes stale beyond 2 rounds — and, round 8's
-# lesson, so no NEW query ends a round without a driver green row.
-# Round 9 leads with the ELEVEN round-8-new queries that have never
-# held a driver-side green row (the r8 verdict's #1 ask) plus
-# ivf_topk_trained, then the TWENTY round-9-new breadth queries (so
-# they don't repeat round 8's never-verified gap), then fills the
-# remaining 18 slots from the round-6-stale greens. Twenty-eight
-# round-6 greens don't fit; each deferred one's code path is replayed
-# by an in-window query this round (classifier_score + dsir_scores by
-# classifier_train_score's shared hashed-ngram features;
-# corpus_curation_v2 by corpus_curation_v3; line_dedup by
-# intra_doc_line_dedup's shared line machinery; funnel_users by
-# funnel_counts; pq_encode by pq_topk; split_assign by hash_sample's
-# shared deterministic-hash core; pack_sequences_bpe +
-# mixture_rebalance_bpe by token_count_bpe's BPE counting;
-# doc_length_histogram by profile_documents; tpch_q4/q6/q7/q10 by the
-# customSQL surface tpch_q5 re-verified green r8; quantile_band_filter
-# by winsorized_event_stats' shared exact-percentile machinery; tf_idf
-# by hybrid_search's tf-idf scoring stage; write_readback by
-# star_schema_pipeline's write+read-back leg; perplexity_buckets by
-# ngram_lm_perplexity (its input) + winsorized/equidepth quantile
-# machinery; vocab_coverage + top_docs_per_lang by
-# equidepth_histogram_chars' banded-rank core and bm25_topk_docs'
-# ranked-top-n shape; window_funcs_events by rolling_zscore_events'
-# frame windows + r7-green window_top_orders_per_segment;
-# dedup_bloom_incremental by r7-green dedup_bloom_bucketed's shared
-# bloom machinery; set_nulls by clean_values' shared ops_data surface
-# (the ''→NULL boundary is ALSO property-tested per session,
-# test_properties.py); union_dedupe by r7-green setop greens for the
-# set-op surface + test_ops_data_merge's direct union/dedupe coverage;
-# sk_dimension by r8-green delta_load_dimension — the SAME SK-engine
-# load path; delta_load_fact by r8-green delta_classify + r7-green
-# fact_fk_resolution, whose composition it is; psi_drift by
-# in-window ks_drift_sources — the same drift contract through the
-# binning-free statistic — plus the quantile-bucket machinery in
-# winsorized_event_stats; decontaminate_remove by r7-green
-# semantic_decontaminate and r7-green decontaminate_docs' shared
-# n-gram decontam machinery), and all deferred
-# queries replay green in the pytest parity suite every session. They
-# lead the round-10 window.
+# The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
+# so dict order is the verification schedule. Round 10 replaces the
+# per-round hand-written rotation prose with a COMPUTED policy (the
+# round-9 verdict's ask #3 — 175+ queries no longer fit a prose
+# justification):
+#
+#   window = NEW_THIS_ROUND (every query must hold a driver green row
+#            the round it ships — round 8's lesson)
+#          + all other queries, strictly oldest-green-first
+#            (ties broken by name),
+#
+# where "oldest green" comes from contract/rotation.py, a ledger of
+# each query's latest driver-green round GENERATED from the committed
+# CORRECTNESS_r*.json files by scripts/update_rotation.py (run once at
+# the start of each round). With ~194 queries and a 50-slot window the
+# policy guarantees every query re-verifies within ceil(194/50) = 4
+# rounds, and the schedule is inspectable ahead of time (ROTATION.md
+# tabulates the planned r10-r13 windows). Round 10's window therefore
+# leads with the 28 round-6 greens that the round-9 verdict flagged as
+# 3 rounds stale, then the round-10-new queries, then the oldest
+# round-7 greens fill the remaining slots.
+from betl_spark.contract.rotation import LAST_VERIFIED
+
+NEW_THIS_ROUND = [n for n in _ROUND10]
+
 _PRIORITY = [
-    # -- never driver-verified (first oracle check at the driver) --
-    "ivf_topk_trained",
-    "classifier_train_score",
-    "corpus_curation_v3",
-    "crosslingual_near_dups",
-    "repeated_substring_spans",
-    "semantic_dedup_incremental",
-    "semantic_ingest_2day",
-    "similarity_ann_lsh_multiprobe",
-    "similarity_ann_lsh_tables",
-    "source_data_card",
-    "trim_repeated_spans",
-    "weighted_fixed_n",
-    # -- round-9-new (driver-verified the round they ship) --
-    "resample_gapfill_daily",
-    "rolling_zscore_events",
-    "time_weighted_avg_events",
-    "winsorized_event_stats",
-    "equidepth_histogram_chars",
-    "fuzzy_dedup_part_names",
-    "keyword_search_and",
-    "source_overlap_matrix",
-    "char_diversity_filter",
-    "bm25_topk_docs",
-    "token_pmi_topk",
-    "referential_integrity_audit",
-    "events_time_rollup",
-    "events_stream_anomaly",
-    "json_props_stats",
-    "rolling_active_users",
-    "grouped_corr_events",
-    "event_transitions",
-    "ks_drift_sources",
-    "ab_test_events",
-    # -- round-6 greens (2 rounds stale, the policy edge) --
-    "chunk_documents",
-    "clean_values",
-    "collapse_nk",
-    "data_quality_gate",
-    "derive_columns",
-    "filter_ops",
-    "funnel_counts",
-    "hash_sample",
-    "hybrid_search",
-    "intra_doc_line_dedup",
-    "join_keepcols",
-    "ngram_lm_perplexity",
-    "pq_topk",
-    "profile_documents",
-    "star_schema_pipeline",
-    "token_count_bpe",
-    "unpivot_part",
-    "zorder_key",
-    # -- deferred round-6 greens (lead the round-10 window) --
-    "classifier_score",
-    "corpus_curation_v2",
-    "line_dedup",
-    "funnel_users",
-    "pq_encode",
-    "split_assign",
-    "pack_sequences_bpe",
-    "doc_length_histogram",
-    "dsir_scores",
-    "mixture_rebalance_bpe",
-    "quantile_band_filter",
-    "tf_idf",
-    "tpch_q10_returned_items",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "write_readback",
-    "perplexity_buckets",
-    "vocab_coverage",
-    "top_docs_per_lang",
-    "window_funcs_events",
-    "dedup_bloom_incremental",
-    "set_nulls",
-    "union_dedupe",
-    "sk_dimension",
-    "delta_load_fact",
-    "psi_drift",
-    "decontaminate_remove",
+    *NEW_THIS_ROUND,
+    *sorted(
+        (n for n in _ALL if n not in _ROUND10),
+        key=lambda n: (LAST_VERIFIED.get(n, 0), n),
+    ),
 ]
 
 QUERIES: dict = {}

@@ -1,0 +1,96 @@
+"""Round-10 contract queries.
+
+Leads with `rolling_zscore_time_events` — the round-9 verdict's #2 ask:
+the overlap-chunk-sharded TIME-frame z-score
+(operators/timeseries.py:rolling_zscore_time) is the scale answer to
+the ROWS-frame family's per-key parallelism ceiling (a 5-key stream
+serializes through 5 tasks no matter the cluster; the sharded time
+frame parallelizes as |keys| x |chunks| with bit-identical scores).
+The contract entry runs the SHARDED path; the DuckDB oracle is the
+plain unsharded RANGE frame — so a driver green row certifies the
+sharding is exact, not just that a window matches a window.
+
+Then the round-10 breadth families (inference stats, bounded-lag time
+series, positional retrieval, corpus novelty, embedding-space audit,
+split/fold tooling) — each a beyond-reference operator a training-data
+pipeline needs, each paired with independent DuckDB SQL.
+
+Determinism notes follow contract/__init__.py's rules: exact DECIMAL /
+integer sums everywhere order can vary, doubles only in final IEEE
+expressions, every division NULL-guarded (ANSI mode), LIMITs carry a
+total order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betl_spark.contract.common import table, ts_micros
+from betl_spark.operators import timeseries
+
+QUERIES: dict = {}
+
+
+# ---- sharded time-frame rolling z-score ----
+ZT_WINDOW_US = 3_600_000_000  # 1 hour
+ZT_CHUNK_US = 4 * ZT_WINDOW_US
+ZT_MIN = 20
+ZT_THRESH = 3.0
+
+
+def q_rolling_zscore_time(spark, sf_dir):
+    """Trailing TIME-window anomaly scores per event_type through the
+    overlap-chunk-sharded plan (chunk = 4x window): |keys| x |chunks|
+    parallelism instead of one task per key, scores bit-identical to
+    the unsharded frame (the oracle IS the unsharded frame)."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.rolling_zscore_time(
+        ev, "event_type", "__ts_us", "event_id", "value",
+        window_micros=ZT_WINDOW_US, min_rows=ZT_MIN, z_thresh=ZT_THRESH,
+        chunk_micros=ZT_CHUNK_US,
+    )
+
+
+ROLLING_ZSCORE_TIME_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(value AS DECIMAL(12,3)) AS v,
+         CAST(CAST(value AS DECIMAL(12,3)) * CAST(value AS DECIMAL(12,3))
+              AS DECIMAL(20,6)) AS v2
+  FROM events WHERE ts IS NOT NULL
+),
+w AS (
+  SELECT event_type, event_id, v,
+         count(v) OVER win AS n,
+         sum(v)   OVER win AS s,
+         sum(v2)  OVER win AS s2
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY t
+                 RANGE BETWEEN {ZT_WINDOW_US} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
+       CASE WHEN n >= {ZT_MIN}
+             AND (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                 / (n - 1) > 0.0
+            THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                       / sqrt((CAST(s2 AS DOUBLE)
+                               - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                              / (n - 1)), 6)
+            END AS zscore,
+       abs(CASE WHEN n >= {ZT_MIN}
+                 AND (CAST(s2 AS DOUBLE)
+                      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                     / (n - 1) > 0.0
+                THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/n)
+                           / sqrt((CAST(s2 AS DOUBLE)
+                                   - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
+                                  / (n - 1)), 6)
+                END) > {ZT_THRESH} AS is_anomaly
+FROM w
+"""
+
+QUERIES["rolling_zscore_time_events"] = (
+    q_rolling_zscore_time,
+    ROLLING_ZSCORE_TIME_SQL,
+)
