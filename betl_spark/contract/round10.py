@@ -145,3 +145,274 @@ QUERIES["resample_gapfill_observed"] = (
     q_resample_gapfill_observed,
     RESAMPLE_GAPFILL_OBSERVED_SQL,
 )
+
+
+# =====================================================================
+# Round-10 batch 2: inference/eval statistics
+# =====================================================================
+
+def q_mannwhitney_events(spark, sf_dir):
+    """Per-event-type Mann-Whitney U between md5-hash A/B arms over
+    `value` — the nonparametric sibling of ab_test_events (rank-based,
+    so a heavy-tailed metric can't fake a z through its mean)."""
+    from betl_spark.operators.sampling import hash_bucket
+    from betl_spark.operators import stats as stats_ops
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.where(F.col("user_id").isNotNull())
+    return stats_ops.mann_whitney(
+        ev, ["event_type"], hash_bucket("user_id", 2) == 0, "value"
+    )
+
+
+_MW_CORE = """
+census AS (
+  SELECT {grp} AS g, v,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+  FROM e GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, ca, cb, ca + cb AS t,
+         coalesce(sum(ca + cb) OVER (
+           PARTITION BY g ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM census
+),
+agg AS (
+  SELECT g,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(cb) AS BIGINT) AS n_b,
+         sum(ca * (2 * cum + t + 1)) AS r2a,
+         sum(t * t * t - t) AS ties
+  FROM ranked GROUP BY 1
+)
+SELECT g AS {out_g}, n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 END AS u_a,
+       CASE WHEN n_a > 0 AND n_b > 0
+            THEN round(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+                       / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
+                       6) END AS auc,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b >= 2
+             AND (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                 * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                    - CAST(ties AS DOUBLE)
+                      / (CAST(n_a + n_b AS DOUBLE)
+                         * (CAST(n_a + n_b AS DOUBLE) - 1.0))) > 0.0
+            THEN round(
+              (CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+              / sqrt((CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6)
+            END AS z
+FROM agg
+"""
+
+MANNWHITNEY_EVENTS_SQL = (
+    """
+WITH e AS (
+  SELECT event_type,
+         (CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 2) = 0 AS a,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+),"""
+    + _MW_CORE.format(grp="event_type", out_g="event_type")
+)
+
+QUERIES["mannwhitney_events"] = (q_mannwhitney_events, MANNWHITNEY_EVENTS_SQL)
+
+
+def q_auc_value_weekday(spark, sf_dir):
+    """Rank-based AUC per weekday: does `value` separate purchases
+    from other events? AUC = U/(n_a*n_b) through the same exact
+    integer rank census as the U test."""
+    from betl_spark.operators import stats as stats_ops
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.where(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+    ev = ev.withColumn("__ts_us", ts_micros(ev)).withColumn(
+        "weekday", F.expr("CAST((__ts_us DIV 86400000000) % 7 AS INT)")
+    )
+    return stats_ops.mann_whitney(
+        ev, ["weekday"], F.col("event_type") == "purchase", "value"
+    )
+
+
+AUC_VALUE_WEEKDAY_SQL = (
+    """
+WITH e AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 % 7 AS INTEGER) AS weekday,
+         event_type = 'purchase' AS a,
+         CAST(value AS DECIMAL(18,3)) AS v
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+),"""
+    + _MW_CORE.format(grp="weekday", out_g="weekday")
+)
+
+QUERIES["auc_value_weekday"] = (q_auc_value_weekday, AUC_VALUE_WEEKDAY_SQL)
+
+
+def q_assoc_source_lang(spark, sf_dir):
+    """Is document language independent of source? chi-square,
+    Cramer's V and mutual information from one contingency census,
+    nanos-summed for order independence."""
+    from betl_spark.operators import stats as stats_ops
+
+    docs = table(spark, sf_dir, "documents")
+    return stats_ops.crosstab_assoc(docs, "source", "lang")
+
+
+ASSOC_SOURCE_LANG_SQL = """
+WITH census AS (
+  SELECT source AS x, lang AS y, CAST(count(*) AS BIGINT) AS n
+  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT x, y, n,
+         sum(n) OVER (PARTITION BY x) AS rx,
+         sum(n) OVER (PARTITION BY y) AS cy,
+         sum(n) OVER () AS nn
+  FROM census
+),
+terms AS (
+  SELECT nn, x, y,
+         CAST(round(round(
+           (CAST(n AS DOUBLE) - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                                / CAST(nn AS DOUBLE))
+           * (CAST(n AS DOUBLE) - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE)
+                                  / CAST(nn AS DOUBLE))
+           / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE))
+           - CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(nn AS DOUBLE),
+           9) * 1e9) AS BIGINT) AS chi_n,
+         CAST(round(round(
+           CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+           * log2(CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)
+                  / (CAST(rx AS DOUBLE) * CAST(cy AS DOUBLE))),
+           9) * 1e9) AS BIGINT) AS mi_n
+  FROM cells
+),
+agg AS (
+  SELECT CAST(max(nn) AS BIGINT) AS n,
+         CAST(count(DISTINCT x) AS BIGINT) AS n_x,
+         CAST(count(DISTINCT y) AS BIGINT) AS n_y,
+         sum(chi_n) AS chi_n, sum(mi_n) AS mi_n
+  FROM terms
+)
+SELECT n, n_x, n_y,
+       CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
+       CASE WHEN (n_x - 1) * (n_y - 1) > 0
+            THEN round(CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9, 6)
+            END AS chi2,
+       CASE WHEN (n_x - 1) * (n_y - 1) > 0 AND n > 0
+             AND CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9 > 0.0
+            THEN round(sqrt((CAST(n AS DOUBLE)
+                             + CAST(chi_n AS DOUBLE) / 1e9)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(least(n_x - 1, n_y - 1) AS DOUBLE))),
+                       6) END AS cramers_v,
+       round(CAST(mi_n AS DOUBLE) / 1e9, 6) AS mi_bits
+FROM agg
+"""
+
+QUERIES["assoc_source_lang"] = (q_assoc_source_lang, ASSOC_SOURCE_LANG_SQL)
+
+
+def q_benford_lineitem(spark, sf_dir):
+    """First-significant-digit census of l_extendedprice vs Benford's
+    expectation — digit from the exact DECIMAL's string rendering
+    (log10-free), expected proportions as shared literals."""
+    from betl_spark.operators import stats as stats_ops
+
+    li = table(spark, sf_dir, "lineitem")
+    return stats_ops.benford_digits(
+        li, F.col("l_extendedprice").cast("decimal(12,2)")
+    )
+
+
+BENFORD_CASE = " ".join(
+    f"WHEN '{d}' THEN {p!r}" for d, p in [
+        (1, 0.301029995664), (2, 0.176091259056), (3, 0.124938736608),
+        (4, 0.096910013008), (5, 0.079181246048), (6, 0.066946789631),
+        (7, 0.057991946978), (8, 0.051152522447), (9, 0.045757490561),
+    ]
+)
+
+BENFORD_LINEITEM_SQL = f"""
+WITH d AS (
+  SELECT regexp_extract(
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR),
+           '([1-9])', 1) AS dg
+  FROM lineitem
+),
+census AS (
+  SELECT dg, CAST(count(*) AS BIGINT) AS n
+  FROM d WHERE dg IS NOT NULL AND dg != '' GROUP BY 1
+),
+p AS (
+  SELECT dg, n,
+         round(CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE), 6)
+           AS p_obs,
+         CASE dg {BENFORD_CASE} END AS p_expected
+  FROM census
+)
+SELECT CAST(dg AS INTEGER) AS digit, n, p_obs, p_expected,
+       round(p_obs - p_expected, 6) AS diff
+FROM p
+"""
+
+QUERIES["benford_lineitem"] = (q_benford_lineitem, BENFORD_LINEITEM_SQL)
+
+
+def q_decile_lift_events(spark, sf_dir):
+    """Lift table of `value` as a purchase ranker: equal-depth score
+    deciles via the banded global rank, per-decile positive rate vs
+    the global rate."""
+    from betl_spark.operators import stats as stats_ops
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.where(F.col("event_type").isNotNull())
+    return stats_ops.decile_lift(
+        ev, "value", F.col("event_type") == "purchase", "event_id"
+    )
+
+
+DECILE_LIFT_EVENTS_SQL = """
+WITH e AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT pos,
+         row_number() OVER (ORDER BY v, event_id) AS rk,
+         count(*) OVER () AS n_tot
+  FROM e
+),
+b AS (
+  SELECT CAST((rk - 1) * 10 // n_tot AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pos) AS BIGINT) AS n_pos
+  FROM r GROUP BY 1
+)
+SELECT bucket, n, n_pos,
+       CASE WHEN n > 0
+            THEN round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6)
+            END AS rate,
+       CASE WHEN n > 0
+             AND CAST(sum(n_pos) OVER () AS DOUBLE)
+                 / CAST(sum(n) OVER () AS DOUBLE) > 0.0
+            THEN round((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(sum(n_pos) OVER () AS DOUBLE)
+                          / CAST(sum(n) OVER () AS DOUBLE)), 6)
+            END AS lift
+FROM b
+"""
+
+QUERIES["decile_lift_events"] = (q_decile_lift_events, DECILE_LIFT_EVENTS_SQL)

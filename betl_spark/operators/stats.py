@@ -545,3 +545,326 @@ def ab_test_proportions(
         F.when(F.col("n_b") > 0, F.round(p_b, 6)).alias("conv_b"),
         z.alias("z"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_a_col,
+    value_col,
+    value_scale: int = 3,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (rank-sum) test between two arms, with
+    the rank-based AUC it implies (AUC = U_a / (n_a·n_b) — the
+    probability a random A value ranks above a random B value, ties
+    counted half) — the nonparametric companion to
+    ``ab_test_proportions`` when the metric is a continuous value
+    rather than a conversion flag.
+
+    Rank machinery is a VALUE CENSUS, never a per-row window: one
+    grouped count per (group, quantized value), a cumulative count
+    over each group's distinct values (a Window over the census — its
+    cardinality is the value domain, not the row count), and average
+    ties-ranks kept EXACT by working in doubled ranks
+    (2·rank_avg = 2·cum_before + t + 1 is always an integer). The U
+    statistic, tie-corrected variance
+    var = n_a·n_b/12 · ((N+1) − Σ(t³−t)/(N(N−1))) and
+    z = (U_a − n_a·n_b/2)/√var are single engine-identical IEEE
+    expressions over exact integer sums.
+
+    Rows with a NULL arm or NULL value are excluded (a NULL hash key
+    belongs to neither arm — the contract's ab_test convention).
+    Groups missing an arm or with zero variance yield NULL z/auc.
+    Output: (group_cols..., n_a, n_b, u_a, auc 6dp, z 6dp).
+    """
+    from pyspark.sql import Window
+
+    is_a = arm_a_col if not isinstance(arm_a_col, str) else F.col(arm_a_col)
+    v = (
+        value_col if not isinstance(value_col, str) else F.col(value_col)
+    ).cast(f"decimal(18,{value_scale})")
+    base = df.select(
+        *group_cols, is_a.alias("__a"), v.alias("__v")
+    ).where(F.col("__a").isNotNull() & F.col("__v").isNotNull())
+    census = base.groupBy(*group_cols, "__v").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("__cb"),
+    )
+    t = (F.col("__ca") + F.col("__cb")).cast("long")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = census.select(
+        *group_cols,
+        "__ca",
+        "__cb",
+        t.alias("__t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("__cum"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        # Σ over values of cnt_a · (2·cum_before + t + 1) = 2·R_a
+        F.sum(
+            F.col("__ca").cast("long")
+            * (F.lit(2) * F.col("__cum") + F.col("__t") + F.lit(1))
+        ).alias("__r2a"),
+        F.sum(
+            F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+        ).alias("__ties"),
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    nn = F.col("n_a") + F.col("n_b")
+    n = nn.cast("double")
+    # 2·U_a = 2·R_a − n_a(n_a+1), exact integer
+    u2 = F.col("__r2a") - F.col("n_a") * (F.col("n_a") + F.lit(1))
+    u_a = u2.cast("double") / F.lit(2.0)
+    both = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    var_u = (
+        n_a * n_b / F.lit(12.0)
+        * (
+            (n + F.lit(1.0))
+            - F.col("__ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.when(both, u_a).alias("u_a"),
+        F.when(both, F.round(u2.cast("double") / (F.lit(2.0) * n_a * n_b), 6)).alias(
+            "auc"
+        ),
+        F.when(
+            both & (nn >= 2) & (var_u > F.lit(0.0)),
+            F.round((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var_u), 6),
+        ).alias("z"),
+    )
+
+
+def crosstab_assoc(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Association audit of two categorical columns (is `lang`
+    independent of `source`? did the scrape mix shift?): Pearson
+    chi-square statistic, Cramér's V effect size, and mutual
+    information in bits, all from ONE contingency census.
+
+    The census is a single grouped count on (x, y); row/column/grand
+    totals come from window sums OVER THE CENSUS (|x|·|y| cells — no
+    second scan, no join). Per-cell terms (O−E)²/E and
+    p·log2(p/(px·py)) are IEEE doubles on exact integer inputs,
+    rounded to 9dp and summed as integer nanos (the contract's
+    order-independent double-sum discipline), so the statistic is
+    engine-exact. Rows with NULL x or y are excluded (a NULL category
+    is a data-quality finding for `profile`, not a census cell).
+
+    Output: one row (n, n_x, n_y, dof, chi2 6dp, cramers_v 6dp,
+    mi_bits 6dp); NULL V/chi2 when dof = 0.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(x_col).alias("__x"), F.col(y_col).alias("__y")).where(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    census = base.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    wx = Window.partitionBy("__x")
+    wy = Window.partitionBy("__y")
+    wall = Window.partitionBy()
+    cells = census.select(
+        "__x",
+        "__y",
+        "__n",
+        F.sum("__n").over(wx).alias("__rx"),
+        F.sum("__n").over(wy).alias("__cy"),
+        F.sum("__n").over(wall).alias("__nn"),
+    )
+    nd = F.col("__n").cast("double")
+    rx = F.col("__rx").cast("double")
+    cy = F.col("__cy").cast("double")
+    nn = F.col("__nn").cast("double")
+    e = rx * cy / nn
+    # the census holds OBSERVED cells only; a structural zero cell
+    # still contributes E to chi-square. Since sum over ALL cells of E
+    # is N, chi2 = N + sum over observed cells of ((O-E)^2/E - E) —
+    # exact with no dense crosstab. MI needs no such correction
+    # (p = 0 cells contribute 0).
+    chi_term = (nd - e) * (nd - e) / e - e
+    mi_term = nd / nn * F.log2(nd * nn / (rx * cy))
+    nanos = lambda c: F.round(F.round(c, 9) * F.lit(1e9)).cast("decimal(38,0)")
+    agg = cells.agg(
+        F.max("__nn").alias("n"),
+        F.countDistinct("__x").alias("n_x"),
+        F.countDistinct("__y").alias("n_y"),
+        F.sum(nanos(chi_term)).alias("__chi_n"),
+        F.sum(nanos(mi_term)).alias("__mi_n"),
+    )
+    dof = (F.col("n_x") - 1) * (F.col("n_y") - 1)
+    chi2 = (
+        F.col("n").cast("double")
+        + F.col("__chi_n").cast("double") / F.lit(1e9)
+    )
+    mind = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    return agg.select(
+        "n",
+        "n_x",
+        "n_y",
+        dof.cast("long").alias("dof"),
+        F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
+        F.when(
+            (dof > 0) & (F.col("n") > 0) & (chi2 > F.lit(0.0)),
+            F.round(
+                F.sqrt(
+                    chi2 / (F.col("n").cast("double") * mind.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cramers_v"),
+        F.round(F.col("__mi_n").cast("double") / F.lit(1e9), 6).alias(
+            "mi_bits"
+        ),
+    )
+
+
+# First-significant-digit expectations, log10(1 + 1/d) as shared
+# 12dp literals: BOTH engines consume the same constants, so the
+# comparison never rides on cross-libm log10 ulps.
+BENFORD_EXPECTED = {
+    1: 0.301029995664,
+    2: 0.176091259056,
+    3: 0.124938736608,
+    4: 0.096910013008,
+    5: 0.079181246048,
+    6: 0.066946789631,
+    7: 0.057991946978,
+    8: 0.051152522447,
+    9: 0.045757490561,
+}
+
+
+def benford_digits(df: DataFrame, amount_col) -> DataFrame:
+    """First-significant-digit census of an amount column vs Benford's
+    law — the classic anomaly screen over financial/measure columns
+    (fabricated or truncated data shows up as a skewed digit mix).
+
+    The digit comes from the DECIMAL's string rendering (first
+    non-zero character), never floor(x/10^floor(log10 x)) — log10 at
+    power-of-ten boundaries is a cross-libm ulp hazard; string
+    rendering of an exact decimal is not (pass a DECIMAL column or
+    cast first: double->string may go scientific for large values,
+    and the two engines disagree on when). Zero/NULL amounts carry no
+    leading digit and are excluded. Expected proportions are shared
+    12dp literals (module constant), so both engines subtract the same
+    numbers. Output: one row per observed digit
+    (digit, n, p_obs 6dp, p_expected, diff 6dp), diff = p_obs −
+    p_expected on the ROUNDED p_obs (engine-identical by
+    construction).
+    """
+    from pyspark.sql import Window
+
+    amt = (
+        amount_col
+        if not isinstance(amount_col, str)
+        else F.col(amount_col)
+    )
+    digit = F.regexp_extract(amt.cast("string"), "([1-9])", 1)
+    base = df.select(digit.alias("__d")).where(F.col("__d") != "")
+    census = base.groupBy("__d").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    expected = F.element_at(
+        F.create_map(
+            *[
+                F.lit(x)
+                for d, p in sorted(BENFORD_EXPECTED.items())
+                for x in (str(d), p)
+            ]
+        ),
+        F.col("__d"),
+    )
+    p_obs = F.round(
+        F.col("n").cast("double") / F.sum("n").over(total).cast("double"), 6
+    )
+    return census.select(
+        F.col("__d").cast("int").alias("digit"),
+        "n",
+        p_obs.alias("p_obs"),
+        expected.alias("p_expected"),
+        F.round(p_obs - expected, 6).alias("diff"),
+    )
+
+
+def decile_lift(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    tiebreak_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Score-decile lift table — the standard readout for "is this
+    quality/classifier score actually ranking what it claims": rows
+    are ranked by score into ``n_buckets`` equal-depth bands and each
+    band reports its positive rate against the global rate.
+
+    Ranking reuses the banded two-pass global rank
+    (``ranked_running_sum`` — no partition-less Window), bucket
+    assignment is exact integer floor((rank−1)·B/N) (same arithmetic
+    as ``equidepth_histogram``), and rates/lift are single guarded
+    divisions over exact counts. Output: (bucket, n, n_pos, rate 6dp,
+    lift 6dp), bucket 0 = lowest scores; lift NULL when the global
+    rate is 0.
+    """
+    from pyspark.sql import Window
+
+    lab = (
+        label_col if not isinstance(label_col, str) else F.col(label_col)
+    ).cast("boolean")
+    ranked = ranked_running_sum(
+        df.select(
+            F.col(score_col).alias("__val"),
+            F.col(tiebreak_col).alias("__tb"),
+            F.lit(1).alias("__one"),
+            lab.alias("__lab"),
+        ).where(F.col("__val").isNotNull() & F.col("__lab").isNotNull()),
+        ["__val", "__tb"],
+        "__one",
+        rank_col="__rank",
+        cum_col="__cum",
+    )
+    total = ranked.agg(F.max("__cum").alias("__n"))
+    per_bucket = (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            F.expr(
+                f"(CAST(__rank AS BIGINT) - 1L) * {int(n_buckets)}L DIV __n"
+            ).alias("bucket"),
+            F.col("__lab").cast("long").alias("__pos"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__pos").alias("n_pos"),
+        )
+    )
+    wall = Window.partitionBy()
+    g_rate = (
+        F.sum("n_pos").over(wall).cast("double")
+        / F.sum("n").over(wall).cast("double")
+    )
+    rate = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    return per_bucket.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.when(F.col("n") > 0, F.round(rate, 6)).alias("rate"),
+        F.when(
+            (F.col("n") > 0) & (g_rate > F.lit(0.0)),
+            F.round(rate / g_rate, 6),
+        ).alias("lift"),
+    )

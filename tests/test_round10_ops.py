@@ -98,3 +98,109 @@ def test_resample_chunked_spine_crosses_chunk_boundaries(spark):
     )
     buckets = sorted(r["bucket"] for r in out.collect())
     assert buckets == list(range(-3, 8196))
+
+
+# ---- inference stats ----
+
+def test_mann_whitney_small_example(spark):
+    """Hand-checked: A = {1,2,3}, B = {2,4}. Ranks (avg ties):
+    1->1, 2->2.5 (x2), 3->4, 4->5. R_a = 1+2.5+4 = 7.5,
+    U_a = 7.5 - 3*4/2 = 1.5, AUC = 1.5/6 = 0.25."""
+    from betl_spark.operators.stats import mann_whitney
+
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", True, 2.0), ("g", True, 3.0),
+         ("g", False, 2.0), ("g", False, 4.0)],
+        "g string, a boolean, v double",
+    )
+    r = mann_whitney(df, ["g"], "a", "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 1.5
+    assert r["auc"] == 0.25
+
+
+def test_mann_whitney_single_arm_yields_nulls(spark):
+    from betl_spark.operators.stats import mann_whitney
+
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", True, 2.0)], "g string, a boolean, v double"
+    )
+    r = mann_whitney(df, ["g"], "a", "v").collect()[0]
+    assert r["n_b"] == 0 and r["u_a"] is None
+    assert r["auc"] is None and r["z"] is None
+
+
+def test_mann_whitney_excludes_null_arm_and_value(spark):
+    from betl_spark.operators.stats import mann_whitney
+
+    df = spark.createDataFrame(
+        [("g", True, 1.0), ("g", None, 9.0), ("g", False, None),
+         ("g", False, 2.0)],
+        "g string, a boolean, v double",
+    )
+    r = mann_whitney(df, ["g"], "a", "v").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 1)
+
+
+def test_crosstab_assoc_independent_and_perfect(spark):
+    from betl_spark.operators.stats import crosstab_assoc
+
+    # perfectly dependent: x determines y -> V = 1, MI = H(x) = 1 bit
+    dep = spark.createDataFrame(
+        [("a", "p")] * 5 + [("b", "q")] * 5, "x string, y string"
+    )
+    r = crosstab_assoc(dep, "x", "y").collect()[0]
+    assert r["n"] == 10 and r["dof"] == 1
+    assert r["cramers_v"] == 1.0
+    assert abs(r["mi_bits"] - 1.0) < 1e-6
+    # independent 2x2 with equal counts -> chi2 = 0, MI = 0
+    ind = spark.createDataFrame(
+        [("a", "p"), ("a", "q"), ("b", "p"), ("b", "q")] * 3,
+        "x string, y string",
+    )
+    r2 = crosstab_assoc(ind, "x", "y").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["mi_bits"] == 0.0
+    assert r2["cramers_v"] is None  # chi2 = 0 -> no effect size
+
+
+def test_crosstab_assoc_degenerate_single_column(spark):
+    from betl_spark.operators.stats import crosstab_assoc
+
+    df = spark.createDataFrame([("a", "p"), ("a", "q")], "x string, y string")
+    r = crosstab_assoc(df, "x", "y").collect()[0]
+    assert r["dof"] == 0 and r["chi2"] is None and r["cramers_v"] is None
+
+
+def test_benford_digits_counts_first_significant(spark):
+    from betl_spark.operators.stats import benford_digits
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(123.45,), (0.0067,), (912.0,), (0.0,), (None,), (-234.5,)],
+        "amt double",
+    )
+    out = {
+        r["digit"]: r["n"]
+        for r in benford_digits(
+            df, F.col("amt").cast("decimal(12,4)")
+        ).collect()
+    }
+    # 123.45 -> 1, 0.0067 -> 6, 912.0 -> 9, -234.5 -> 2; 0/NULL dropped
+    assert out == {1: 1, 6: 1, 9: 1, 2: 1}
+
+
+def test_decile_lift_ranks_scores(spark):
+    from betl_spark.operators.stats import decile_lift
+    from pyspark.sql import functions as F
+
+    # 100 rows, label true iff score >= 80: top duo of quintiles...
+    df = spark.createDataFrame(
+        [(float(i), i, i >= 80) for i in range(100)],
+        "score double, id long, lab boolean",
+    )
+    out = {r["bucket"]: r for r in decile_lift(df, "score", "lab", "id").collect()}
+    assert len(out) == 10
+    assert all(out[b]["n"] == 10 for b in out)
+    assert out[9]["rate"] == 1.0 and out[8]["rate"] == 1.0
+    assert out[0]["rate"] == 0.0
+    assert out[9]["lift"] == 5.0  # 1.0 / 0.2
