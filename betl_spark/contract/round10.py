@@ -416,3 +416,158 @@ FROM b
 """
 
 QUERIES["decile_lift_events"] = (q_decile_lift_events, DECILE_LIFT_EVENTS_SQL)
+
+
+# =====================================================================
+# Round-10 batch 3: bounded-lag time series
+# =====================================================================
+
+EWMA_ALPHA = 0.3
+EWMA_K = 8
+
+
+def q_ewma_events(spark, sf_dir):
+    """Bounded-window EWMA of `value` per event_type: k LAG terms on
+    shared 12dp weight literals, nanos-summed — the parallel,
+    engine-exact replacement for the sequential recursive EWMA."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.ewma_bounded(
+        ev, "event_type", "__ts_us", "event_id", "value",
+        alpha=EWMA_ALPHA, k=EWMA_K,
+    )
+
+
+def _ewma_sql() -> str:
+    ws = timeseries.ewma_weights(EWMA_ALPHA, EWMA_K)
+    wsum = round(sum(ws), 12)
+    lags = ",\n         ".join(
+        f"CAST(lag(CAST(v AS DOUBLE), {j}) OVER win AS DOUBLE) AS l{j}"
+        for j in range(len(ws))
+    )
+    terms = "\n           + ".join(
+        f"CAST(round(round({w!r} * l{j}, 9) * 1e9) AS BIGINT)"
+        for j, w in enumerate(ws)
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(value AS DECIMAL(12,3)) AS v
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+l AS (
+  SELECT event_type, event_id, v,
+         {lags}
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id)
+)
+SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
+       CASE WHEN l{len(ws) - 1} IS NOT NULL
+            THEN round(CAST({terms} AS DOUBLE) / 1e9 / {wsum!r}, 6)
+            END AS ewma
+FROM l
+"""
+
+
+QUERIES["ewma_events"] = (q_ewma_events, _ewma_sql())
+
+
+def q_cusum_events(spark, sf_dir):
+    """CUSUM change-point per event_type: peak |cumulative deviation
+    from the key mean|, located on the exact integer numerator
+    n*S_i - i*T (no mid-stream division anywhere)."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.cusum_changepoint(
+        ev, "event_type", "__ts_us", "event_id", "value"
+    )
+
+
+CUSUM_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id,
+         CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS vi
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT event_type, t, event_id,
+         row_number() OVER win AS i,
+         sum(vi) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS s,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(vi) OVER (PARTITION BY event_type) AS tt
+  FROM e
+  WINDOW win AS (PARTITION BY event_type ORDER BY t, event_id)
+),
+d AS (
+  SELECT event_type, t, event_id, n,
+         n * s - i * tt AS num,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * s - i * tt) DESC, t, event_id)
+           AS rk
+  FROM r
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(CAST(abs(num) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000.0), 6) AS max_cusum,
+       event_id AS cp_event_id, t AS cp_ts_micros
+FROM d WHERE rk = 1
+"""
+
+QUERIES["cusum_changepoint_events"] = (q_cusum_events, CUSUM_EVENTS_SQL)
+
+
+def q_autocorr_events(spark, sf_dir):
+    """Lag-1 autocorrelation of `value` per event_type from exact
+    moment sums over LEAD pairs (never a builtin corr)."""
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return timeseries.autocorr_lag(
+        ev, "event_type", "__ts_us", "event_id", "value", lag=1
+    )
+
+
+AUTOCORR_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS t, event_id, value AS v
+  FROM events WHERE ts IS NOT NULL
+),
+p AS (
+  SELECT event_type,
+         CAST(v AS DECIMAL(18,3)) AS x,
+         CAST(lead(v, 1) OVER (PARTITION BY event_type
+                               ORDER BY t, event_id)
+              AS DECIMAL(18,3)) AS y
+  FROM e
+),
+m AS (
+  SELECT event_type,
+         CAST(count(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN 1 END) AS BIGINT) AS n,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS sx,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS sy,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * y AS DECIMAL(30,6)) END) AS sxy,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(x * x AS DECIMAL(30,6)) END) AS sxx,
+         sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN CAST(y * y AS DECIMAL(30,6)) END) AS syy
+  FROM p GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS r
+FROM m
+"""
+
+QUERIES["autocorr_events"] = (q_autocorr_events, AUTOCORR_EVENTS_SQL)

@@ -476,3 +476,197 @@ def rolling_zscore_time(
         z.alias("zscore"),
         (F.abs(z) > F.lit(z_thresh)).alias("is_anomaly"),
     )
+
+
+def ewma_weights(alpha: float, k: int) -> list[float]:
+    """The bounded-EWMA weight vector alpha·(1−alpha)^j, j = 0..k−1,
+    each rounded to 12dp — module-level so engine and oracle consume
+    the SAME literals (cross-libm pow() is not in the parity loop)."""
+    return [round(alpha * (1.0 - alpha) ** j, 12) for j in range(k)]
+
+
+def ewma_bounded(
+    df: DataFrame,
+    part_col: str,
+    ts_micros_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    k: int = 8,
+) -> DataFrame:
+    """Bounded-window EWMA smoothing per key: each row's smoothed
+    value is the normalized exponentially-weighted sum of its last
+    ``k`` observations (current included), ordered by (time,
+    tiebreak).
+
+    The textbook recursive EWMA (s_i = α·x_i + (1−α)·s_{i−1}) is a
+    sequential scan — unparallelizable and, in floating point,
+    order-fragile. Truncating the memory to ``k`` terms (the weight
+    tail beyond k is (1−α)^k — under 6% of mass at the defaults)
+    turns it into ``k`` LAG columns inside one partitioned window:
+    embarrassingly parallel across keys, and engine-exact because each
+    term w_j·x_{i−j} is one IEEE multiply on shared 12dp weight
+    literals, rounded to 9dp and summed as integer nanos. Rows with
+    fewer than ``k`` predecessors are unscored (NULL — a shorter
+    window would silently change the effective α).
+
+    Output: (part, tiebreak, value, ewma 6dp).
+    """
+    ws = ewma_weights(alpha, k)
+    wsum = round(sum(ws), 12)
+    # NULL values carry no weight and would NULL every frame they
+    # touch — excluded up front (mirror the oracle's WHERE)
+    base = df.where(
+        F.col(ts_micros_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(part_col).alias("__p"),
+        F.col(ts_micros_col).cast("long").alias("__t"),
+        F.col(tiebreak_col).alias("__id"),
+        F.col(value_col).cast("decimal(12,3)").alias("__v"),
+    )
+    w = Window.partitionBy("__p").orderBy("__t", "__id")
+    lagged = base.select(
+        "__p",
+        "__id",
+        "__v",
+        *[
+            F.lag(F.col("__v").cast("double"), j).over(w).alias(f"__l{j}")
+            for j in range(len(ws))
+        ],
+    )
+    term = lambda j: F.round(
+        F.round(F.lit(ws[j]) * F.col(f"__l{j}"), 9) * F.lit(1e9)
+    ).cast("long")
+    nanos = None
+    for j in range(len(ws)):
+        nanos = term(j) if nanos is None else nanos + term(j)
+    return lagged.select(
+        F.col("__p").alias(part_col),
+        F.col("__id").alias(tiebreak_col),
+        F.col("__v").cast("double").alias(value_col),
+        F.when(
+            F.col(f"__l{len(ws) - 1}").isNotNull(),
+            F.round(
+                nanos.cast("double") / F.lit(1e9) / F.lit(wsum), 6
+            ),
+        ).alias("ewma"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    part_col: str,
+    ts_micros_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    value_scale: int = 3,
+) -> DataFrame:
+    """Per-key CUSUM change-point locator: the time-ordered cumulative
+    deviation from the key's own mean, C_i = Σ_{j≤i}(x_j − μ), peaks
+    at the most likely level-shift point — the classic offline
+    change-point screen over a metric stream.
+
+    Exactness: C_i = S_i − i·T/n needs μ = T/n, a non-terminating
+    division — so the comparison runs on the EXACT integer numerator
+    n·S_i − i·T instead (values quantized to ``value_scale`` dp
+    integers; S_i is a windowed prefix sum of longs, T/n per-key
+    totals from an unbounded frame on the same partitioning — one
+    shuffle total). |numerator| is maximized, the argmax row (ties →
+    earliest time, then tiebreak) is the change point, and only the
+    final report divides: max|C| = max|num|/(n·10^scale). Long-range
+    note: n·S keeps headroom while n²·max|x|·10^scale < 2⁶³ — beyond
+    ~10⁹ rows per key switch the two products to DECIMAL(38,0).
+
+    Output: (part, n, max_cusum 6dp, cp_tiebreak, cp_ts_micros) — one
+    row per key; keys with a single row report max_cusum 0 at their
+    only point.
+    """
+    mult = 10 ** value_scale
+    base = df.where(
+        F.col(ts_micros_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(part_col).alias("__p"),
+        F.col(ts_micros_col).cast("long").alias("__t"),
+        F.col(tiebreak_col).alias("__id"),
+        (
+            F.col(value_col).cast(f"decimal(18,{value_scale})")
+            * F.lit(mult)
+        ).cast("long").alias("__vi"),
+    )
+    wo = Window.partitionBy("__p").orderBy("__t", "__id")
+    wall = Window.partitionBy("__p")
+    rows = base.select(
+        "__p",
+        "__t",
+        "__id",
+        F.row_number().over(wo).alias("__i"),
+        F.sum("__vi").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("__s"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+        F.sum("__vi").over(wall).alias("__tt"),
+    ).select(
+        "__p",
+        "__t",
+        "__id",
+        "__n",
+        (F.col("__n") * F.col("__s") - F.col("__i") * F.col("__tt")).alias(
+            "__num"
+        ),
+    )
+    pick = Window.partitionBy("__p").orderBy(
+        F.abs(F.col("__num")).desc(), F.col("__t").asc(), F.col("__id").asc()
+    )
+    best = rows.withColumn("__rk", F.row_number().over(pick)).where(
+        F.col("__rk") == 1
+    )
+    return best.select(
+        F.col("__p").alias(part_col),
+        F.col("__n").cast("long").alias("n"),
+        F.round(
+            F.abs(F.col("__num")).cast("double")
+            / (F.col("__n").cast("double") * F.lit(float(mult))),
+            6,
+        ).alias("max_cusum"),
+        F.col("__id").alias("cp_" + tiebreak_col),
+        F.col("__t").alias("cp_ts_micros"),
+    )
+
+
+def autocorr_lag(
+    df: DataFrame,
+    part_col: str,
+    ts_micros_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    lag: int = 1,
+    value_scale: int = 3,
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation of a time-ordered value
+    stream (is the metric self-correlated shift-to-shift?): pairs
+    (x_i, x_{i+lag}) from one LEAD over the key partition, then the
+    exact-moment Pearson machinery (``stats.grouped_pearson`` — never
+    a builtin corr, whose double accumulation is partition-order
+    dependent). One shuffle: the lead window and the grouped moments
+    share the key partitioning.
+
+    Output: (part, n, r) — n pairs, r 6dp, NULL r for degenerate
+    series.
+    """
+    from betl_spark.operators.stats import grouped_pearson
+
+    base = df.where(F.col(ts_micros_col).isNotNull()).select(
+        F.col(part_col).alias("__p"),
+        F.col(ts_micros_col).cast("long").alias("__t"),
+        F.col(tiebreak_col).alias("__id"),
+        F.col(value_col).alias("__v"),
+    )
+    w = Window.partitionBy("__p").orderBy("__t", "__id")
+    pairs = base.select(
+        "__p", "__v", F.lead("__v", int(lag)).over(w).alias("__vn")
+    )
+    out = grouped_pearson(
+        pairs, ["__p"], "__v", "__vn",
+        x_scale=value_scale, y_scale=value_scale,
+    )
+    return out.select(F.col("__p").alias(part_col), "n", "r")

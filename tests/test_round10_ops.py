@@ -204,3 +204,63 @@ def test_decile_lift_ranks_scores(spark):
     assert out[9]["rate"] == 1.0 and out[8]["rate"] == 1.0
     assert out[0]["rate"] == 0.0
     assert out[9]["lift"] == 5.0  # 1.0 / 0.2
+
+
+# ---- bounded-lag time series ----
+
+def test_ewma_bounded_matches_python_reference(spark):
+    from betl_spark.operators.timeseries import ewma_bounded, ewma_weights
+
+    vals = [10.0, 12.0, 9.0, 11.0, 14.0, 8.0]
+    df = spark.createDataFrame(
+        [("k", i * 100, i, v) for i, v in enumerate(vals)],
+        "p string, t long, id long, v double",
+    )
+    out = {r["id"]: r["ewma"] for r in
+           ewma_bounded(df, "p", "t", "id", "v", alpha=0.5, k=3).collect()}
+    # rows 0,1 lack k-1 predecessors
+    assert out[0] is None and out[1] is None
+    ws = ewma_weights(0.5, 3)
+    wsum = round(sum(ws), 12)
+    for i in (2, 3, 4, 5):
+        nanos = sum(round(round(w * vals[i - j], 9) * 1e9)
+                    for j, w in enumerate(ws))
+        assert out[i] == round(nanos / 1e9 / wsum, 6), i
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    from betl_spark.operators.timeseries import cusum_changepoint
+
+    # 10 points at 0 then 10 points at 100: |C| peaks at the shift
+    rows = [("k", i, i, 0.0) for i in range(10)] + [
+        ("k", 10 + i, 10 + i, 100.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "p string, t long, id long, v double")
+    r = cusum_changepoint(df, "p", "t", "id", "v").collect()[0]
+    assert r["n"] == 20
+    # C_i = S_i - i*50; max |C| at i=10 (end of the low run): |0-500| = 500
+    assert r["cp_id"] == 9 and r["max_cusum"] == 500.0
+
+
+def test_cusum_single_row_key(spark):
+    from betl_spark.operators.timeseries import cusum_changepoint
+
+    df = spark.createDataFrame(
+        [("k", 1, 1, 5.0)], "p string, t long, id long, v double"
+    )
+    r = cusum_changepoint(df, "p", "t", "id", "v").collect()[0]
+    assert r["n"] == 1 and r["max_cusum"] == 0.0
+
+
+def test_autocorr_lag_perfect_and_alternating(spark):
+    from betl_spark.operators.timeseries import autocorr_lag
+
+    inc = [("a", i, i, float(i)) for i in range(10)]
+    alt = [("b", i, i, float(i % 2)) for i in range(10)]
+    df = spark.createDataFrame(
+        inc + alt, "p string, t long, id long, v double"
+    )
+    out = {r["p"]: r for r in
+           autocorr_lag(df, "p", "t", "id", "v", lag=1).collect()}
+    assert out["a"]["n"] == 9 and out["a"]["r"] == 1.0
+    assert out["b"]["r"] == -1.0
