@@ -571,3 +571,212 @@ FROM m
 """
 
 QUERIES["autocorr_events"] = (q_autocorr_events, AUTOCORR_EVENTS_SQL)
+
+
+# =====================================================================
+# Round-10 batch 4: positional retrieval, readability, novelty, drift
+# =====================================================================
+
+PHRASE = ["value", "table"]
+
+
+def q_phrase_search_docs(spark, sf_dir):
+    """Exact positional phrase search for "value table": positional
+    postings anchored on term 0, each later term an equi-join on
+    (doc, anchor+j) — contiguity, not co-occurrence."""
+    from betl_spark.operators.corpus import phrase_search
+
+    docs = table(spark, sf_dir, "documents")
+    return phrase_search(docs, "doc_id", "text", PHRASE)
+
+
+PHRASE_SEARCH_DOCS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1
+           AS pos
+  FROM documents
+),
+hits AS (
+  SELECT t0.doc_id, t0.pos AS p0
+  FROM tok t0
+  JOIN tok t1 ON t0.doc_id = t1.doc_id AND t1.pos = t0.pos + 1
+             AND t1.term = '{PHRASE[1]}'
+  WHERE t0.term = '{PHRASE[0]}'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(p0) AS INTEGER) AS first_pos
+FROM hits GROUP BY 1
+"""
+
+QUERIES["phrase_search_docs"] = (q_phrase_search_docs, PHRASE_SEARCH_DOCS_SQL)
+
+
+def q_readability_docs(spark, sf_dir):
+    """Dictionary-free Flesch-style readability per document from
+    exact word/sentence/vowel-group counts (one projection, no
+    shuffle)."""
+    from betl_spark.operators.text import readability
+
+    docs = table(spark, sf_dir, "documents")
+    return readability(docs, "doc_id", "text")
+
+
+READABILITY_DOCS_SQL = """
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+              AS BIGINT) AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS BIGINT) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE)
+                                  / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE)
+                                 / CAST(n_words AS DOUBLE)), 4)
+            END AS flesch
+FROM c
+"""
+
+QUERIES["readability_docs"] = (q_readability_docs, READABILITY_DOCS_SQL)
+
+
+NOVELTY_N = 3
+
+
+def q_ngram_novelty_docs(spark, sf_dir):
+    """Per-doc marginal novelty: fraction of the doc's distinct
+    3-grams first seen (min doc_id) in this doc — the
+    recycled-content screen between exact and semantic dedup."""
+    from betl_spark.operators.corpus import ngram_novelty
+
+    docs = table(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=NOVELTY_N)
+
+
+NGRAM_NOVELTY_DOCS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[i:i+{NOVELTY_N - 1}], ' ') AS g
+  FROM toks CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(tk) - {NOVELTY_N - 1})) AS i
+  ) u
+  WHERE len(tk) >= {NOVELTY_N}
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT grams.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ngrams,
+         CAST(sum(CASE WHEN first.first_doc = grams.doc_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM grams JOIN first ON grams.g = first.g
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_ngrams, 0) AS n_ngrams,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN round(CAST(p.n_novel AS DOUBLE)
+                       / CAST(p.n_ngrams AS DOUBLE), 6) END AS novelty
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+QUERIES["ngram_novelty_docs"] = (q_ngram_novelty_docs, NGRAM_NOVELTY_DOCS_SQL)
+
+
+def q_column_drift_events(spark, sf_dir):
+    """Column-level NULL-rate/cardinality drift between the first and
+    second halves of the events timeline (split at the exact midpoint
+    bucket of the observed epoch range)."""
+    from betl_spark.operators.profile import column_drift_audit
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev)).where(
+        F.col("ts").isNotNull()
+    )
+    bounds = ev.agg(
+        F.min("__ts_us").alias("lo"), F.max("__ts_us").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    cols = ["user_id", "event_type", "value", "props"]
+    return column_drift_audit(
+        ev.where(F.col("__ts_us") <= mid).select(*cols),
+        ev.where(F.col("__ts_us") > mid).select(*cols),
+        cols,
+    )
+
+
+COLUMN_DRIFT_EVENTS_SQL = """
+WITH b AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+  FROM events WHERE ts IS NOT NULL
+),
+u AS (
+  SELECT CASE WHEN epoch_us(ts) <= b.mid THEN 'a' ELSE 'b' END AS side,
+         user_id, event_type, value, props
+  FROM events CROSS JOIN b WHERE ts IS NOT NULL
+),
+m AS (
+  SELECT side, col, nulls, dist FROM (
+    SELECT side,
+           'user_id' AS col,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nulls,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dist
+    FROM u GROUP BY 1
+    UNION ALL
+    SELECT side, 'event_type',
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT)
+    FROM u GROUP BY 1
+    UNION ALL
+    SELECT side, 'value',
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT)
+    FROM u GROUP BY 1
+    UNION ALL
+    SELECT side, 'props',
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT)
+    FROM u GROUP BY 1
+  )
+),
+n AS (SELECT side, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY 1)
+SELECT m_a.col AS "column",
+       n_a.n AS n_a, n_b.n AS n_b,
+       CASE WHEN n_a.n > 0
+            THEN round(CAST(m_a.nulls AS DOUBLE) / CAST(n_a.n AS DOUBLE), 6)
+            END AS null_rate_a,
+       CASE WHEN n_b.n > 0
+            THEN round(CAST(m_b.nulls AS DOUBLE) / CAST(n_b.n AS DOUBLE), 6)
+            END AS null_rate_b,
+       round(
+         (CASE WHEN n_b.n > 0
+               THEN round(CAST(m_b.nulls AS DOUBLE)
+                          / CAST(n_b.n AS DOUBLE), 6) END)
+         - (CASE WHEN n_a.n > 0
+                 THEN round(CAST(m_a.nulls AS DOUBLE)
+                            / CAST(n_a.n AS DOUBLE), 6) END), 6)
+         AS null_rate_delta,
+       m_a.dist AS n_distinct_a,
+       m_b.dist AS n_distinct_b
+FROM m m_a
+JOIN m m_b ON m_a.col = m_b.col AND m_a.side = 'a' AND m_b.side = 'b'
+JOIN n n_a ON n_a.side = 'a'
+JOIN n n_b ON n_b.side = 'b'
+"""
+
+QUERIES["column_drift_events"] = (
+    q_column_drift_events,
+    COLUMN_DRIFT_EVENTS_SQL,
+)

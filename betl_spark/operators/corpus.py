@@ -673,3 +673,112 @@ def pmi_topk(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(top_n)
     )
+
+
+def phrase_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: list[str],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact positional phrase search (the quoted-query operator a
+    corpus-curation UI runs): docs containing the tokens of ``phrase``
+    CONTIGUOUSLY, in order — not merely co-occurring (what
+    ``keyword_search_and`` answers).
+
+    Classic positional-postings intersection, relationally: tokenize
+    with positions (one ``posexplode``), keep only postings of the
+    phrase's terms (the filter lands before any shuffle — the posting
+    stream shrinks to O(phrase-term occurrences) immediately), anchor
+    on term 0 and equi-join each later term j on (doc, anchor+j). All
+    joins share the (doc, position) key space; a phrase of length k is
+    k−1 co-partitioned joins over already-tiny posting sets, never a
+    text rescan. Duplicate terms in the phrase are fine (each join is
+    an independent posting lookup).
+
+    Output: (id, keep_cols..., n_occurrences, first_pos 0-based) —
+    one row per matching doc.
+    """
+    if not phrase or len(phrase) < 1:
+        raise ValueError("phrase_search: phrase needs at least one token")
+    from betl_spark.operators.text import tokens
+
+    postings = df.select(
+        F.col(id_col),
+        *(keep_cols or []),
+        F.posexplode(tokens(text_col)).alias("__pos", "__term"),
+    ).where(F.col("__term").isin(list(set(phrase))))
+    anchors = postings.where(F.col("__term") == phrase[0]).select(
+        F.col(id_col), *(keep_cols or []), F.col("__pos").alias("__p0")
+    )
+    for j, term in enumerate(phrase[1:], start=1):
+        nxt = postings.where(F.col("__term") == term).select(
+            F.col(id_col).alias("__jid"),
+            (F.col("__pos") - F.lit(j)).alias("__jp0"),
+        )
+        anchors = anchors.join(
+            nxt,
+            (F.col(id_col) == F.col("__jid"))
+            & (F.col("__p0") == F.col("__jp0")),
+            "left_semi",
+        )
+    return anchors.groupBy(id_col, *(keep_cols or [])).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("__p0").alias("first_pos"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word n-grams whose corpus-wide first appearance (minimum doc id)
+    is this doc — "how much does this document add that no earlier
+    document already said", the marginal-contribution screen a
+    dedup-then-curate pipeline runs between exact dedup and semantic
+    dedup (a doc of recycled n-grams scores ~0 even when no single
+    source matches enough for near-dup removal).
+
+    Shape: explode distinct n-grams (``decontam.word_ngrams`` — the
+    same grams the contamination screen uses), one grouped MIN per
+    gram (the census shuffle, map-side combinable), broadcast-join
+    nothing — the census joins back to the doc-gram pairs on the gram
+    key, then one count-up per doc. Docs with fewer than ``n`` tokens
+    have no grams and report NULL novelty.
+
+    Output: (id, n_ngrams, n_novel, novelty 6dp).
+    """
+    from betl_spark.operators.decontam import word_ngrams
+
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams(text_col, n)).alias("__g"),
+    )
+    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    joined = grams.join(first, "__g")
+    per_doc = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(
+            (F.col("__first") == F.col("__id")).cast("long")
+        ).alias("n_novel"),
+    )
+    out = df.select(F.col(id_col).alias("__id")).join(
+        per_doc, "__id", "left"
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_ngrams") > 0,
+            F.round(
+                F.col("n_novel").cast("double")
+                / F.col("n_ngrams").cast("double"),
+                6,
+            ),
+        ).alias("novelty"),
+    )

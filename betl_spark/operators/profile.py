@@ -390,3 +390,77 @@ def ks_drift(
             F.round(F.max("__d"), round_to).alias("ks_d"),
         )
     )
+
+
+def column_drift_audit(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+) -> DataFrame:
+    """Column-level drift audit between two snapshots of the same
+    schema (yesterday's batch vs today's, first half vs second half of
+    a backfill): per column, NULL rate and distinct cardinality on
+    each side plus the rate delta — the cheap schema-health screen
+    that catches an upstream feed silently starting to send NULLs or
+    collapsing a dimension, before ``ks_drift``/``psi_drift`` level
+    distribution analysis.
+
+    One aggregate per side (every column's null count and approx-free
+    exact distinct in a single pass each — 2 scans total, no shuffle
+    of row data beyond the count-distinct), then a columns-long unpivot
+    of two 1-row frames joined on the column name. O(|columns|) result
+    rows.
+
+    Output: (column, n_a, n_b, null_rate_a 6dp, null_rate_b 6dp,
+    null_rate_delta 6dp, n_distinct_a, n_distinct_b).
+    """
+    if not columns:
+        raise ValueError("column_drift_audit: at least one column required")
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+                for c in columns
+            ],
+            *[
+                F.countDistinct(F.col(c)).alias(f"__dist_{c}")
+                for c in columns
+            ],
+        )
+        stack = ", ".join(
+            f"'{c}', __null_{c}, __dist_{c}" for c in columns
+        )
+        return agg.select(
+            F.col("__n").alias(f"n_{tag}"),
+            F.expr(
+                f"stack({len(columns)}, {stack}) AS "
+                f"(column, __nulls_{tag}, n_distinct_{tag})"
+            ),
+        ).select(
+            "column",
+            f"n_{tag}",
+            f"__nulls_{tag}",
+            f"n_distinct_{tag}",
+        )
+
+    a = side(df_a, "a")
+    b = side(df_b, "b")
+    joined = a.join(b, "column", "full")
+    rate = lambda nulls, n: F.when(
+        F.col(n) > 0,
+        F.round(F.col(nulls).cast("double") / F.col(n).cast("double"), 6),
+    )
+    ra = rate("__nulls_a", "n_a")
+    rb = rate("__nulls_b", "n_b")
+    return joined.select(
+        "column",
+        "n_a",
+        "n_b",
+        ra.alias("null_rate_a"),
+        rb.alias("null_rate_b"),
+        F.round(rb - ra, 6).alias("null_rate_delta"),
+        "n_distinct_a",
+        "n_distinct_b",
+    )

@@ -322,3 +322,59 @@ def char_diversity(
             & (conc < F.lit(float(max_concentration)))
         ).alias("keep"),
     )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch-reading-ease-style readability scoring per document —
+    the quality-filter feature that separates natural prose from
+    keyword-stuffed or machine-generated filler by sentence and word
+    shape alone (no model, no dictionary).
+
+    All three inputs are exact integer counts from one codegen'd
+    projection (no shuffle at all): words = non-empty whitespace
+    tokens; sentences = runs of [.!?] (floored at 1 — a fragment is
+    one sentence); syllables ~= vowel-group runs per lowercased text
+    (the standard dictionary-free estimator). The score
+    206.835 − 1.015·(W/S) − 84.6·(Syl/W) is one engine-identical IEEE
+    expression, NULL for wordless docs.
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch 4dp).
+    """
+    toks = F.expr(
+        f"size(filter(split({text_col}, ' '), t -> t != ''))"
+    ).cast("long")
+    sents = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"size(regexp_extract_all({text_col}, '[.!?]+', 0))").cast(
+            "long"
+        ),
+    )
+    syls = F.expr(
+        f"size(regexp_extract_all(lower({text_col}), '[aeiouy]+', 0))"
+    ).cast("long")
+    base = df.select(
+        F.col(id_col),
+        toks.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+    )
+    w = F.col("n_words").cast("double")
+    s = F.col("n_sentences").cast("double")
+    y = F.col("n_syllables").cast("double")
+    return base.select(
+        id_col,
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
+                4,
+            ),
+        ).alias("flesch"),
+    )

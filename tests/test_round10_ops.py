@@ -264,3 +264,92 @@ def test_autocorr_lag_perfect_and_alternating(spark):
            autocorr_lag(df, "p", "t", "id", "v", lag=1).collect()}
     assert out["a"]["n"] == 9 and out["a"]["r"] == 1.0
     assert out["b"]["r"] == -1.0
+
+
+# ---- retrieval / text / drift ----
+
+def test_phrase_search_contiguity_not_cooccurrence(spark):
+    from betl_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "a b x b c a b"), (2, "a b c"), (3, "c b a"), (4, "a b c a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in phrase_search(df, "doc_id", "text", ["a", "b", "c"]).collect()}
+    # doc 1 has a-b and b-c but never contiguous a b c; doc 3 reversed
+    assert out == {2: (1, 0), 4: (2, 0)}
+
+
+def test_phrase_search_duplicate_terms(spark):
+    from betl_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame(
+        [(1, "x the the y the the the"), (2, "the x the")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_search(df, "doc_id", "text", ["the", "the"]).collect()}
+    assert out == {1: 3}  # positions (1,2), (4,5), (5,6)
+
+
+def test_phrase_search_rejects_empty(spark):
+    from betl_spark.operators.corpus import phrase_search
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="at least one"):
+        phrase_search(df, "doc_id", "text", [])
+
+
+def test_ngram_novelty_first_doc_wins(spark):
+    from betl_spark.operators.corpus import ngram_novelty
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c x y z"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    # doc 1: grams {abc, bcd} both first here -> 1.0
+    assert out[1]["novelty"] == 1.0
+    # doc 2: {abc(no), bcx, cxy, xyz} -> 3/4
+    assert out[2]["n_ngrams"] == 4 and out[2]["n_novel"] == 3
+    assert out[2]["novelty"] == 0.75
+    # doc 3: too short -> 0 grams, NULL novelty
+    assert out[3]["n_ngrams"] == 0 and out[3]["novelty"] is None
+
+
+def test_readability_counts(spark):
+    from betl_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran! Done?"), (2, ""), (3, "word")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(df, "doc_id", "text").collect()}
+    assert out[1]["n_words"] == 7 and out[1]["n_sentences"] == 3
+    assert out[2]["n_words"] == 0 and out[2]["flesch"] is None
+    assert out[3]["n_sentences"] == 1  # floored at 1
+
+
+def test_column_drift_audit_detects_null_shift(spark):
+    from betl_spark.operators.profile import column_drift_audit
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "k long, v string")
+    b = spark.createDataFrame(
+        [(3, None), (4, None), (5, "y"), (6, "z")], "k long, v string"
+    )
+    out = {r["column"]: r for r in column_drift_audit(a, b, ["k", "v"]).collect()}
+    assert out["v"]["null_rate_a"] == 0.0
+    assert out["v"]["null_rate_b"] == 0.5
+    assert out["v"]["null_rate_delta"] == 0.5
+    assert out["v"]["n_distinct_a"] == 2 and out["v"]["n_distinct_b"] == 2
+    assert out["k"]["n_a"] == 2 and out["k"]["n_b"] == 4
+
+
+def test_column_drift_audit_rejects_empty(spark):
+    from betl_spark.operators.profile import column_drift_audit
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="at least one"):
+        column_drift_audit(df, df, [])
