@@ -780,3 +780,92 @@ QUERIES["column_drift_events"] = (
     q_column_drift_events,
     COLUMN_DRIFT_EVENTS_SQL,
 )
+
+
+# =====================================================================
+# Round-10 batch 5: embedding-space audit
+# =====================================================================
+
+def q_embedding_norm_stats(spark, sf_dir):
+    """Per-label L2-norm audit of the embedding table: per-row norms
+    by fixed-order array fold, cross-row average by exact integer
+    nanos (never a raw double sum)."""
+    from betl_spark.operators.similarity import embedding_norm_stats
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_norm_stats(emb, "embedding", "label")
+
+
+EMBEDDING_NORM_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings WHERE embedding IS NOT NULL
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(round(nrm, 9) * 1e9) AS BIGINT))
+                  AS DOUBLE) / 1e9 / CAST(count(*) AS DOUBLE), 6)
+         AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM n GROUP BY 1
+"""
+
+QUERIES["embedding_norm_stats"] = (
+    q_embedding_norm_stats,
+    EMBEDDING_NORM_STATS_SQL,
+)
+
+
+OUTLIER_K = 20
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Top-20 farthest-from-centroid vectors per label: exact
+    nanos-summed centroids, broadcast centroid arrays, fixed-order
+    zip-fold distances, label-partitioned top-k."""
+    from betl_spark.operators.similarity import embedding_outliers
+
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_outliers(
+        emb, "vec_id", "embedding", "label", k=OUTLIER_K
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding
+  FROM embeddings WHERE embedding IS NOT NULL
+),
+comps AS (
+  SELECT label, CAST(r.range AS INTEGER) AS pos,
+         CAST(round(round(CAST(embedding[CAST(r.range AS INTEGER) + 1]
+                               AS DOUBLE), 9) * 1e9) AS BIGINT) AS xn
+  FROM base CROSS JOIN range(64) r
+),
+cent AS (
+  SELECT label, pos,
+         CAST(sum(xn) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9) AS c
+  FROM comps GROUP BY 1, 2
+),
+centarr AS (SELECT label, list(c ORDER BY pos) AS cent FROM cent GROUP BY 1),
+d AS (
+  SELECT b.label, b.vec_id,
+         sqrt(list_sum(list_transform(list_zip(b.embedding, ca.cent),
+              p -> (CAST(struct_extract(p, 1) AS DOUBLE)
+                    - struct_extract(p, 2))
+                 * (CAST(struct_extract(p, 1) AS DOUBLE)
+                    - struct_extract(p, 2))))) AS dist
+  FROM base b JOIN centarr ca ON b.label = ca.label
+),
+r AS (
+  SELECT label, vec_id, dist,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist DESC, vec_id) AS rk
+  FROM d
+)
+SELECT label, vec_id, round(dist, 6) AS dist FROM r WHERE rk <= {OUTLIER_K}
+"""
+
+QUERIES["embedding_outliers"] = (q_embedding_outliers, EMBEDDING_OUTLIERS_SQL)

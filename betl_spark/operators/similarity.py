@@ -1638,3 +1638,135 @@ def lsh_multitable_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_norm_stats(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-label embedding-norm audit (n, avg/min/max L2 norm) — the
+    first sanity screen over an embedding drop: a collapsed encoder,
+    an unnormalized batch, or a zero-vector run shows up as a norm
+    distribution shift long before any ANN metric moves.
+
+    Per-row norm² is a fixed-order array fold (``aggregate`` — the
+    engine-exact pattern the cosine family is pinned on); the
+    CROSS-ROW average must not sum raw doubles (order-dependent), so
+    each row's norm rounds to 9dp integer nanos and the label sum is
+    exact. NULL embeddings are excluded. Output: (label, n,
+    avg_norm 6dp, min_norm 6dp, max_norm 6dp).
+    """
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(label_col).alias("label"), norm.alias("__norm")
+    )
+    nanos = F.round(F.round(F.col("__norm"), 9) * F.lit(1e9)).cast("long")
+    agg = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(nanos).alias("__s"),
+        F.min("__norm").alias("__mn"),
+        F.max("__norm").alias("__mx"),
+    )
+    return agg.select(
+        "label",
+        "n",
+        F.round(
+            F.col("__s").cast("double")
+            / F.lit(1e9)
+            / F.col("n").cast("double"),
+            6,
+        ).alias("avg_norm"),
+        F.round("__mn", 6).alias("min_norm"),
+        F.round("__mx", 6).alias("max_norm"),
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` farthest-from-centroid rows per label — the
+    mislabeled/contaminated-cluster screen over an embedding table
+    (the rows a curation pass sends to review first).
+
+    Centroids are exact: each component rounds to 9dp integer nanos,
+    sums per (label, position) — order-independent — and divides once
+    (the kmeans_train discipline). The per-label centroid re-assembles
+    into an ARRAY (sorted collect over ≤ dim rows), broadcasts (one
+    row per label), and each row's distance² is a fixed-order zip
+    fold over (x − c)² — identical IEEE terms in both engines. Top-k
+    per label is a label-partitioned row_number (never global), ties
+    broken on id. Output: (label, id, dist 6dp) — k·|labels| rows.
+    """
+    base = df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("__v"),
+    )
+    comps = base.select(
+        "label",
+        F.posexplode("__v").alias("__pos", "__x"),
+    ).select(
+        "label",
+        "__pos",
+        F.round(F.round(F.col("__x").cast("double"), 9) * F.lit(1e9))
+        .cast("long")
+        .alias("__xn"),
+    )
+    cent = (
+        comps.groupBy("label", "__pos")
+        .agg(F.sum("__xn").alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "label",
+            "__pos",
+            (
+                F.col("__s").cast("double")
+                / (F.col("__n").cast("double") * F.lit(1e9))
+            ).alias("__c"),
+        )
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("__pos", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__cent")
+    )
+    dist = base.join(F.broadcast(cent_arr), "label").select(
+        "label",
+        "__id",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    "__v",
+                    "__cent",
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ).alias("__d"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("__d").desc(), F.col("__id").asc()
+    )
+    return (
+        dist.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= int(k))
+        .select(
+            "label",
+            F.col("__id").alias(id_col),
+            F.round("__d", 6).alias("dist"),
+        )
+    )

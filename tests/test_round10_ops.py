@@ -353,3 +353,35 @@ def test_column_drift_audit_rejects_empty(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="at least one"):
         column_drift_audit(df, df, [])
+
+
+# ---- embedding audit ----
+
+def test_embedding_norm_stats_unit_vectors(spark):
+    from betl_spark.operators.similarity import embedding_norm_stats
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0], 0), (2, [6.0, 8.0], 0), (3, [0.0, 1.0], 1),
+         (4, None, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r["label"]: r for r in
+           embedding_norm_stats(df, "embedding", "label").collect()}
+    assert out[0]["n"] == 2
+    assert out[0]["min_norm"] == 5.0 and out[0]["max_norm"] == 10.0
+    assert out[0]["avg_norm"] == 7.5
+    assert out[1]["n"] == 1 and out[1]["avg_norm"] == 1.0
+
+
+def test_embedding_outliers_finds_planted_point(spark):
+    from betl_spark.operators.similarity import embedding_outliers
+
+    rows = [(i, [1.0, 1.0], 0) for i in range(9)] + [(99, [9.0, 9.0], 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = embedding_outliers(df, "vec_id", "embedding", "label", k=1).collect()
+    assert len(out) == 1 and out[0]["vec_id"] == 99
+    # centroid = (1.8, 1.8); dist for 99 = sqrt(2*(7.2^2))
+    import math
+    assert out[0]["dist"] == round(math.sqrt(2 * 7.2 ** 2), 6)
