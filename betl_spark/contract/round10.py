@@ -869,3 +869,90 @@ SELECT label, vec_id, round(dist, 6) AS dist FROM r WHERE rk <= {OUTLIER_K}
 """
 
 QUERIES["embedding_outliers"] = (q_embedding_outliers, EMBEDDING_OUTLIERS_SQL)
+
+
+# =====================================================================
+# Round-10 batch 6: split/fold tooling
+# =====================================================================
+
+KFOLD_K = 5
+
+
+def q_kfold_orders(spark, sf_dir):
+    """Deterministic 5-fold assignment of orders by customer hash
+    (a customer's orders never straddle folds — the leakage-safe
+    unit), with per-fold balance stats in exact decimals."""
+    from betl_spark.operators.sampling import kfold_assign
+
+    orders = table(spark, sf_dir, "orders")
+    folded = kfold_assign(orders, "o_custkey", k=KFOLD_K)
+    return folded.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"),
+            2,
+        ).alias("sum_totalprice"),
+    )
+
+
+KFOLD_ORDERS_SQL = f"""
+WITH f AS (
+  SELECT (CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)
+               AS BIGINT) % {KFOLD_K}) AS fold,
+         o_custkey, o_totalprice
+  FROM orders
+)
+SELECT fold, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS sum_totalprice
+FROM f GROUP BY 1
+"""
+
+QUERIES["kfold_orders"] = (q_kfold_orders, KFOLD_ORDERS_SQL)
+
+
+def q_temporal_split_events(spark, sf_dir):
+    """Chronological 70/15/15 split of the events timeline with
+    per-split audit stats — exact integer boundaries on the observed
+    epoch range, so the future never leaks into train."""
+    from betl_spark.operators.sampling import temporal_split
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev)).where(
+        F.col("ts").isNotNull()
+    )
+    split = temporal_split(ev, "__ts_us", train_pct=70, val_pct=15)
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("__ts_us").alias("min_ts_us"),
+        F.max("__ts_us").alias("max_ts_us"),
+    )
+
+
+TEMPORAL_SPLIT_EVENTS_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t, user_id FROM events WHERE ts IS NOT NULL
+),
+b AS (SELECT min(t) AS lo, max(t) AS hi FROM e),
+s AS (
+  SELECT CASE
+           WHEN t < lo + (hi - lo + 1) * 70 // 100 THEN 'train'
+           WHEN t < lo + (hi - lo + 1) * 85 // 100 THEN 'val'
+           ELSE 'test' END AS split,
+         t, user_id
+  FROM e CROSS JOIN b
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(t) AS min_ts_us, max(t) AS max_ts_us
+FROM s GROUP BY 1
+"""
+
+QUERIES["temporal_split_events"] = (
+    q_temporal_split_events,
+    TEMPORAL_SPLIT_EVENTS_SQL,
+)

@@ -431,3 +431,67 @@ def weighted_fixed_n(
     return top_n_per_group(
         base, [stratum_col], "__pri", n, key_col, ascending=True
     ).drop("__pri")
+
+
+def kfold_assign(
+    df: DataFrame,
+    key_col: str,
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment from the key's md5 hash (the
+    ``hash_bucket`` split family): fold ∈ [0, k), stable across runs,
+    partitionings and corpus growth — a key's fold never changes, so
+    cross-validation re-runs see the same folds without any persisted
+    assignment table. Rows with a NULL key get NULL fold (a NULL key
+    cannot promise stability; filter or coalesce upstream).
+
+    Pure projection (no shuffle); pair with a grouped aggregate for
+    per-fold leakage/balance audits.
+    """
+    if k < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    return df.withColumn(fold_col, hash_bucket(key_col, k))
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_micros_col: str,
+    train_pct: int = 70,
+    val_pct: int = 15,
+    split_col: str = "split",
+) -> DataFrame:
+    """Chronological train/val/test assignment — the split discipline
+    for forecasting/recommendation corpora where a hash split would
+    leak the future into training. Boundaries are exact integer
+    arithmetic on the OBSERVED epoch range: cut_train = lo + span·p/100
+    (span = hi − lo + 1, integer DIV), so both engines and every rerun
+    place the same row on the same side. Rows with NULL timestamps get
+    NULL split.
+
+    One tiny min/max aggregate broadcast back as a 1-row crossJoin —
+    the data itself never shuffles.
+    """
+    if train_pct <= 0 or val_pct < 0 or train_pct + val_pct >= 100:
+        raise ValueError(
+            f"temporal_split: need train_pct > 0, val_pct >= 0, "
+            f"train+val < 100; got {train_pct}+{val_pct}"
+        )
+    t = F.col(ts_micros_col).cast("long")
+    bounds = df.where(t.isNotNull()).agg(
+        F.min(t).alias("__lo"), F.max(t).alias("__hi")
+    )
+    cut_train = F.col("__lo") + F.expr(
+        f"(__hi - __lo + 1) * {int(train_pct)} DIV 100"
+    )
+    cut_val = F.col("__lo") + F.expr(
+        f"(__hi - __lo + 1) * {int(train_pct) + int(val_pct)} DIV 100"
+    )
+    out = df.crossJoin(F.broadcast(bounds)).withColumn(
+        split_col,
+        F.when(t.isNull(), F.lit(None).cast("string"))
+        .when(t < cut_train, F.lit("train"))
+        .when(t < cut_val, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+    return out.drop("__lo", "__hi")

@@ -385,3 +385,44 @@ def test_embedding_outliers_finds_planted_point(spark):
     # centroid = (1.8, 1.8); dist for 99 = sqrt(2*(7.2^2))
     import math
     assert out[0]["dist"] == round(math.sqrt(2 * 7.2 ** 2), 6)
+
+
+# ---- split/fold tooling ----
+
+def test_kfold_assign_stable_and_complete(spark):
+    from betl_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    out = kfold_assign(df, "k", k=5)
+    folds = [r["fold"] for r in out.collect()]
+    assert set(folds) == {0, 1, 2, 3, 4}
+    # stability: same assignment on re-run
+    again = [r["fold"] for r in kfold_assign(df, "k", k=5).collect()]
+    assert folds == again
+    with pytest.raises(ValueError, match="k must be"):
+        kfold_assign(df, "k", k=1)
+
+
+def test_kfold_assign_null_key(spark):
+    from betl_spark.operators.sampling import kfold_assign
+
+    df = spark.createDataFrame([(None,), (1,)], "k long")
+    out = {r["k"]: r["fold"] for r in kfold_assign(df, "k", 5).collect()}
+    assert out[None] is None and out[1] is not None
+
+
+def test_temporal_split_is_chronological(spark):
+    from betl_spark.operators.sampling import temporal_split
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "t long")
+    out = temporal_split(df, "t", train_pct=70, val_pct=15).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], []).append(r["t"])
+    assert len(by_split["train"]) == 70
+    assert len(by_split["val"]) == 15
+    assert len(by_split["test"]) == 15
+    assert max(by_split["train"]) < min(by_split["val"])
+    assert max(by_split["val"]) < min(by_split["test"])
+    with pytest.raises(ValueError, match="train"):
+        temporal_split(df, "t", train_pct=90, val_pct=20)
