@@ -79,31 +79,42 @@ def main() -> None:
     # (verified: isolated reruns always match the plan's real cost).
     # Policy — applied UNIFORMLY to every query, so no selective-min
     # bias: two full passes, keep the per-query min, and report the
-    # first-pass total alongside so the mitigation is visible.
+    # first-pass total alongside so the mitigation is visible. Sub-2s
+    # queries get a UNIFORM third pass (round-9 verdict ask #4): at
+    # 1-2s, min-of-2 noise and the anchor's own error bars dominate any
+    # real 10-25% delta, so the short tail gets one more sample.
     N_RUNS = 2
+    SHORT_QUERY_SEC = 2.0
     timings: dict[str, float] = {}
     first_pass: dict[str, float] = {}
     errors: list[str] = []
+
+    def time_one(name: str, fn, run: int) -> None:
+        t0 = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            t = round(time.perf_counter() - t0, 4)
+            if run == 0:
+                first_pass[name] = t
+            timings[name] = min(timings.get(name, t), t)
+            del df
+        except Exception:
+            # one broken query must not cost the whole bench its JSON line
+            if run == 0:
+                errors.append(name)
+                traceback.print_exc(file=sys.stderr)
+        # drop the plan + any localCheckpoint blocks before the next
+        # query: ~80 retained plans otherwise inflate later timings
+        # (ContextCleaner frees executor blocks only after Python GC)
+        gc.collect()
+
     for run in range(N_RUNS):
         for name, fn in sorted(QUERIES.items()):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
-                t = round(time.perf_counter() - t0, 4)
-                if run == 0:
-                    first_pass[name] = t
-                timings[name] = min(timings.get(name, t), t)
-                del df
-            except Exception:
-                # one broken query must not cost the whole bench its JSON line
-                if run == 0:
-                    errors.append(name)
-                    traceback.print_exc(file=sys.stderr)
-            # drop the plan + any localCheckpoint blocks before the next
-            # query: ~80 retained plans otherwise inflate later timings
-            # (ContextCleaner frees executor blocks only after Python GC)
-            gc.collect()
+            time_one(name, fn, run)
+    short = [n for n, t in timings.items() if t < SHORT_QUERY_SEC]
+    for name in sorted(short):
+        time_one(name, QUERIES[name], N_RUNS)
 
     payload = {
         "metric": "contract_queries_total_runtime",
@@ -113,6 +124,8 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "runs_per_query": N_RUNS,
+        "runs_for_short_queries": N_RUNS + 1,
+        "short_query_cutoff_sec": SHORT_QUERY_SEC,
         "first_run_total": round(sum(first_pass.values()), 4),
     }
     # host-drift normalization (see _R4_TPCH_ANCHOR): only meaningful
@@ -136,6 +149,32 @@ def main() -> None:
             payload["value_normalized"] = round(payload["value"] / ratio, 4)
     if errors:
         payload["errors"] = errors
+    # Per-query drift-normalized delta vs the PREVIOUS committed bench
+    # (round-9 verdict ask #4): read the prior BENCH_FULL.json before
+    # overwriting it; each side is rescaled by its own anchor ratio, so
+    # the column separates real regressions from host drift + noise.
+    prev_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        pr = prev.get("tpch_subset_ratio_vs_r4")
+        cr = payload.get("tpch_subset_ratio_vs_r4")
+        if pr and cr and prev.get("sf") == sf:
+            deltas = {}
+            for q, cur_t in timings.items():
+                pt = prev.get("queries", {}).get(q)
+                if pt and pt > 0:
+                    deltas[q] = round((cur_t / cr) / (pt / pr) - 1.0, 3)
+            payload["normalized_delta_vs_prev"] = dict(
+                sorted(deltas.items())
+            )
+            payload["normalized_regressions_over_10pct"] = {
+                q: d for q, d in sorted(deltas.items()) if d > 0.10
+            }
+    except (OSError, ValueError):
+        pass
     # full per-query timings for the judge (the stdout line is size-capped)
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
     try:

@@ -706,13 +706,21 @@ def q_column_drift_events(spark, sf_dir):
     bounds = ev.agg(
         F.min("__ts_us").alias("lo"), F.max("__ts_us").alias("hi")
     ).collect()[0]
-    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    # empty table: no midpoint, and the oracle's per-side census joins
+    # produce zero rows — mirror that (the operator itself reports
+    # 0-count rows per column, which is right for the API but not for
+    # this empty-input parity contract)
+    if bounds["lo"] is None:
+        mid = 0
+    else:
+        mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
     cols = ["user_id", "event_type", "value", "props"]
-    return column_drift_audit(
+    out = column_drift_audit(
         ev.where(F.col("__ts_us") <= mid).select(*cols),
         ev.where(F.col("__ts_us") > mid).select(*cols),
         cols,
     )
+    return out.where(F.col("n_a") + F.col("n_b") > 0)
 
 
 COLUMN_DRIFT_EVENTS_SQL = """
