@@ -116,6 +116,25 @@ REHEARSAL = [
     "event_transitions",
     "ks_drift_sources",
     "ab_test_events",
+    # round-10 additions
+    "rolling_zscore_time_events",
+    "resample_gapfill_observed",
+    "mannwhitney_events",
+    "auc_value_weekday",
+    "assoc_source_lang",
+    "benford_lineitem",
+    "decile_lift_events",
+    "ewma_events",
+    "cusum_changepoint_events",
+    "autocorr_events",
+    "phrase_search_docs",
+    "readability_docs",
+    "ngram_novelty_docs",
+    "column_drift_events",
+    "embedding_norm_stats",
+    "embedding_outliers",
+    "kfold_orders",
+    "temporal_split_events",
 ]
 
 

@@ -436,3 +436,86 @@ def test_rolling_active_users_single_distinct_aggregation(spark):
     p = plan(q_rolling_active_users(spark, SF))
     assert "Join" not in p, p
     assert "Generate explode" in p or "explode" in p, p
+
+
+def test_round10_queries_have_no_cartesian_or_python_eval(spark):
+    """The round-10 breadth family: no cross products (the 1-row
+    bounds/totals and the per-label centroid-array crossJoins plan as
+    broadcast nested loops over tiny sides) and no row-at-a-time
+    Python anywhere. column_drift_events is exercised via its
+    operator (its query collects a 1-row midpoint first)."""
+    from betl_spark.contract.round10 import (
+        q_assoc_source_lang,
+        q_auc_value_weekday,
+        q_autocorr_events,
+        q_benford_lineitem,
+        q_cusum_events,
+        q_decile_lift_events,
+        q_embedding_norm_stats,
+        q_embedding_outliers,
+        q_ewma_events,
+        q_kfold_orders,
+        q_mannwhitney_events,
+        q_ngram_novelty_docs,
+        q_phrase_search_docs,
+        q_readability_docs,
+        q_resample_gapfill_observed,
+        q_rolling_zscore_time,
+        q_temporal_split_events,
+    )
+
+    for q in (
+        q_assoc_source_lang,
+        q_auc_value_weekday,
+        q_autocorr_events,
+        q_benford_lineitem,
+        q_cusum_events,
+        q_decile_lift_events,
+        q_embedding_norm_stats,
+        q_embedding_outliers,
+        q_ewma_events,
+        q_kfold_orders,
+        q_mannwhitney_events,
+        q_ngram_novelty_docs,
+        q_phrase_search_docs,
+        q_readability_docs,
+        q_resample_gapfill_observed,
+        q_rolling_zscore_time,
+        q_temporal_split_events,
+    ):
+        p = plan(q(spark, SF))
+        assert "CartesianProduct" not in p, p
+        assert "BatchEvalPython" not in p, p
+
+
+def test_column_drift_operator_plan(spark):
+    from betl_spark.operators.profile import column_drift_audit
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    a = ev.limit(500).select("user_id", "value")
+    b = ev.select("user_id", "value")
+    p = plan(column_drift_audit(a, b, ["user_id", "value"]))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+
+
+def test_phrase_search_filters_postings_before_shuffle(spark):
+    """The phrase-term filter must land under the generate/explode,
+    before any exchange — the posting stream shrinks to matching terms
+    in the scan stage."""
+    from betl_spark.operators.corpus import phrase_search
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(phrase_search(docs, "doc_id", "text", ["value", "table"]))
+    assert "CartesianProduct" not in p, p
+    # the join chain is hash-partitioned equi-joins, never nested loop
+    assert "NestedLoopJoin" not in p.replace("BroadcastNestedLoopJoin", ""), p
+
+
+def test_embedding_outliers_broadcasts_centroids(spark):
+    from betl_spark.operators.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan(embedding_outliers(emb, "vec_id", "embedding", "label", k=5))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
