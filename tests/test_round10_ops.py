@@ -426,3 +426,117 @@ def test_temporal_split_is_chronological(spark):
     assert max(by_split["val"]) < min(by_split["test"])
     with pytest.raises(ValueError, match="train"):
         temporal_split(df, "t", train_pct=90, val_pct=20)
+
+
+# ---- property sweeps (python-replay references) ----
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+PROP = settings(
+    max_examples=10, deadline=None, suppress_health_check=list(HealthCheck)
+)
+
+
+def _rhu(x: float, nd: int) -> float:
+    """Spark-compatible HALF_UP rounding of a double (python round()
+    is banker's; Spark rounds the shortest decimal repr half-away —
+    the memory-documented replay rule)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP)
+    )
+
+
+@PROP
+@given(
+    data=st.lists(
+        st.tuples(st.booleans(), st.integers(min_value=0, max_value=6)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_mann_whitney_matches_python_replay(spark, data):
+    """U, AUC and the tie-corrected variance replayed in exact python
+    arithmetic (Fraction-free: everything is integers up to the final
+    float ops, mirrored in the same order)."""
+    from betl_spark.operators.stats import mann_whitney
+
+    df = spark.createDataFrame(
+        [("g", a, float(v)) for a, v in data],
+        "g string, a boolean, v double",
+    )
+    r = mann_whitney(df, ["g"], "a", "v").collect()[0]
+
+    a_vals = sorted(v for a, v in data if a)
+    b_vals = sorted(v for a, v in data if not a)
+    n_a, n_b = len(a_vals), len(b_vals)
+    assert (r["n_a"], r["n_b"]) == (n_a, n_b)
+    if n_a == 0 or n_b == 0:
+        assert r["u_a"] is None and r["auc"] is None and r["z"] is None
+        return
+    from collections import Counter
+
+    allc = Counter(v for _, v in data)
+    cum = 0
+    r2a = 0
+    ties = 0
+    for v in sorted(allc):
+        t = allc[v]
+        ca = sum(1 for x in a_vals if x == v)
+        r2a += ca * (2 * cum + t + 1)
+        ties += t * t * t - t
+        cum += t
+    u2 = r2a - n_a * (n_a + 1)
+    assert r["u_a"] == u2 / 2.0
+    assert r["auc"] == _rhu(u2 / (2.0 * n_a * n_b), 6)
+    n = n_a + n_b
+    var_u = (n_a * n_b / 12.0) * ((n + 1.0) - ties / (n * (n - 1.0)))
+    if n >= 2 and var_u > 0.0:
+        z = (u2 / 2.0 - n_a * n_b / 2.0) / var_u ** 0.5
+        assert r["z"] == _rhu(z, 6)
+    else:
+        assert r["z"] is None
+
+
+@PROP
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=2),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_crosstab_assoc_matches_python_replay(spark, cells):
+    from collections import Counter
+    import math
+
+    from betl_spark.operators.stats import crosstab_assoc
+
+    df = spark.createDataFrame(
+        [(f"x{x}", f"y{y}") for x, y in cells], "x string, y string"
+    )
+    r = crosstab_assoc(df, "x", "y").collect()[0]
+
+    census = Counter(cells)
+    nn = len(cells)
+    rx = Counter(x for x, _ in cells)
+    cy = Counter(y for _, y in cells)
+    chi_n = 0
+    mi_n = 0
+    for (x, y), o in census.items():
+        e = rx[x] * cy[y] / nn
+        chi_n += round(_rhu((o - e) * (o - e) / e - e, 9) * 1e9)
+        mi_n += round(
+            _rhu(o / nn * math.log2(o * nn / (rx[x] * cy[y])), 9) * 1e9
+        )
+    dof = (len(rx) - 1) * (len(cy) - 1)
+    assert r["n"] == nn and r["dof"] == dof
+    if dof > 0:
+        assert r["chi2"] == _rhu(nn + chi_n / 1e9, 6)
+    else:
+        assert r["chi2"] is None
+    assert r["mi_bits"] == _rhu(mi_n / 1e9, 6)
