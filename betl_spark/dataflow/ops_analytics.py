@@ -184,3 +184,257 @@ class AnalyticsOps:
             out = profile.referential_integrity(resolved)
             self.data[targetDataset] = out
         return out
+
+    # ---- round-10 verbs ----
+
+    def mannWhitney(
+        self,
+        dataset: str,
+        groupCols: list[str],
+        armACol,
+        valueCol: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Rank-sum U test + rank AUC between two arms
+        (operators/stats.py:mann_whitney)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("mannWhitney", desc or f"U test {dataset}"):
+            out = stats.mann_whitney(
+                self._get(dataset), groupCols, armACol, valueCol
+            )
+            self.data[targetDataset or f"{dataset}_mannwhitney"] = out
+        return out
+
+    def crosstabAssoc(
+        self,
+        dataset: str,
+        xCol: str,
+        yCol: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Chi-square / Cramér's V / mutual information of two
+        categorical columns (operators/stats.py:crosstab_assoc)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("crosstabAssoc", desc or f"{xCol}x{yCol}"):
+            out = stats.crosstab_assoc(self._get(dataset), xCol, yCol)
+            self.data[targetDataset or f"{dataset}_assoc"] = out
+        return out
+
+    def benfordDigits(
+        self,
+        dataset: str,
+        amountCol,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """First-significant-digit census vs Benford expectation
+        (operators/stats.py:benford_digits)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("benfordDigits", desc or f"benford {dataset}"):
+            out = stats.benford_digits(self._get(dataset), amountCol)
+            self.data[targetDataset or f"{dataset}_benford"] = out
+        return out
+
+    def decileLift(
+        self,
+        dataset: str,
+        scoreCol: str,
+        labelCol,
+        tiebreakCol: str,
+        nBuckets: int = 10,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Score-decile lift table (operators/stats.py:decile_lift)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("decileLift", desc or f"lift {dataset}"):
+            out = stats.decile_lift(
+                self._get(dataset), scoreCol, labelCol, tiebreakCol,
+                n_buckets=nBuckets,
+            )
+            self.data[targetDataset or f"{dataset}_lift"] = out
+        return out
+
+    def ewma(
+        self,
+        dataset: str,
+        partCol: str,
+        tsMicrosCol: str,
+        tiebreakCol: str,
+        valueCol: str,
+        alpha: float = 0.3,
+        k: int = 8,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Bounded-window EWMA smoothing
+        (operators/timeseries.py:ewma_bounded)."""
+        from betl_spark.operators import timeseries
+
+        with self.journal.step("ewma", desc or f"ewma {dataset}"):
+            out = timeseries.ewma_bounded(
+                self._get(dataset), partCol, tsMicrosCol, tiebreakCol,
+                valueCol, alpha=alpha, k=k,
+            )
+            self.data[targetDataset or f"{dataset}_ewma"] = out
+        return out
+
+    def cusumChangepoint(
+        self,
+        dataset: str,
+        partCol: str,
+        tsMicrosCol: str,
+        tiebreakCol: str,
+        valueCol: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Per-key CUSUM change-point locator
+        (operators/timeseries.py:cusum_changepoint)."""
+        from betl_spark.operators import timeseries
+
+        with self.journal.step("cusumChangepoint", desc or f"cusum {dataset}"):
+            out = timeseries.cusum_changepoint(
+                self._get(dataset), partCol, tsMicrosCol, tiebreakCol,
+                valueCol,
+            )
+            self.data[targetDataset or f"{dataset}_cusum"] = out
+        return out
+
+    def autocorr(
+        self,
+        dataset: str,
+        partCol: str,
+        tsMicrosCol: str,
+        tiebreakCol: str,
+        valueCol: str,
+        lag: int = 1,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Per-key lag autocorrelation
+        (operators/timeseries.py:autocorr_lag)."""
+        from betl_spark.operators import timeseries
+
+        with self.journal.step("autocorr", desc or f"autocorr {dataset}"):
+            out = timeseries.autocorr_lag(
+                self._get(dataset), partCol, tsMicrosCol, tiebreakCol,
+                valueCol, lag=lag,
+            )
+            self.data[targetDataset or f"{dataset}_autocorr"] = out
+        return out
+
+    def phraseSearch(
+        self,
+        dataset: str,
+        idCol: str,
+        textCol: str,
+        phrase: list[str],
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Exact positional phrase search
+        (operators/corpus.py:phrase_search)."""
+        from betl_spark.operators import corpus
+
+        with self.journal.step("phraseSearch", desc or " ".join(phrase)):
+            out = corpus.phrase_search(
+                self._get(dataset), idCol, textCol, phrase
+            )
+            self.data[targetDataset or f"{dataset}_phrase"] = out
+        return out
+
+    def ngramNovelty(
+        self,
+        dataset: str,
+        idCol: str,
+        textCol: str,
+        n: int = 3,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Per-doc n-gram novelty (operators/corpus.py:ngram_novelty)."""
+        from betl_spark.operators import corpus
+
+        with self.journal.step("ngramNovelty", desc or f"novelty {dataset}"):
+            out = corpus.ngram_novelty(self._get(dataset), idCol, textCol, n)
+            self.data[targetDataset or f"{dataset}_novelty"] = out
+        return out
+
+    def readabilityScores(
+        self,
+        dataset: str,
+        idCol: str,
+        textCol: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Flesch-style readability (operators/text.py:readability)."""
+        from betl_spark.operators import text
+
+        with self.journal.step("readabilityScores", desc or dataset):
+            out = text.readability(self._get(dataset), idCol, textCol)
+            self.data[targetDataset or f"{dataset}_readability"] = out
+        return out
+
+    def columnDrift(
+        self,
+        datasetA: str,
+        datasetB: str,
+        columns: list[str],
+        targetDataset: str = "column_drift",
+        desc: str = "",
+    ) -> DataFrame:
+        """Column-level NULL-rate/cardinality drift between two
+        datasets (operators/profile.py:column_drift_audit)."""
+        from betl_spark.operators import profile
+
+        with self.journal.step("columnDrift", desc or f"{datasetA} vs {datasetB}"):
+            out = profile.column_drift_audit(
+                self._get(datasetA), self._get(datasetB), columns
+            )
+            self.data[targetDataset] = out
+        return out
+
+    def kfoldAssign(
+        self,
+        dataset: str,
+        keyCol: str,
+        k: int = 5,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Deterministic k-fold assignment
+        (operators/sampling.py:kfold_assign)."""
+        from betl_spark.operators import sampling
+
+        with self.journal.step("kfoldAssign", desc or f"{k}-fold {dataset}"):
+            out = sampling.kfold_assign(self._get(dataset), keyCol, k)
+            self.data[targetDataset or f"{dataset}_folds"] = out
+        return out
+
+    def temporalSplit(
+        self,
+        dataset: str,
+        tsMicrosCol: str,
+        trainPct: int = 70,
+        valPct: int = 15,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Chronological train/val/test split
+        (operators/sampling.py:temporal_split)."""
+        from betl_spark.operators import sampling
+
+        with self.journal.step("temporalSplit", desc or dataset):
+            out = sampling.temporal_split(
+                self._get(dataset), tsMicrosCol, trainPct, valPct
+            )
+            self.data[targetDataset or f"{dataset}_split"] = out
+        return out

@@ -58,19 +58,38 @@ def main() -> None:
         )
     from betl_spark.contract.common import ts_micros
 
-    ev = spark.read.parquet(OUT)
-    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    base = spark.read.parquet(OUT)
+    base = base.withColumn("__ts_us", ts_micros(base))
+    b = base.agg(
+        F.min("__ts_us").alias("lo"), F.max("__ts_us").alias("hi")
+    ).collect()[0]
+    slice_us = max(1, (int(b["hi"]) - int(b["lo"]) + 1) // int(n_keys))
+
+    scenarios = {
+        # random long-lived keys: each key's observed span covers most
+        # of the timeline, so observed ~ global (and pays an extra
+        # shuffle for the per-key bounds)
+        "long-lived": base,
+        # short-lived keys (sessions, ephemeral entities): each key
+        # exists for ~one time slice — the observed spine collapses
+        "short-lived": base.withColumn(
+            "user_id", F.expr(f"(__ts_us - {int(b['lo'])}) DIV {slice_us}")
+        ),
+    }
 
     rows = []
-    for mode in ("observed", "global"):
-        def run():
-            return timeseries.resample_gapfill(
-                ev, "user_id", "__ts_us", "value", spine=mode
-            )
+    for scen, ev in scenarios.items():
+        for mode in ("observed", "global"):
+            def run():
+                return timeseries.resample_gapfill(
+                    ev, "user_id", "__ts_us", "value", spine=mode
+                )
 
-        spine_rows = run().count()
-        sec = time_run(run)
-        rows.append((mode, n, int(n_keys), spine_rows, round(sec, 2)))
+            spine_rows = run().count()
+            sec = time_run(run)
+            rows.append(
+                (scen, mode, n, int(n_keys), spine_rows, round(sec, 2))
+            )
 
     # the guard: the global rectangle must refuse a 10M-row bound
     guard = "did not fire"
@@ -82,10 +101,10 @@ def main() -> None:
     except ValueError as e:
         guard = f"fired: {e}"
 
-    print("| spine mode | events | keys | spine rows | min-of-2 sec |")
-    print("|---|---|---|---|---|")
+    print("| key shape | spine mode | events | keys | spine rows | min-of-2 sec |")
+    print("|---|---|---|---|---|---|")
     for r in rows:
-        print("| {} | {} | {} | {} | {} |".format(*r))
+        print("| {} | {} | {} | {} | {} | {} |".format(*r))
     print(f"guard (global, max_spine_rows=10M): {guard}")
 
 

@@ -540,3 +540,49 @@ def test_crosstab_assoc_matches_python_replay(spark, cells):
     else:
         assert r["chi2"] is None
     assert r["mi_bits"] == _rhu(mi_n / 1e9, 6)
+
+
+# ---- DataFlow verb surface ----
+
+def test_dataflow_round10_verbs_journal_and_delegate(spark, dfl):
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.stats import mann_whitney
+    from betl_spark.operators.sampling import kfold_assign
+
+    dfl.data["ev"] = spark.createDataFrame(
+        [("g", True, 1.0, 1, 10), ("g", False, 2.0, 2, 20),
+         ("g", True, 3.0, 3, 30), ("g", False, 4.0, 4, 40)],
+        "g string, a boolean, v double, id long, t long",
+    )
+    out = dfl.mannWhitney("ev", ["g"], "a", "v")
+    direct = mann_whitney(dfl.data["ev"], ["g"], "a", "v")
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    assert "ev_mannwhitney" in dfl.data
+    assert any(s.op == "mannWhitney" for s in dfl.journal.steps)
+
+    folds = dfl.kfoldAssign("ev", "id", k=3)
+    assert sorted(map(tuple, folds.collect())) == sorted(
+        map(tuple, kfold_assign(dfl.data["ev"], "id", 3).collect())
+    )
+
+    split = dfl.temporalSplit("ev", "t", trainPct=50, valPct=25)
+    assert set(r["split"] for r in split.collect()) <= {"train", "val", "test"}
+
+    dfl.data["docs"] = spark.createDataFrame(
+        [(1, "big table scan. slow!"), (2, "big table")],
+        "doc_id long, text string",
+    )
+    ph = dfl.phraseSearch("docs", "doc_id", "text", ["big", "table"])
+    assert ph.count() == 2
+    rd = dfl.readabilityScores("docs", "doc_id", "text")
+    assert rd.count() == 2
+    nv = dfl.ngramNovelty("docs", "doc_id", "text", n=2)
+    assert nv.count() == 2
+    drift = dfl.columnDrift("docs", "docs", ["text"])
+    assert drift.count() == 1
+    for verb in ("kfoldAssign", "temporalSplit", "phraseSearch",
+                 "readabilityScores", "ngramNovelty", "columnDrift"):
+        assert any(s.op == verb for s in dfl.journal.steps), verb
