@@ -83,7 +83,15 @@ def test_query_matches_oracle_with_null_events(
     s = sdf.sort_values(list(sdf.columns)).reset_index(drop=True)
     o = odf.sort_values(list(odf.columns)).reset_index(drop=True)
     assert s.shape == o.shape, f"{name}: {s.shape} vs {o.shape}"
+    import pandas as pd
+
+    def canon(col):
+        # pandas renders a NULL as None (object cols) or NaN (numeric/
+        # mixed cols) depending on which engine produced the frame —
+        # both are the same SQL NULL; compare on a shared sentinel
+        return col.map(lambda x: "NULL" if pd.isna(x) else str(x)).values
+
     for c in s.columns:
         assert (
-            s[c].astype(str).values == o[c].astype(str).values
+            canon(s[c]) == canon(o[c])
         ).all(), f"{name}: column {c} diverges under NULL events"

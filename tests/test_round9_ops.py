@@ -791,19 +791,35 @@ FROM w
 
 
 def test_correctness_window_invariants():
-    """The driver verifies exactly the first 50 contract entries; the
-    rotation policy lives in _PRIORITY. Pin the invariants a bad edit
-    would silently break: no unknown/duplicate names, every round-9
-    query inside the window, full oracle coverage."""
-    from betl_spark.contract import ORACLES, QUERIES, _ALL, _PRIORITY
+    """The driver verifies exactly the first 50 contract entries; since
+    round 10 the order is COMPUTED (new queries first, then oldest
+    driver-green first from the rotation ledger). Pin the policy's
+    invariants: no unknown/duplicate names, every never-driver-verified
+    query inside the window, the non-new slots strictly oldest-first,
+    full oracle coverage."""
+    from betl_spark.contract import (
+        NEW_THIS_ROUND,
+        ORACLES,
+        QUERIES,
+        _ALL,
+        _PRIORITY,
+    )
+    from betl_spark.contract.rotation import LAST_VERIFIED
 
     assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate in _PRIORITY"
     unknown = [n for n in _PRIORITY if n not in _ALL]
     assert not unknown, f"_PRIORITY names not in registry: {unknown}"
     names = list(QUERIES)
-    window = set(names[:50])
-    from betl_spark.contract.round9 import QUERIES as R9
-
-    missing = [n for n in R9 if n not in window]
-    assert not missing, f"round-9 queries outside the window: {missing}"
+    window = names[:50]
+    never_verified = [n for n in QUERIES if n not in LAST_VERIFIED]
+    missing = [n for n in never_verified if n not in window]
+    assert not missing, f"never-verified queries outside the window: {missing}"
+    assert set(NEW_THIS_ROUND) <= set(window)
+    # the non-new window tail is the globally oldest-green prefix
+    tail = [n for n in window if n not in NEW_THIS_ROUND]
+    expected = sorted(
+        (n for n in _ALL if n not in NEW_THIS_ROUND),
+        key=lambda n: (LAST_VERIFIED.get(n, 0), n),
+    )[: len(tail)]
+    assert tail == expected, "window tail is not oldest-green-first"
     assert set(ORACLES) == set(QUERIES), "every query needs an oracle"
