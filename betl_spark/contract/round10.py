@@ -964,3 +964,194 @@ QUERIES["temporal_split_events"] = (
     q_temporal_split_events,
     TEMPORAL_SPLIT_EVENTS_SQL,
 )
+
+
+# =====================================================================
+# Round-10 batch 7: Spearman trend, categorical entropy, funnel latency
+# =====================================================================
+
+def q_spearman_trend_events(spark, sf_dir):
+    """Tie-aware Spearman rho of (value, time) per event_type — the
+    nonparametric drift/trend test: doubled-integer rank censuses per
+    variable, exact-moment Pearson on the ranks."""
+    from betl_spark.operators import stats as stats_ops
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return stats_ops.grouped_spearman(
+        ev, ["event_type"], "value", F.col("__ts_us"),
+        x_scale=3, y_scale=0,
+    )
+
+
+SPEARMAN_TREND_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(value AS DECIMAL(18,3)) AS x,
+         CAST(epoch_us(ts) AS DECIMAL(18,0)) AS y
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cx AS (
+  SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+  FROM e GROUP BY 1, 2
+),
+rxt AS (
+  SELECT event_type, x,
+         2 * coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS rx
+  FROM cx
+),
+cy AS (
+  SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+  FROM e GROUP BY 1, 2
+),
+ryt AS (
+  SELECT event_type, y,
+         2 * coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + t + 1 AS ry
+  FROM cy
+),
+j AS (
+  SELECT e.event_type, rx, ry
+  FROM e
+  JOIN rxt ON e.event_type = rxt.event_type AND e.x = rxt.x
+  JOIN ryt ON e.event_type = ryt.event_type AND e.y = ryt.y
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM j GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+            THEN round(
+              (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+            END AS rho
+FROM m
+"""
+
+QUERIES["spearman_trend_events"] = (
+    q_spearman_trend_events,
+    SPEARMAN_TREND_EVENTS_SQL,
+)
+
+
+def q_user_entropy_events(spark, sf_dir):
+    """Per-user Shannon entropy of event-type mix (bits) — the
+    behavioral-diversity screen; nanos-summed -p*log2(p) terms."""
+    from betl_spark.operators import stats as stats_ops
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.where(F.col("user_id").isNotNull())
+    return stats_ops.grouped_entropy(ev, ["user_id"], "event_type")
+
+
+USER_ENTROPY_EVENTS_SQL = """
+WITH census AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+cells AS (
+  SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot
+  FROM census
+),
+terms AS (
+  SELECT user_id, n, tot,
+         CAST(round(round(
+           -(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+             * log2(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))),
+           9) * 1e9) AS BIGINT) AS en
+  FROM cells
+)
+SELECT user_id,
+       CAST(max(tot) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_categories,
+       round(CAST(sum(en) AS DOUBLE) / 1e9, 6) AS entropy_bits
+FROM terms GROUP BY 1
+"""
+
+QUERIES["user_entropy_events"] = (
+    q_user_entropy_events,
+    USER_ENTROPY_EVENTS_SQL,
+)
+
+
+FUNNEL_FROM, FUNNEL_TO = "signup", "purchase"
+
+
+def q_funnel_latency_events(spark, sf_dir):
+    """Signup-to-purchase conversion latency: first signup, first
+    purchase at/after it, exact quantiles + integer-microsecond mean."""
+    from betl_spark.operators.funnel import funnel_latency
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.withColumn("__ts_us", ts_micros(ev))
+    return funnel_latency(
+        ev, "user_id", "__ts_us", "event_type", FUNNEL_FROM, FUNNEL_TO
+    )
+
+
+FUNNEL_LATENCY_EVENTS_SQL = f"""
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS ev
+  FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    AND event_type IN ('{FUNNEL_FROM}', '{FUNNEL_TO}')
+),
+per_user AS (
+  SELECT u, min(CASE WHEN ev = '{FUNNEL_FROM}' THEN t END) AS t_from
+  FROM e GROUP BY 1
+),
+conv AS (
+  SELECT e.u, p.t_from, min(e.t) AS t_to
+  FROM e JOIN per_user p ON e.u = p.u
+  WHERE e.ev = '{FUNNEL_TO}' AND p.t_from IS NOT NULL
+    AND e.t >= p.t_from
+  GROUP BY 1, 2
+),
+lat AS (SELECT t_to - t_from AS lat_us FROM conv),
+nf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_from
+  FROM per_user WHERE t_from IS NOT NULL
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_converted,
+         sum(lat_us) AS sum_us,
+         quantile_cont(CAST(lat_us AS DOUBLE),
+                       [0.25, 0.5, 0.75, 0.95]) AS qs
+  FROM lat
+)
+SELECT n_from, n_converted,
+       CASE WHEN n_from > 0
+            THEN round(CAST(n_converted AS DOUBLE)
+                       / CAST(n_from AS DOUBLE), 6) END AS conversion_rate,
+       CASE WHEN n_converted > 0
+            THEN round(CAST(sum_us AS DOUBLE)
+                       / CAST(n_converted AS DOUBLE) / 1e6, 6)
+            END AS mean_latency_sec,
+       round(qs[1] / 1e6, 6) AS p25_sec,
+       round(qs[2] / 1e6, 6) AS p50_sec,
+       round(qs[3] / 1e6, 6) AS p75_sec,
+       round(qs[4] / 1e6, 6) AS p95_sec
+FROM nf CROSS JOIN st
+"""
+
+QUERIES["funnel_latency_events"] = (
+    q_funnel_latency_events,
+    FUNNEL_LATENCY_EVENTS_SQL,
+)

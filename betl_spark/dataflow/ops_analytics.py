@@ -438,3 +438,65 @@ class AnalyticsOps:
             )
             self.data[targetDataset or f"{dataset}_split"] = out
         return out
+
+    def spearman(
+        self,
+        dataset: str,
+        groupCols: list[str],
+        xCol,
+        yCol,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Tie-aware grouped Spearman rho
+        (operators/stats.py:grouped_spearman)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("spearman", desc or f"spearman {dataset}"):
+            out = stats.grouped_spearman(
+                self._get(dataset), groupCols, xCol, yCol
+            )
+            self.data[targetDataset or f"{dataset}_spearman"] = out
+        return out
+
+    def categoryEntropy(
+        self,
+        dataset: str,
+        groupCols: list[str],
+        catCol: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Per-group categorical Shannon entropy
+        (operators/stats.py:grouped_entropy)."""
+        from betl_spark.operators import stats
+
+        with self.journal.step("categoryEntropy", desc or f"H {dataset}"):
+            out = stats.grouped_entropy(self._get(dataset), groupCols, catCol)
+            self.data[targetDataset or f"{dataset}_entropy"] = out
+        return out
+
+    def funnelLatency(
+        self,
+        dataset: str,
+        userCol: str,
+        tsMicrosCol: str,
+        eventCol: str,
+        fromEvent: str,
+        toEvent: str,
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Funnel conversion-latency summary
+        (operators/funnel.py:funnel_latency)."""
+        from betl_spark.operators import funnel
+
+        with self.journal.step(
+            "funnelLatency", desc or f"{fromEvent}->{toEvent}"
+        ):
+            out = funnel.funnel_latency(
+                self._get(dataset), userCol, tsMicrosCol, eventCol,
+                fromEvent, toEvent,
+            )
+            self.data[targetDataset or f"{dataset}_latency"] = out
+        return out

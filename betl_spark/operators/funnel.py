@@ -170,3 +170,98 @@ def cohort_retention(
             F.col("n_users").cast("double") / F.col("cohort_size"), 6
         ).alias("retention_rate"),
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    ts_micros_col: str,
+    event_col: str,
+    from_event: str,
+    to_event: str,
+) -> DataFrame:
+    """Conversion-latency distribution: for each user, the time from
+    their FIRST ``from_event`` to their first ``to_event`` AT OR AFTER
+    it, summarized as exact quantiles + decimal-exact mean — the
+    "how long from signup to purchase" readout a funnel report pairs
+    with its conversion rate.
+
+    Two grouped MINs per user (one shuffle on the user key — the
+    conditional aggregates share one pass), a codegen filter for
+    converted users, then one global summary row: n_from users,
+    n_converted, conversion rate, and latency stats in seconds
+    (p25/p50/p75/p95 via the exact R-7 percentile, mean from an exact
+    integer-microsecond sum). Latency 0 (same-timestamp conversion)
+    counts as converted. NULL-timestamp and NULL-user events are
+    excluded.
+
+    Output: one row (n_from, n_converted, conversion_rate 6dp,
+    mean_latency_sec 6dp, p25_sec, p50_sec, p75_sec, p95_sec 6dp).
+    """
+    t = F.col(ts_micros_col).cast("long")
+    base = df.where(
+        t.isNotNull()
+        & F.col(user_col).isNotNull()
+        & F.col(event_col).isin([from_event, to_event])
+    ).select(
+        F.col(user_col).alias("__u"),
+        t.alias("__t"),
+        F.col(event_col).alias("__e"),
+    )
+    per_user = base.groupBy("__u").agg(
+        F.min(F.when(F.col("__e") == from_event, F.col("__t"))).alias(
+            "__t_from"
+        ),
+    )
+    # first to_event at/after the user's first from_event: a second
+    # conditional min against the joined-back threshold (broadcast-free:
+    # same user-key partitioning as the first aggregate)
+    joined = base.where(F.col("__e") == to_event).join(
+        per_user.where(F.col("__t_from").isNotNull()), "__u"
+    )
+    conv = joined.where(F.col("__t") >= F.col("__t_from")).groupBy(
+        "__u", "__t_from"
+    ).agg(F.min("__t").alias("__t_to"))
+    lat = conv.select(
+        "__u", (F.col("__t_to") - F.col("__t_from")).alias("__lat_us")
+    )
+    n_from = per_user.where(F.col("__t_from").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_from")
+    )
+    stats = lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.sum("__lat_us").alias("__sum_us"),
+        F.percentile(
+            F.col("__lat_us").cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)),
+        ).alias("__qs"),
+    )
+    out = n_from.crossJoin(F.broadcast(stats))
+    sec = lambda i: F.round(
+        F.element_at("__qs", i) / F.lit(1e6), 6
+    )
+    return out.select(
+        F.col("n_from").cast("long").alias("n_from"),
+        "n_converted",
+        F.when(
+            F.col("n_from") > 0,
+            F.round(
+                F.col("n_converted").cast("double")
+                / F.col("n_from").cast("double"),
+                6,
+            ),
+        ).alias("conversion_rate"),
+        F.when(
+            F.col("n_converted") > 0,
+            F.round(
+                F.col("__sum_us").cast("double")
+                / F.col("n_converted").cast("double")
+                / F.lit(1e6),
+                6,
+            ),
+        ).alias("mean_latency_sec"),
+        sec(1).alias("p25_sec"),
+        sec(2).alias("p50_sec"),
+        sec(3).alias("p75_sec"),
+        sec(4).alias("p95_sec"),
+    )

@@ -868,3 +868,142 @@ def decile_lift(
             F.round(rate / g_rate, 6),
         ).alias("lift"),
     )
+
+
+def grouped_spearman(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+    x_scale: int = 3,
+    y_scale: int = 3,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — the monotone-trend /
+    monotone-association test (pair it with (value, time) to ask "is
+    this metric drifting?" without assuming linearity).
+
+    Ranks come from one value census PER VARIABLE (the ``mann_whitney``
+    machinery): distinct quantized values, cumulative counts, and
+    average tie-ranks kept exact by working in DOUBLED ranks
+    (2·rank = 2·cum_before + t + 1 is always an integer). The doubled
+    ranks of x and y then feed the exact-moment Pearson identity —
+    every sum an integer, one IEEE expression at the end (scaling both
+    ranks by 2 leaves r unchanged). This is the full tie-aware
+    Spearman (Pearson-on-ranks), not the 6Σd²/n(n²−1) shortcut that
+    breaks under ties.
+
+    Rows with NULL x or y are excluded. Output: (group_cols..., n,
+    rho 6dp), NULL rho for degenerate (constant) variables.
+    """
+    from pyspark.sql import Window
+
+    x = (
+        x_col if not isinstance(x_col, str) else F.col(x_col)
+    ).cast(f"decimal(18,{x_scale})")
+    y = (
+        y_col if not isinstance(y_col, str) else F.col(y_col)
+    ).cast(f"decimal(18,{y_scale})")
+    base = df.select(
+        *group_cols, x.alias("__x"), y.alias("__y")
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def ranked(col: str, out: str) -> DataFrame:
+        census = base.groupBy(*group_cols, col).agg(
+            F.count(F.lit(1)).cast("long").alias("__t")
+        )
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return census.select(
+            *group_cols,
+            col,
+            (
+                F.lit(2) * F.coalesce(F.sum("__t").over(w), F.lit(0))
+                + F.col("__t")
+                + F.lit(1)
+            ).alias(out),
+        )
+
+    rx = ranked("__x", "__rx")
+    ry = ranked("__y", "__ry")
+    j = base.join(rx, [*group_cols, "__x"]).join(ry, [*group_cols, "__y"])
+    # Pearson on the doubled integer ranks: all five sums exact
+    a = F.col("__rx")
+    b = F.col("__ry")
+    agg = j.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(a).alias("__sx"),
+        F.sum(b).alias("__sy"),
+        F.sum(a * b).alias("__sxy"),
+        F.sum(a * a).alias("__sxx"),
+        F.sum(b * b).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    rho = F.when(
+        (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
+        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6),
+    )
+    return agg.select(*group_cols, "n", rho.alias("rho"))
+
+
+def grouped_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy (bits) of a categorical column per group — the
+    diversity screen over behavioral/categorical data (a user whose
+    events are one type, a source whose docs are one language, a shard
+    collapsed to one label all read as ~0 bits).
+
+    One census per (group, category), per-group totals via a window
+    over the census (|categories| rows, no rescan), per-category terms
+    −p·log2(p) rounded to 9dp and summed as integer nanos (the
+    order-independence discipline). NULL categories are excluded.
+    Output: (group_cols..., n, n_categories, entropy_bits 6dp) —
+    0 for single-category groups by construction.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(*group_cols, F.col(cat_col).alias("__c")).where(
+        F.col("__c").isNotNull()
+    )
+    census = base.groupBy(*group_cols, "__c").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    wg = Window.partitionBy(*group_cols)
+    p = F.col("__n").cast("double") / F.col("__tot").cast("double")
+    term = -(p * F.log2(p))
+    nanos = F.round(F.round(term, 9) * F.lit(1e9)).cast("long")
+    cells = census.select(
+        *group_cols,
+        "__n",
+        F.sum("__n").over(wg).alias("__tot"),
+    ).select(
+        *group_cols,
+        "__n",
+        "__tot",
+        nanos.alias("__e"),
+    )
+    agg = cells.groupBy(*group_cols).agg(
+        F.max("__tot").alias("n"),
+        F.count(F.lit(1)).alias("n_categories"),
+        F.sum("__e").alias("__en"),
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_categories",
+        F.round(F.col("__en").cast("double") / F.lit(1e9), 6).alias(
+            "entropy_bits"
+        ),
+    )

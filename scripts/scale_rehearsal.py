@@ -135,6 +135,9 @@ REHEARSAL = [
     "embedding_outliers",
     "kfold_orders",
     "temporal_split_events",
+    "spearman_trend_events",
+    "user_entropy_events",
+    "funnel_latency_events",
 ]
 
 

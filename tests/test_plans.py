@@ -461,7 +461,10 @@ def test_round10_queries_have_no_cartesian_or_python_eval(spark):
         q_readability_docs,
         q_resample_gapfill_observed,
         q_rolling_zscore_time,
+        q_spearman_trend_events,
         q_temporal_split_events,
+        q_user_entropy_events,
+        q_funnel_latency_events,
     )
 
     for q in (
@@ -481,7 +484,10 @@ def test_round10_queries_have_no_cartesian_or_python_eval(spark):
         q_readability_docs,
         q_resample_gapfill_observed,
         q_rolling_zscore_time,
+        q_spearman_trend_events,
         q_temporal_split_events,
+        q_user_entropy_events,
+        q_funnel_latency_events,
     ):
         p = plan(q(spark, SF))
         assert "CartesianProduct" not in p, p

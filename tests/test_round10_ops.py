@@ -586,3 +586,94 @@ def test_dataflow_round10_verbs_journal_and_delegate(spark, dfl):
     for verb in ("kfoldAssign", "temporalSplit", "phraseSearch",
                  "readabilityScores", "ngramNovelty", "columnDrift"):
         assert any(s.op == verb for s in dfl.journal.steps), verb
+
+
+# ---- spearman / entropy / funnel latency ----
+
+def test_grouped_spearman_monotone_and_ties(spark):
+    from betl_spark.operators.stats import grouped_spearman
+
+    rows = [("up", float(i), float(i * i)) for i in range(10)]
+    rows += [("down", float(i), float(-3 * i)) for i in range(10)]
+    rows += [("flat", float(i), 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           grouped_spearman(df, ["g"], "x", "y").collect()}
+    assert out["up"]["rho"] == 1.0       # monotone increasing
+    assert out["down"]["rho"] == -1.0    # monotone decreasing
+    assert out["flat"]["rho"] is None    # constant y: no variance
+
+
+def test_grouped_spearman_tie_aware_vs_scipy_free_reference(spark):
+    """x = [1,2,2,3], y = [10,20,20,40]: perfect monotone association
+    with ties on both sides -> rho = 1."""
+    from betl_spark.operators.stats import grouped_spearman
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 10.0), ("g", 2.0, 20.0), ("g", 2.0, 20.0),
+         ("g", 3.0, 40.0)],
+        "g string, x double, y double",
+    )
+    r = grouped_spearman(df, ["g"], "x", "y").collect()[0]
+    assert r["rho"] == 1.0
+
+
+def test_grouped_entropy_uniform_and_point_mass(spark):
+    from betl_spark.operators.stats import grouped_entropy
+
+    rows = [("u1", c) for c in "abcd" * 4]          # uniform over 4 -> 2 bits
+    rows += [("u2", "a")] * 7                        # point mass -> 0 bits
+    df = spark.createDataFrame(rows, "u string, c string")
+    out = {r["u"]: r for r in grouped_entropy(df, ["u"], "c").collect()}
+    assert out["u1"]["n_categories"] == 4
+    assert abs(out["u1"]["entropy_bits"] - 2.0) < 1e-6
+    assert out["u2"]["entropy_bits"] == 0.0
+
+
+def test_funnel_latency_first_pair_semantics(spark):
+    from betl_spark.operators.funnel import funnel_latency
+
+    M = 1_000_000
+    rows = [
+        # u1: signup at 10s, purchases at 5s (before: ignored) and 30s
+        (1, 10 * M, "signup"), (1, 5 * M, "purchase"), (1, 30 * M, "purchase"),
+        # u2: signup at 0, never purchases
+        (2, 0, "signup"),
+        # u3: purchase only (no signup): not in the funnel
+        (3, 7 * M, "purchase"),
+        # u4: signup twice, purchase between them -> latency from FIRST
+        (4, 0, "signup"), (4, 100 * M, "signup"), (4, 40 * M, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, e string")
+    r = funnel_latency(df, "u", "t", "e", "signup", "purchase").collect()[0]
+    assert r["n_from"] == 3            # u1, u2, u4
+    assert r["n_converted"] == 2       # u1 (20s), u4 (40s)
+    assert r["conversion_rate"] == round(2 / 3, 6)
+    assert r["mean_latency_sec"] == 30.0
+    assert r["p50_sec"] == 30.0
+
+
+def test_funnel_latency_empty_from(spark):
+    from betl_spark.operators.funnel import funnel_latency
+
+    df = spark.createDataFrame([(1, 0, "purchase")], "u long, t long, e string")
+    r = funnel_latency(df, "u", "t", "e", "signup", "purchase").collect()[0]
+    assert r["n_from"] == 0 and r["n_converted"] == 0
+    assert r["conversion_rate"] is None and r["mean_latency_sec"] is None
+
+
+def test_dataflow_round10_stat_verbs(spark, dfl):
+    dfl.data["ev"] = spark.createDataFrame(
+        [(1, 0, "signup", 1.0), (1, 5_000_000, "purchase", 2.0),
+         (2, 0, "signup", 3.0)],
+        "u long, t long, e string, v double",
+    )
+    rho = dfl.spearman("ev", [], "v", "t")
+    assert rho.count() == 1
+    ent = dfl.categoryEntropy("ev", ["u"], "e")
+    assert ent.count() == 2
+    lat = dfl.funnelLatency("ev", "u", "t", "e", "signup", "purchase")
+    r = lat.collect()[0]
+    assert r["n_from"] == 2 and r["n_converted"] == 1
+    for verb in ("spearman", "categoryEntropy", "funnelLatency"):
+        assert any(s.op == verb for s in dfl.journal.steps), verb
