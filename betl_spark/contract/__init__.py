@@ -19,7 +19,14 @@ Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
 - averages are exact-decimal sums divided as doubles at the end;
 - LIMIT queries carry a total ORDER BY (tiebreak on a key);
 - timestamps are bucketed with floor(epoch/N) (truncation-safe in both
-  engines) or cast to DATE.
+  engines) or cast to DATE;
+- SIGNED sub-grain scores (z, r/rho, PMI, PSI terms, log-ratios —
+  anything continuous that can land in (−5·10⁻⁷, 0) before a 6dp
+  round) add ``+ 0.0`` after the final round ON BOTH SIDES: Spark's
+  F.round runs through BigDecimal, which has no signed zero (+0.0
+  out), while DuckDB's round keeps IEEE −0.0 — same value, different
+  bits, failed hash. Found by the round-10 sf1 spot-check on
+  dsir_scores (one doc's score summed to −386 integer nanos).
 """
 
 from betl_spark.contract.tpch import QUERIES as _TPCH

@@ -76,7 +76,7 @@ SELECT event_type, event_id, CAST(v AS DOUBLE) AS value,
             THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE)/n)
                        / sqrt((CAST(s2 AS DOUBLE)
                                - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/n)
-                              / (n - 1)), 6)
+                              / (n - 1)), 6) + 0.0
             END AS zscore,
        abs(CASE WHEN n >= {ZT_MIN}
                  AND (CAST(s2 AS DOUBLE)
@@ -207,7 +207,7 @@ SELECT g AS {out_g}, n_a, n_b,
                      * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
                         - CAST(ties AS DOUBLE)
                           / (CAST(n_a + n_b AS DOUBLE)
-                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))), 6) + 0.0
             END AS z
 FROM agg
 """
@@ -309,6 +309,7 @@ SELECT n, n_x, n_y,
        CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
        CASE WHEN (n_x - 1) * (n_y - 1) > 0
             THEN round(CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9, 6)
+                 + 0.0
             END AS chi2,
        CASE WHEN (n_x - 1) * (n_y - 1) > 0 AND n > 0
              AND CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9 > 0.0
@@ -317,7 +318,7 @@ SELECT n, n_x, n_y,
                             / (CAST(n AS DOUBLE)
                                * CAST(least(n_x - 1, n_y - 1) AS DOUBLE))),
                        6) END AS cramers_v,
-       round(CAST(mi_n AS DOUBLE) / 1e9, 6) AS mi_bits
+       round(CAST(mi_n AS DOUBLE) / 1e9, 6) + 0.0 AS mi_bits
 FROM agg
 """
 
@@ -363,7 +364,7 @@ p AS (
   FROM census
 )
 SELECT CAST(dg AS INTEGER) AS digit, n, p_obs, p_expected,
-       round(p_obs - p_expected, 6) AS diff
+       round(p_obs - p_expected, 6) + 0.0 AS diff
 FROM p
 """
 
@@ -565,7 +566,7 @@ SELECT event_type, n,
               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
             END AS r
 FROM m
 """
@@ -1038,7 +1039,7 @@ SELECT event_type, n,
               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
             END AS rho
 FROM m
 """

@@ -366,7 +366,7 @@ terms AS (
 ),
 scores AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-         round(SUM(term_nanos) / 1e9, 6) AS dsir_logratio
+         round(SUM(term_nanos) / 1e9, 6) + 0.0 AS dsir_logratio
   FROM terms GROUP BY 1
 )
 SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats, s.dsir_logratio
@@ -687,7 +687,7 @@ SELECT j.bin, j.bin * {PSI_BIN} AS bin_lo, j.n_a, j.n_b,
               - (j.n_b + 1.0) / (t.tb + 1.0 * t.nbins))
              * (round(ln((j.n_a + 1.0) / (t.ta + 1.0 * t.nbins)), 9)
                 - round(ln((j.n_b + 1.0) / (t.tb + 1.0 * t.nbins)), 9)),
-             9) AS term
+             9) + 0.0 AS term
 FROM joined j CROSS JOIN tot t
 """
 

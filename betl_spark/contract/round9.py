@@ -215,7 +215,7 @@ sc AS (
               THEN round((CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
                          / sqrt((CAST(s2 AS DOUBLE)
                                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
-                                / (n - 1)), 6)
+                                / (n - 1)), 6) + 0.0
               END AS zscore
   FROM w WHERE n >= {ZSCORE_MIN}
 )
@@ -555,7 +555,7 @@ SELECT b.w1, b.w2,
        round(ln((CAST(b.c_bigram AS DOUBLE) * CAST(nu AS DOUBLE)
                  * CAST(nu AS DOUBLE))
                 / (CAST(nb AS DOUBLE) * CAST(u1.c_w AS DOUBLE)
-                   * CAST(u2.c_w AS DOUBLE))), 6) AS pmi
+                   * CAST(u2.c_w AS DOUBLE))), 6) + 0.0 AS pmi
 FROM bi b
 JOIN uni u1 ON u1.w = b.w1
 JOIN uni u2 ON u2.w = b.w2
@@ -870,7 +870,7 @@ SELECT event_type, n,
               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) + 0.0
             END AS r
 FROM a
 """
@@ -1025,7 +1025,7 @@ SELECT event_type, n_a, n_b,
                      * (1.0 - CAST(sa + sb AS DOUBLE)
                               / CAST(n_a + n_b AS DOUBLE))
                      * (1.0 / CAST(n_a AS DOUBLE)
-                        + 1.0 / CAST(n_b AS DOUBLE))), 6)
+                        + 1.0 / CAST(n_b AS DOUBLE))), 6) + 0.0
             END AS z
 FROM a
 """

@@ -643,6 +643,7 @@ def pmi_topk(
     # would inflate every pmi by a constant ln factor (rank-preserving
     # but wrong as a probability; caught by the python-replay sweep)
     totals_b = bi_all.agg(F.sum("c_bigram").alias("__nb"))
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     pmi = F.round(
         F.log(
             (
@@ -657,7 +658,7 @@ def pmi_topk(
             )
         ),
         6,
-    )
+    ) + F.lit(0.0)
     return (
         bi.join(
             F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1"))),

@@ -119,7 +119,8 @@ def psi_drift(
         "bin_lo",
         "n_a",
         "n_b",
-        F.round((pa - pb) * (la - lb), 9).alias("term"),
+        # + 0.0: signed-zero normalization (see quality.dsir_scores)
+        (F.round((pa - pb) * (la - lb), 9) + F.lit(0.0)).alias("term"),
     )
 
 

@@ -138,7 +138,13 @@ def dsir_scores(
     )
     scores = terms.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_feats"),
-        F.round(F.sum("term_nanos") / F.lit(1e9), 6).alias("dsir_logratio"),
+        # + 0.0 normalizes IEEE negative zero: a sum in (-500, 0)
+        # nanos rounds to -0.0 in engines whose round keeps the sign
+        # (DuckDB) but to +0.0 through Spark's BigDecimal — same value,
+        # different bits, failed hash (found by the sf1 spot-check)
+        (F.round(F.sum("term_nanos") / F.lit(1e9), 6) + F.lit(0.0)).alias(
+            "dsir_logratio"
+        ),
     )
     return (
         df.select(id_col)

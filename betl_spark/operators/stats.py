@@ -486,9 +486,10 @@ def grouped_pearson(
     syy = F.col("__syy").cast("double")
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     r = F.when(
         (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
-        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6),
+        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6) + F.lit(0.0),
     )
     return agg.select(*group_cols, "n", r.alias("r"))
 
@@ -528,12 +529,13 @@ def ab_test_proportions(
     se = F.sqrt(
         pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
     )
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     z = F.when(
         (F.col("n_a") > 0)
         & (F.col("n_b") > 0)
         & (pooled > F.lit(0.0))
         & (pooled < F.lit(1.0)),
-        F.round((p_a - p_b) / se, 6),
+        F.round((p_a - p_b) / se, 6) + F.lit(0.0),
     )
     # empty arms: NULL conversion rate, never a divide-by-zero (ANSI
     # mode throws; the CASE guard short-circuits the division)
@@ -640,7 +642,8 @@ def mann_whitney(
         ),
         F.when(
             both & (nn >= 2) & (var_u > F.lit(0.0)),
-            F.round((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var_u), 6),
+            F.round((u_a - n_a * n_b / F.lit(2.0)) / F.sqrt(var_u), 6)
+            + F.lit(0.0),
         ).alias("z"),
     )
 
@@ -717,7 +720,7 @@ def crosstab_assoc(
         "n_x",
         "n_y",
         dof.cast("long").alias("dof"),
-        F.when(dof > 0, F.round(chi2, 6)).alias("chi2"),
+        F.when(dof > 0, F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
         F.when(
             (dof > 0) & (F.col("n") > 0) & (chi2 > F.lit(0.0)),
             F.round(
@@ -727,9 +730,10 @@ def crosstab_assoc(
                 6,
             ),
         ).alias("cramers_v"),
-        F.round(F.col("__mi_n").cast("double") / F.lit(1e9), 6).alias(
-            "mi_bits"
-        ),
+        (
+            F.round(F.col("__mi_n").cast("double") / F.lit(1e9), 6)
+            + F.lit(0.0)
+        ).alias("mi_bits"),
     )
 
 
@@ -796,7 +800,8 @@ def benford_digits(df: DataFrame, amount_col) -> DataFrame:
         "n",
         p_obs.alias("p_obs"),
         expected.alias("p_expected"),
-        F.round(p_obs - expected, 6).alias("diff"),
+        # + 0.0: signed-zero normalization (see quality.dsir_scores)
+        (F.round(p_obs - expected, 6) + F.lit(0.0)).alias("diff"),
     )
 
 
@@ -948,9 +953,10 @@ def grouped_spearman(
     syy = F.col("__syy").cast("double")
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     rho = F.when(
         (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
-        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6),
+        F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6) + F.lit(0.0),
     )
     return agg.select(*group_cols, "n", rho.alias("rho"))
 

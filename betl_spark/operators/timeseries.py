@@ -248,9 +248,11 @@ def rolling_zscore(
     # are unscoreable: NULL z, never a div-by-zero (whose double
     # semantics differ across engines: NULL in Spark, ±inf under
     # DuckDB's ieee_floating_point_ops)
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     z = F.when(
         var > F.lit(0.0),
-        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6),
+        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6)
+        + F.lit(0.0),
     )
     return (
         scored.where(F.col("__n") >= min_rows)
@@ -465,9 +467,11 @@ def rolling_zscore_time(
     s_d = F.col("__s").cast("double")
     s2_d = F.col("__s2").cast("double")
     var = (s2_d - (s_d * s_d) / n_d) / (n_d - F.lit(1.0))
+    # + 0.0: signed-zero normalization (see quality.dsir_scores)
     z = F.when(
         (F.col("__n") >= min_rows) & (var > F.lit(0.0)),
-        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6),
+        F.round((F.col("__v").cast("double") - s_d / n_d) / F.sqrt(var), 6)
+        + F.lit(0.0),
     )
     return scored.select(
         F.col("__p").alias(part_col),
