@@ -26,7 +26,15 @@ Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
   F.round runs through BigDecimal, which has no signed zero (+0.0
   out), while DuckDB's round keeps IEEE −0.0 — same value, different
   bits, failed hash. Found by the round-10 sf1 spot-check on
-  dsir_scores (one doc's score summed to −386 integer nanos).
+  dsir_scores (one doc's score summed to −386 integer nanos);
+- a 9dp round of a RATIO OF SMALL INTEGERS (a mean over n tokens, a
+  per-key average) must be computed in exact integer arithmetic
+  (half-away-from-zero: sign·((2·|a| + n) DIV (2·n))), never
+  round(double, 9): the two engines round the SAME double differently
+  near representation midpoints (Spark rounds the shortest decimal
+  repr via BigDecimal; DuckDB rounds the binary value), and
+  small-denominator rationals land on those midpoints often
+  (classifier logit: 6 docs in 50k at sf1).
 """
 
 from betl_spark.contract.tpch import QUERIES as _TPCH

@@ -824,17 +824,27 @@ toks AS (
 per_doc AS (
   -- exact-integer accumulation (see quality.classifier_score)
   SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
-               / (COUNT(*) * 1e9), 9) AS m
+         SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS s
   FROM toks t LEFT JOIN weights w ON t.bucket = w.bucket
   GROUP BY 1
+),
+lg AS (
+  -- half-away-from-zero integer logit (see quality.classifier_score):
+  -- round(double, 9) is engine-divergent at repr midpoints
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         CASE WHEN p.n_tokens IS NULL THEN {int(round(CLF_BIAS * 1e9))}
+              ELSE (CASE WHEN p.s + {int(round(CLF_BIAS * 1e9))} * p.n_tokens < 0
+                         THEN -1 ELSE 1 END)
+                   * ((2 * abs(p.s + {int(round(CLF_BIAS * 1e9))} * p.n_tokens) + p.n_tokens)
+                      // (2 * p.n_tokens))
+              END AS ln
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 )
-SELECT d.doc_id,
-       COALESCE(p.n_tokens, 0) AS n_tokens,
-       round(COALESCE(p.m, 0.0) + {CLF_BIAS}, 9) AS logit,
-       round(1.0 / (1.0 + exp(-round(COALESCE(p.m, 0.0) + {CLF_BIAS}, 9))), 6)
-         AS score
-FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+SELECT doc_id, n_tokens,
+       CAST(ln AS DOUBLE) / 1e9 AS logit,
+       round(1.0 / (1.0 + exp(-(CAST(ln AS DOUBLE) / 1e9))), 6) AS score
+FROM lg
 """
 
 

@@ -180,8 +180,8 @@ def _clf_train_score_sql(buckets: int, iterations: int, lr: float) -> str:
 )"""
     )
     ctes.append(
-        f"""bias AS (
-  SELECT CAST(wn AS DOUBLE) / 1e9 AS b FROM w{iterations} WHERE bucket = -1
+        f"""bias_n AS (
+  SELECT COALESCE((SELECT wn FROM w{iterations} WHERE bucket = -1), 0) AS bn
 )"""
     )
     ctes.append(
@@ -195,23 +195,35 @@ def _clf_train_score_sql(buckets: int, iterations: int, lr: float) -> str:
     ctes.append(
         """per_doc AS (
   SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
-               / (COUNT(*) * 1e9), 9) AS m
+         SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS s
   FROM toks t LEFT JOIN trained w ON t.bucket = w.bucket
   GROUP BY 1
+)"""
+    )
+    ctes.append(
+        """lg AS (
+  -- half-away-from-zero integer logit (see quality.classifier_score):
+  -- round(double, 9) is engine-divergent at repr midpoints
+  SELECT d.doc_id,
+         COALESCE(p.n_tokens, 0) AS n_tokens,
+         CASE WHEN p.n_tokens IS NULL THEN (SELECT bn FROM bias_n)
+              ELSE (CASE WHEN p.s + (SELECT bn FROM bias_n) * p.n_tokens < 0
+                         THEN -1 ELSE 1 END)
+                   * ((2 * abs(p.s + (SELECT bn FROM bias_n) * p.n_tokens)
+                       + p.n_tokens)
+                      // (2 * p.n_tokens))
+              END AS ln
+  FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 )"""
     )
     return (
         "WITH "
         + ",\n".join(ctes)
         + """
-SELECT d.doc_id,
-       COALESCE(p.n_tokens, 0) AS n_tokens,
-       round(COALESCE(p.m, 0.0) + (SELECT b FROM bias), 9) AS logit,
-       round(1.0 / (1.0 + exp(
-           -round(COALESCE(p.m, 0.0) + (SELECT b FROM bias), 9))), 6)
-         AS score
-FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"""
+SELECT doc_id, n_tokens,
+       CAST(ln AS DOUBLE) / 1e9 AS logit,
+       round(1.0 / (1.0 + exp(-(CAST(ln AS DOUBLE) / 1e9))), 6) AS score
+FROM lg"""
     )
 
 
@@ -721,8 +733,8 @@ def _curation_v3_sql() -> str:
 )"""
     )
     ctes.append(
-        f"""bias AS (
-  SELECT CAST(wn AS DOUBLE) / 1e9 AS b FROM w{V3_ITERS} WHERE bucket = -1
+        f"""bias_n AS (
+  SELECT COALESCE((SELECT wn FROM w{V3_ITERS} WHERE bucket = -1), 0) AS bn
 )"""
     )
     ctes.append(
@@ -735,19 +747,24 @@ def _curation_v3_sql() -> str:
     )
     ctes.append(
         """per_doc AS (
-  SELECT t.doc_id,
-         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
-               / (COUNT(*) * 1e9), 9) AS m
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS s
   FROM toks t LEFT JOIN trained w ON t.bucket = w.bucket
   GROUP BY 1
 )"""
     )
     ctes.append(
         """scored AS (
+  -- half-away-from-zero integer logit (see quality.classifier_score)
   SELECT c.doc_id, c.lang,
-         round(1.0 / (1.0 + exp(
-             -round(COALESCE(p.m, 0.0) + COALESCE((SELECT b FROM bias), 0.0),
-                    9))), 6) AS score
+         round(1.0 / (1.0 + exp(-(CAST(
+           CASE WHEN p.n_tokens IS NULL THEN (SELECT bn FROM bias_n)
+                ELSE (CASE WHEN p.s + (SELECT bn FROM bias_n) * p.n_tokens < 0
+                           THEN -1 ELSE 1 END)
+                     * ((2 * abs(p.s + (SELECT bn FROM bias_n) * p.n_tokens)
+                         + p.n_tokens)
+                        // (2 * p.n_tokens))
+                END AS DOUBLE) / 1e9))), 6) AS score
   FROM cleaned c LEFT JOIN per_doc p ON c.doc_id = p.doc_id
 )"""
     )
@@ -1112,16 +1129,22 @@ toks AS (
   FROM documents, unnest(string_split(text, ' ')) AS u(t)
 ),
 per_doc AS (
-  SELECT t.doc_id,
-         round(SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT))
-               / (COUNT(*) * 1e9), 9) AS m
+  SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(CAST(round(COALESCE(w.w, 0.0) * 1e9) AS BIGINT)) AS s
   FROM toks t LEFT JOIN weights w ON t.bucket = w.bucket
   GROUP BY 1
 ),
 scored AS (
+  -- half-away-from-zero integer logit (see quality.classifier_score)
   SELECT d.doc_id,
-         round(1.0 / (1.0 + exp(-round(COALESCE(p.m, 0.0) + -0.1, 9))), 6)
-           AS score
+         round(1.0 / (1.0 + exp(-(CAST(
+           CASE WHEN p.n_tokens IS NULL THEN -100000000
+                ELSE (CASE WHEN p.s + -100000000 * p.n_tokens < 0
+                           THEN -1 ELSE 1 END)
+                     * ((2 * abs(p.s + -100000000 * p.n_tokens)
+                         + p.n_tokens)
+                        // (2 * p.n_tokens))
+                END AS DOUBLE) / 1e9))), 6) AS score
   FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 ),
 base AS (

@@ -179,10 +179,18 @@ def classifier_score(
     join and a per-doc mean, (id, term) pairs being the only wire
     traffic.
 
-    Determinism: per-token weights are exact table values; the mean
-    rounds to 9dp, σ applies to the rounded mean and rounds to 6dp
-    (``lm_score`` discipline). Documents with no tokens (NULL text)
-    keep a row with n_tokens=0 and score = σ(bias).
+    Determinism: per-token weights are exact table values quantized to
+    integer nano-units, and the REPORTED 9dp logit is rounded in EXACT
+    INTEGER arithmetic — |logit_nanos| = (2·|S + b·n| + n) DIV (2·n)
+    (half away from zero) over the nano sum S, nano bias b and token
+    count n — never by
+    round(double, 9). A double round is engine-divergent at repr
+    midpoints: Spark's F.round rounds the shortest DECIMAL repr
+    through BigDecimal while DuckDB rounds the BINARY value, so the
+    same double can round to adjacent 9dp values (found by the
+    round-10 sf1 spot-check: 6 docs in 50k). σ applies to the exact
+    logit and rounds to 6dp. Documents with no tokens (NULL text) keep
+    a row with n_tokens=0 and score = σ(bias).
 
     Output: (id, n_tokens, logit, score).
     """
@@ -191,35 +199,57 @@ def classifier_score(
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     )
-    # weights quantize to 9dp nano-units so the per-doc mean is an
-    # order-free BIGINT sum (see dsir_scores determinism note)
+    # weights quantize to 9dp nano-units so the per-doc accumulation is
+    # an order-free BIGINT sum (see dsir_scores determinism note)
     per_doc = (
         toks.select(id_col, hash_bucket("__tok", buckets).alias("bucket"))
         .join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(
-                F.sum(
-                    F.round(F.coalesce("w", F.lit(0.0)) * F.lit(1e9)).cast("long")
-                )
-                / (F.count(F.lit(1)) * F.lit(1e9)),
-                9,
-            ).alias("__m"),
+            F.sum(
+                F.round(F.coalesce("w", F.lit(0.0)) * F.lit(1e9)).cast("long")
+            ).alias("__s"),
         )
     )
-    logit = F.coalesce("__m", F.lit(0.0)) + F.lit(float(bias))
-    return (
+    b_n = int(round(float(bias) * 1e9))
+    # HALF-AWAY-FROM-ZERO rounded mean-plus-bias in exact integers
+    # (the HALF_UP convention every rounded column in the contract
+    # uses): |logit_nanos| = (2·|S + b·n| + n) DIV (2·n) on positive
+    # operands (DIV = floor there), sign reattached — all BIGINT, no
+    # double detour anywhere before the final /1e9
+    joined = (
         df.select(id_col)
         .join(per_doc, id_col, "left")
         .select(
-            id_col,
+            F.col(id_col),
             F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
-            F.round(logit, 9).alias("logit"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.round(logit, 9))), 6).alias(
-                "score"
+            F.coalesce("__s", F.lit(0).cast("long")).alias("__s"),
+        )
+        .withColumn(
+            "__a", F.col("__s") + F.lit(b_n) * F.col("n_tokens")
+        )
+        .withColumn(
+            "__mag",
+            F.expr(
+                "(2 * abs(__a) + n_tokens) DIV (2 * greatest(n_tokens, 1))"
             ),
         )
+        .withColumn(
+            "__ln",
+            F.when(F.col("n_tokens") == 0, F.lit(b_n)).otherwise(
+                F.when(F.col("__a") < 0, -F.col("__mag")).otherwise(
+                    F.col("__mag")
+                )
+            ),
+        )
+    )
+    logit = F.col("__ln").cast("double") / F.lit(1e9)
+    return joined.select(
+        id_col,
+        "n_tokens",
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
     )
 
 
