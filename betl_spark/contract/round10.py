@@ -635,12 +635,18 @@ WITH c AS (
   FROM documents
 )
 SELECT doc_id, n_words, n_sentences, n_syllables,
+       -- exact-integer ratio rounding (see util.round_ratio_expr)
        CASE WHEN n_words > 0
-            THEN round(206.835
-                       - 1.015 * (CAST(n_words AS DOUBLE)
-                                  / CAST(n_sentences AS DOUBLE))
-                       - 84.6 * (CAST(n_syllables AS DOUBLE)
-                                 / CAST(n_words AS DOUBLE)), 4)
+            THEN CAST((CASE WHEN 206835 * n_sentences * n_words
+                              - 1015 * n_words * n_words
+                              - 84600 * n_sentences * n_syllables < 0
+                            THEN -1 ELSE 1 END)
+                 * ((2 * abs(206835 * n_sentences * n_words
+                             - 1015 * n_words * n_words
+                             - 84600 * n_sentences * n_syllables) * 10000
+                     + 1000 * n_sentences * n_words)
+                    // (2 * 1000 * n_sentences * n_words)) AS DOUBLE)
+                 / 10000.0
             END AS flesch
 FROM c
 """
@@ -685,9 +691,11 @@ per_doc AS (
 SELECT d.doc_id,
        coalesce(p.n_ngrams, 0) AS n_ngrams,
        coalesce(p.n_novel, 0) AS n_novel,
+       -- exact-integer ratio rounding (see util.round_ratio_expr)
        CASE WHEN coalesce(p.n_ngrams, 0) > 0
-            THEN round(CAST(p.n_novel AS DOUBLE)
-                       / CAST(p.n_ngrams AS DOUBLE), 6) END AS novelty
+            THEN CAST((2 * p.n_novel * 1000000 + p.n_ngrams)
+                      // (2 * p.n_ngrams) AS DOUBLE) / 1000000.0
+            END AS novelty
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 

@@ -770,16 +770,21 @@ def ngram_novelty(
     out = df.select(F.col(id_col).alias("__id")).join(
         per_doc, "__id", "left"
     )
+    from betl_spark.operators.util import round_ratio_expr
+
+    # integer-ratio rounding: per-doc gram counts are SMALL
+    # denominators, the demonstrated cross-engine round() midpoint
+    # hazard (see util.round_ratio_expr)
     return out.select(
         F.col("__id").alias(id_col),
         F.coalesce(F.col("n_ngrams"), F.lit(0)).alias("n_ngrams"),
         F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+    ).select(
+        id_col,
+        "n_ngrams",
+        "n_novel",
         F.when(
             F.col("n_ngrams") > 0,
-            F.round(
-                F.col("n_novel").cast("double")
-                / F.col("n_ngrams").cast("double"),
-                6,
-            ),
+            round_ratio_expr("n_novel", "n_ngrams", 6),
         ).alias("novelty"),
     )

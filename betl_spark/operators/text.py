@@ -362,9 +362,20 @@ def readability(
         sents.alias("n_sentences"),
         syls.alias("n_syllables"),
     )
-    w = F.col("n_words").cast("double")
-    s = F.col("n_sentences").cast("double")
-    y = F.col("n_syllables").cast("double")
+    from betl_spark.operators.util import round_ratio_expr
+
+    # the score as ONE exact integer ratio (denominators W, S are
+    # small — the demonstrated cross-engine round() midpoint hazard):
+    # flesch = N/D with N = 206835·S·W − 1015·W² − 84600·S·Syl and
+    # D = 1000·S·W (coefficients ×1000 clears the decimal literals).
+    # BIGINT headroom: 2·|N|·10⁴ stays under 2⁶³ through ~3·10⁴-token
+    # documents — chunk longer docs upstream.
+    num = (
+        "206835 * n_sentences * n_words "
+        "- 1015 * n_words * n_words "
+        "- 84600 * n_sentences * n_syllables"
+    )
+    den = "1000 * n_sentences * n_words"
     return base.select(
         id_col,
         "n_words",
@@ -372,9 +383,6 @@ def readability(
         "n_syllables",
         F.when(
             F.col("n_words") > 0,
-            F.round(
-                F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w),
-                4,
-            ),
+            round_ratio_expr(num, den, 4),
         ).alias("flesch"),
     )

@@ -26,3 +26,35 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def round_ratio_expr(num_sql: str, den_sql: str, decimals: int):
+    """Half-away-from-zero rounding of an INTEGER ratio num/den
+    (den > 0, both SQL fragments over the frame's columns) at
+    ``decimals`` places, computed entirely in BIGINT and returned as a
+    double:
+
+        sign(num) · ((2·|num|·10^d + den) DIV (2·den)) / 10^d
+
+    This is the cross-engine-safe form of ``F.round(num/den, d)`` for
+    small-denominator integer rationals: the two engines round the
+    SAME double differently near representation midpoints (Spark
+    rounds the shortest decimal repr through BigDecimal, DuckDB rounds
+    the scaled binary), and small denominators land on exact midpoints
+    often — see the contract/__init__.py determinism rules and
+    SCALE.md "bug #4". The DuckDB mirror is the same expression with
+    ``//``. Operands must keep 2·|num|·10^d inside BIGINT — fine for
+    counts at any realistic scale with d ≤ 6.
+    """
+    from pyspark.sql import functions as F
+
+    m = 10 ** int(decimals)
+    mag = (
+        f"(2 * abs({num_sql}) * {m}L + ({den_sql})) DIV (2 * ({den_sql}))"
+    )
+    return (
+        F.expr(
+            f"CASE WHEN ({num_sql}) < 0 THEN -({mag}) ELSE ({mag}) END"
+        ).cast("double")
+        / F.lit(float(m))
+    )
