@@ -192,6 +192,12 @@ def main() -> None:
     line_budget = 1800
     inline = {k: round(v, 2) for k, v in timings.items()}
     compact = dict(payload)
+    # the per-query delta dicts are BENCH_FULL-only: inlined they eat
+    # the whole stdout budget and evict every actual timing
+    compact.pop("normalized_delta_vs_prev", None)
+    n_reg = len(payload.get("normalized_regressions_over_10pct", {}))
+    compact.pop("normalized_regressions_over_10pct", None)
+    compact["n_normalized_regressions_over_10pct"] = n_reg
     compact["queries_full"] = "BENCH_FULL.json"
     by_speed = sorted(inline, key=lambda k: inline[k])
     while True:
