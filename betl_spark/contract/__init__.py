@@ -82,10 +82,10 @@ _ALL = {
 # the start of each round). With ~194 queries and a 50-slot window the
 # policy guarantees every query re-verifies within ceil(194/50) = 4
 # rounds, and the schedule is inspectable ahead of time (ROTATION.md
-# tabulates the planned r10-r13 windows). Round 10's window therefore
-# leads with the 28 round-6 greens that the round-9 verdict flagged as
-# 3 rounds stale, then the round-10-new queries, then the oldest
-# round-7 greens fill the remaining slots.
+# tabulates the planned r10-r13 windows). Per _PRIORITY below, the
+# window leads with the new-this-round queries, then the stalest
+# greens fill the remaining slots oldest-first (round 11: the ten
+# round-11-new queries, then 40 of the 46 last-green-r7 queries).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
 NEW_THIS_ROUND = [n for n in _ROUND10]

@@ -729,7 +729,12 @@ def q_column_drift_events(spark, sf_dir):
         ev.where(F.col("__ts_us") > mid).select(*cols),
         cols,
     )
-    return out.where(F.col("n_a") + F.col("n_b") > 0)
+    # Require BOTH sides non-empty, mirroring the oracle's inner join
+    # on side='a' x side='b': on degenerate input where every non-null
+    # ts is identical (lo == hi == mid), side 'b' is empty and the
+    # oracle emits zero rows — the API's n_b=0 rows would hash-mismatch
+    # (round-10 advisor item #1).
+    return out.where((F.col("n_a") > 0) & (F.col("n_b") > 0))
 
 
 COLUMN_DRIFT_EVENTS_SQL = """

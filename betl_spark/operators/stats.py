@@ -934,16 +934,24 @@ def grouped_spearman(
     rx = ranked("__x", "__rx")
     ry = ranked("__y", "__ry")
     j = base.join(rx, [*group_cols, "__x"]).join(ry, [*group_cols, "__y"])
-    # Pearson on the doubled integer ranks: all five sums exact
+    # Pearson on the doubled integer ranks: all five sums exact.
+    # The second-moment products are summed as DECIMAL(38,0), not
+    # BIGINT: doubled ranks reach 2n, so sum(rx*ry) reaches 4n^3,
+    # which overflows int64 near n ~ 1.3M rows per group (DuckDB
+    # promotes sum(BIGINT) to HUGEINT, so the engines would diverge —
+    # round-10 advisor item #2). DECIMAL(38,0) holds 4n^3 up to
+    # n ~ 2.9e12 rows per group, far past any realistic group.
     a = F.col("__rx")
     b = F.col("__ry")
+    ad = a.cast("decimal(19,0)")
+    bd = b.cast("decimal(19,0)")
     agg = j.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(a).alias("__sx"),
-        F.sum(b).alias("__sy"),
-        F.sum(a * b).alias("__sxy"),
-        F.sum(a * a).alias("__sxx"),
-        F.sum(b * b).alias("__syy"),
+        F.sum(ad).alias("__sx"),
+        F.sum(bd).alias("__sy"),
+        F.sum(ad * bd).alias("__sxy"),
+        F.sum(ad * ad).alias("__sxx"),
+        F.sum(bd * bd).alias("__syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")

@@ -335,8 +335,10 @@ def readability(
     shape alone (no model, no dictionary).
 
     All three inputs are exact integer counts from one codegen'd
-    projection (no shuffle at all): words = non-empty whitespace
-    tokens; sentences = runs of [.!?] (floored at 1 — a fragment is
+    projection (no shuffle at all): words = non-empty
+    single-space-delimited tokens (the contract's tokenization
+    convention — tabs/newlines are NOT token boundaries, matching the
+    oracle's split on ' '); sentences = runs of [.!?] (floored at 1 — a fragment is
     one sentence); syllables ~= vowel-group runs per lowercased text
     (the standard dictionary-free estimator). The score
     206.835 − 1.015·(W/S) − 84.6·(Syl/W) is one engine-identical IEEE
