@@ -49,6 +49,7 @@ from betl_spark.contract.round7 import QUERIES as _ROUND7
 from betl_spark.contract.round8 import QUERIES as _ROUND8
 from betl_spark.contract.round9 import QUERIES as _ROUND9
 from betl_spark.contract.round10 import QUERIES as _ROUND10
+from betl_spark.contract.round11 import QUERIES as _ROUND11
 
 _ALL = {
     **_TPCH,
@@ -63,6 +64,7 @@ _ALL = {
     **_ROUND8,
     **_ROUND9,
     **_ROUND10,
+    **_ROUND11,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
@@ -88,12 +90,12 @@ _ALL = {
 # round-11-new queries, then 40 of the 46 last-green-r7 queries).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND = [n for n in _ROUND10]
+NEW_THIS_ROUND = [n for n in _ROUND11]
 
 _PRIORITY = [
     *NEW_THIS_ROUND,
     *sorted(
-        (n for n in _ALL if n not in _ROUND10),
+        (n for n in _ALL if n not in _ROUND11),
         key=lambda n: (LAST_VERIFIED.get(n, 0), n),
     ),
 ]

@@ -1,0 +1,231 @@
+"""Web / URL curation operators — the standard C4/RefinedWeb-style
+pre-filter stage of a training-data pipeline: parse URLs into
+components, reduce hosts to registered domains (eTLD+1), canonicalize
+URLs for dedup, and screen domains against a blocklist.
+
+Everything here is a pure codegen'd JVM projection (regexp_extract /
+string builtins / array HOFs) — NO Python UDFs, NO shuffle introduced
+by parsing itself. At 100 TB the parse stage is embarrassingly
+parallel and whole-stage-codegen'd into the scan; the only shuffles a
+caller pays are the ones their rollup asks for (one hash-agg on
+``registered_domain``, a bounded-cardinality key: the web has ~10^8
+registered domains, so per-domain aggregates fit a normal shuffle and
+are far below the per-URL cardinality). The blocklist screen is a
+literal IN-set when the list is small enough to inline (constant-
+folded, pushed into the scan) or a broadcast anti-join when it is a
+table — never a shuffle of the big side.
+
+Cross-engine determinism (the DuckDB oracle mirrors every expression):
+- regex parsing only uses character classes / quantifiers / anchors —
+  semantics identical between Java regex (Spark) and RE2 (DuckDB);
+  both engines return '' for a non-match and NULL for NULL input.
+- the public-suffix sets are module-level literal tuples shared by the
+  Spark side and injected into oracle SQL — one source of truth.
+- query-param canonicalization is split → filter → array_sort → join;
+  both engines sort ASCII param strings bytewise.
+
+Reference parity note: the reference engine (betl) has no web stage —
+this module is part of the beyond-reference training-data surface the
+build brief asks for, alongside dedup/similarity/text-analysis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Deliberately-compact public-suffix profile (the operator shape is
+# the point; a production list is ~9k suffixes and would ship as a
+# broadcast table instead of an IN-set — same plan shape, see
+# registered_domain's docstring).
+ONE_LABEL_SUFFIXES: tuple[str, ...] = (
+    "com", "org", "net", "io", "edu", "gov", "info", "dev",
+)
+TWO_LABEL_SUFFIXES: tuple[str, ...] = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "net.au",
+    "co.jp", "com.br", "co.in",
+)
+
+# tracking params stripped by canonical_url (prefix / exact forms)
+_TRACKING_LIKE = ("utm_%", "ref=%")
+
+_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
+_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+_PORT_RE = "^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+_QUERY_RE = "\\?([^#]*)"
+_IPV4_RE = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def scheme_of(url) -> Column:
+    """Lowercased scheme, '' when the URL has no scheme://."""
+    return F.lower(F.regexp_extract(_col(url), _SCHEME_RE, 1))
+
+
+def host_of(url) -> Column:
+    """Lowercased host (no port), '' when unparseable."""
+    return F.lower(F.regexp_extract(_col(url), _HOST_RE, 1))
+
+
+def port_of(url) -> Column:
+    """Explicit port as INT, NULL when none is present."""
+    p = F.regexp_extract(_col(url), _PORT_RE, 1)
+    return F.when(p != "", p.cast("int"))
+
+
+def path_of(url) -> Column:
+    """Path including leading '/', '' when the URL stops at the host."""
+    return F.regexp_extract(_col(url), _PATH_RE, 1)
+
+
+def query_of(url) -> Column:
+    """Raw query string after '?', '' when none."""
+    return F.regexp_extract(_col(url), _QUERY_RE, 1)
+
+
+def with_url_parts(df: DataFrame, url_col: str, prefix: str = "") -> DataFrame:
+    """Add scheme/host/port/path/query columns parsed from ``url_col``.
+
+    Pure projection: five regexp_extracts over the same input string,
+    all inside one whole-stage-codegen span; NULL url → NULL parts,
+    unparseable url → '' scheme/host (callers treat that as invalid).
+    """
+    u = F.col(url_col)
+    return df.withColumns({
+        f"{prefix}scheme": scheme_of(u),
+        f"{prefix}host": host_of(u),
+        f"{prefix}port": port_of(u),
+        f"{prefix}path": path_of(u),
+        f"{prefix}query": query_of(u),
+    })
+
+
+def is_ip_host(host) -> Column:
+    """True for an IPv4-literal host (dotted quad)."""
+    return _col(host).rlike(_IPV4_RE)
+
+
+def registered_domain(host) -> Column:
+    """eTLD+1 reduction of a host: the registrable domain under the
+    module's public-suffix profile.
+
+    Algorithm (pure regex + IN-set, no join, no UDF):
+      last1/last2/last3 = the last 1/2/3 dot-labels of the host
+      (regexp_extract returns '' when the host has fewer labels);
+      - IPv4-literal hosts ARE their own registered domain;
+      - if last2 is a two-label public suffix (co.uk, ...), the
+        registered domain is last3 (or the host itself when the host
+        IS the bare suffix);
+      - else if last1 is a one-label suffix (com, ...), it is last2
+        (or the host when the host is the bare TLD);
+      - else the whole host (unknown suffix — conservative identity).
+
+    Scale: with a production ~9k-entry suffix list the IN-sets become
+    a broadcast-joined suffix table matched on (last1, last2, last3)
+    — three equi-lookups against a <1 MB build side, still zero
+    shuffle of the URL side. NULL host → NULL.
+    """
+    h = _col(host)
+    last1 = F.regexp_extract(h, "([^.]+)$", 1)
+    last2 = F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
+    last3 = F.regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(is_ip_host(h), h)
+        .when(
+            last2.isin(*TWO_LABEL_SUFFIXES),
+            F.when(last3 != "", last3).otherwise(h),
+        )
+        .when(
+            last1.isin(*ONE_LABEL_SUFFIXES),
+            F.when(last2 != "", last2).otherwise(h),
+        )
+        .otherwise(h)
+    )
+
+
+def canonical_params(query) -> Column:
+    """Sorted '&'-joined query params with tracking params removed.
+
+    split → filter(non-empty, not utm_*/ref=*) → array_sort → join.
+    '' when no params survive; NULL for NULL query.
+    """
+    q = _col(query)
+    toks = F.filter(
+        F.split(q, "&"),
+        lambda t: (t != "")
+        & ~t.like(_TRACKING_LIKE[0])
+        & ~t.like(_TRACKING_LIKE[1]),
+    )
+    return F.array_join(F.array_sort(toks), "&")
+
+
+def canonical_url(url) -> Column:
+    """Canonical form of a URL for dedup keying:
+
+    - scheme and host lowercased; a leading 'www.' stripped;
+    - default ports dropped (http:80 / https:443), explicit
+      non-default ports kept;
+    - empty path → '/', trailing '/'s stripped otherwise;
+    - tracking params (utm_*, ref=) removed, survivors sorted;
+    - NULL when the URL is NULL or has no parseable scheme://host.
+
+    One codegen'd expression tree over the raw string — canonical
+    keys are computed during the scan, so a canonical-dedup is a
+    single exchange on the key (and with AQE a skewed mega-URL group
+    splits automatically).
+    """
+    u = _col(url)
+    scheme = scheme_of(u)
+    host = F.regexp_replace(host_of(u), "^www\\.", "")
+    port = port_of(u)
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == 80))
+        | ((scheme == "https") & (port == 443))
+    )
+    port_part = F.when(
+        keep_port, F.concat(F.lit(":"), port.cast("string"))
+    ).otherwise(F.lit(""))
+    p1 = F.regexp_replace(path_of(u), "/+$", "")
+    path_part = F.when(p1 == "", F.lit("/")).otherwise(p1)
+    params = canonical_params(query_of(u))
+    q_part = F.when(params == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), params)
+    )
+    return F.when(
+        (scheme != "") & (host != ""),
+        F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part),
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    domain_col: str,
+    blocklist,
+    spark=None,
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted.
+
+    ``blocklist`` is either an iterable of domain strings — screened
+    with a literal IN-set the optimizer constant-folds and pushes into
+    the scan — or a single-column DataFrame, screened with a BROADCAST
+    left-anti join (the curated-blocklist table of a real pipeline is
+    ~10^5-10^6 domains: megabytes, always broadcastable; the 100 TB
+    side never shuffles). Rows with a NULL domain are dropped in both
+    paths (a curation stage cannot vouch for a document whose origin
+    is unknown), which also keeps the IN-set and anti-join semantics
+    aligned: SQL NOT IN rejects NULLs while an anti join would keep
+    them.
+    """
+    d = F.col(domain_col)
+    if isinstance(blocklist, DataFrame):
+        bl_col = blocklist.columns[0]
+        return df.where(d.isNotNull()).join(
+            F.broadcast(blocklist.select(F.col(bl_col).alias(domain_col))),
+            on=domain_col,
+            how="left_anti",
+        )
+    return df.where(d.isNotNull() & ~d.isin(*list(blocklist)))
