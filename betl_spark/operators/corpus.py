@@ -744,12 +744,30 @@ def ngram_novelty(
     dedup (a doc of recycled n-grams scores ~0 even when no single
     source matches enough for near-dup removal).
 
-    Shape: explode distinct n-grams (``decontam.word_ngrams`` — the
-    same grams the contamination screen uses), one grouped MIN per
-    gram (the census shuffle, map-side combinable), broadcast-join
-    nothing — the census joins back to the doc-gram pairs on the gram
-    key, then one count-up per doc. Docs with fewer than ``n`` tokens
-    have no grams and report NULL novelty.
+    Shape — JOIN-FREE (round-11 rewrite): because word_ngrams is
+    DISTINCT per doc, the doc-gram pairs never need to meet the census
+    again:
+
+        n_ngrams(doc) = count of the doc's gram rows
+                        (one grouped COUNT on the doc id), and
+        n_novel(doc)  = count of census rows whose min-doc IS the doc
+                        (one grouped COUNT over the census on __first)
+
+    — three aggregations and a |docs|-row join instead of the previous
+    grams ⋈ census sort-merge join on the gram key. That join was the
+    operator's scale hazard: a boilerplate gram shared by 30% of the
+    corpus is a whale key, and AQE skew-split can NEVER rescue it —
+    OptimizeSkewedJoin only matches SMJ children of shape
+    Sort(ShuffleStage), while the census side here is
+    Sort(HashAggregate(ShuffleStage)) (measured at sf1: a planted
+    hot gram at 3.8x median partition bytes stayed skew=false under
+    every AQE setting, including forceOptimizeSkewedJoin). The
+    aggregation formulation dissolves the hot key instead: MIN and
+    COUNT are map-side combinable, so the hot gram leaves each mapper
+    as ONE partial row — reduce-side load is O(mappers), not O(docs
+    sharing the gram) (scripts/scale_rehearsal.py --hot-gram).
+    Docs with fewer than ``n`` tokens have no grams and report NULL
+    novelty.
 
     Output: (id, n_ngrams, n_novel, novelty 6dp).
     """
@@ -759,13 +777,17 @@ def ngram_novelty(
         F.col(id_col).alias("__id"),
         F.explode(word_ngrams(text_col, n)).alias("__g"),
     )
-    first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
-    joined = grams.join(first, "__g")
-    per_doc = joined.groupBy("__id").agg(
-        F.count(F.lit(1)).alias("n_ngrams"),
-        F.sum(
-            (F.col("__first") == F.col("__id")).cast("long")
-        ).alias("n_novel"),
+    census = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+    novel = census.groupBy("__first").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    ).withColumnRenamed("__first", "__id")
+    counts = grams.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_ngrams")
+    )
+    per_doc = counts.join(novel, "__id", "left").select(
+        "__id",
+        "n_ngrams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
     )
     out = df.select(F.col(id_col).alias("__id")).join(
         per_doc, "__id", "left"

@@ -415,6 +415,108 @@ def bpe_rounds_rehearsal() -> None:
     spark.stop()
 
 
+def hot_gram_rehearsal() -> None:
+    """Hot-gram skew rehearsal for `ngram_novelty` (round-10 verdict
+    ask #4): a boilerplate 3-gram planted in ~30% of sf1 docs makes
+    one gram key a whale.
+
+    What the rehearsal PROVED (and why the operator was rewritten):
+    the original formulation joined the doc-gram pairs back to the
+    min-doc census on the gram key — and that join is structurally
+    un-rescuable by AQE: OptimizeSkewedJoin only matches SMJ children
+    of shape Sort(ShuffleStage), while the census side is
+    Sort(HashAggregate(ShuffleStage)). Measured here: with the hot
+    partition at 3.8x median bytes and every knob thrown
+    (thresholds 100k/factor 2, forceOptimizeSkewedJoin, shuffle
+    compression off so identical hot-gram strings can't compress the
+    skew away, 512 reduce partitions so the key dominates its
+    partition) the executed plan stayed skew=false in every run.
+
+    The shipped operator (operators/corpus.py) therefore computes
+    novelty JOIN-FREE: n_novel = per-__first COUNT over the census,
+    n_ngrams = per-doc COUNT over the gram pairs. MIN/COUNT are
+    map-side combinable, so the hot gram leaves each mapper as one
+    partial row — reduce-side O(mappers), no whale by construction.
+    This rehearsal keeps the OLD join formulation inline as the
+    control and times both on the planted corpus.
+    """
+    from pyspark.sql import functions as F
+
+    from betl_spark.operators.corpus import ngram_novelty
+    from betl_spark.operators.decontam import word_ngrams
+    from betl_spark.session import build_spark
+
+    spark = build_spark(
+        "betl_spark_hot_gram_skew",
+        extra_conf={
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # real-scale geometry: partitions small enough that the
+            # hot key dominates one (at 100 TB, 256 MB partitions vs
+            # a billions-of-rows gram key)
+            "spark.sql.shuffle.partitions": "512",
+        },
+    )
+    # one parquet file -> one mapper; 32 upstream partitions model a
+    # real multi-file scan (and give map-side combine 32 partials)
+    docs = spark.read.parquet(f"{SF1}/documents.parquet").repartition(32)
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+            F.concat(F.col("text"), F.lit(" click here now")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).cache()
+    n = planted.count()
+    hot = planted.where(F.col("text").like("%click here now")).count()
+    print(f"{n} docs, boilerplate 3-gram planted in {hot} ({100*hot/n:.0f}%)")
+
+    def old_join_formulation(df):
+        grams = df.select(
+            F.col("doc_id").alias("__id"),
+            F.explode(word_ngrams("text", 3)).alias("__g"),
+        )
+        first = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
+        joined = grams.join(first, "__g")
+        return joined.groupBy("__id").agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("__first") == F.col("__id")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+
+    def timed(build):
+        best = float("inf")
+        plan = ""
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = build().agg(
+                F.sum("n_novel").alias("s"), F.count(F.lit(1)).alias("c")
+            )
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            gc.collect()
+        return best, plan
+
+    t_old, plan_old = timed(lambda: old_join_formulation(planted))
+    t_new, plan_new = timed(
+        lambda: ngram_novelty(planted, "doc_id", "text", n=3)
+    )
+    old_skewed = plan_old.count("skew=true")
+    gram_joins_new = plan_new.count("SortMergeJoin [__g")
+    print(f"old (grams ⋈ census): {t_old:.2f}s  skew-marked joins: {old_skewed}")
+    print(f"new (join-free aggs): {t_new:.2f}s  gram-key joins in plan: {gram_joins_new}")
+    print()
+    print("| rehearsal (sf1, 30% boilerplate gram) | wall (s) | gram-key join | AQE skew=true |")
+    print("|---|---|---|---|")
+    print(f"| old join formulation | {t_old:.2f} | yes (SMJ) | {old_skewed > 0} (structurally impossible) |")
+    print(f"| shipped join-free formulation | {t_new:.2f} | {'no' if gram_joins_new == 0 else 'YES'} | n/a (map-side combine) |")
+    assert gram_joins_new == 0, "shipped plan still joins on the gram key"
+    spark.stop()
+
+
 def main() -> None:
     from betl_spark.contract import QUERIES
     from betl_spark.session import build_spark
@@ -500,5 +602,7 @@ if __name__ == "__main__":
         coarse_skew_rehearsal()
     elif "--bpe-rounds" in sys.argv:
         bpe_rounds_rehearsal()
+    elif "--hot-gram" in sys.argv:
+        hot_gram_rehearsal()
     else:
         main()
