@@ -173,6 +173,43 @@ def main() -> None:
             payload["normalized_regressions_over_10pct"] = {
                 q: d for q, d in sorted(deltas.items()) if d > 0.10
             }
+            # Twice-flagged isolation protocol (round-10 verdict ask
+            # #5, formalizing round-10's by-hand reruns): a query
+            # whose drift-normalized delta exceeded +10% in BOTH the
+            # prior committed bench and this one (consecutive flags,
+            # same direction) gets an isolated min-of-4 rerun HERE, at
+            # the end of the bench with the machine quiet, and is
+            # classified noise/real by whether the rerun still clears
+            # +10% against the prior round. The sweep timings above
+            # stay untouched (uniform protocol, no selective-min
+            # bias); the isolation result is a separate record.
+            twice = sorted(
+                set(payload["normalized_regressions_over_10pct"])
+                & set(prev.get("normalized_regressions_over_10pct", {}))
+            )
+            if twice:
+                iso: dict[str, dict] = {}
+                for q in twice:
+                    best = timings[q]
+                    for _ in range(4):
+                        gc.collect()
+                        t0 = time.perf_counter()
+                        try:
+                            QUERIES[q](spark, sf_dir).write.format(
+                                "noop"
+                            ).mode("overwrite").save()
+                        except Exception:
+                            break
+                        best = min(best, time.perf_counter() - t0)
+                    pt = prev["queries"][q]
+                    d = round((best / cr) / (pt / pr) - 1.0, 3)
+                    iso[q] = {
+                        "sweep_sec": timings[q],
+                        "isolated_min4_sec": round(best, 4),
+                        "normalized_delta_vs_prev": d,
+                        "classification": "real" if d > 0.10 else "noise",
+                    }
+                payload["twice_flagged_min_of_4"] = iso
     except (OSError, ValueError):
         pass
     # full per-query timings for the judge (the stdout line is size-capped)
@@ -198,6 +235,15 @@ def main() -> None:
     n_reg = len(payload.get("normalized_regressions_over_10pct", {}))
     compact.pop("normalized_regressions_over_10pct", None)
     compact["n_normalized_regressions_over_10pct"] = n_reg
+    iso = payload.get("twice_flagged_min_of_4", {})
+    compact.pop("twice_flagged_min_of_4", None)
+    if iso:
+        compact["n_twice_flagged_real"] = sum(
+            1 for v in iso.values() if v["classification"] == "real"
+        )
+        compact["n_twice_flagged_noise"] = len(iso) - compact[
+            "n_twice_flagged_real"
+        ]
     compact["queries_full"] = "BENCH_FULL.json"
     by_speed = sorted(inline, key=lambda k: inline[k])
     while True:

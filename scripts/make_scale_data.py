@@ -36,14 +36,27 @@ import string
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1")
-N_REP = 10
+# --sf N replicates N_REP = 10*N times into .scale/sf{N} (round-11:
+# sf3 gives the second decade point the heavy-query growth claims need)
+import sys
+
+_SF = int(sys.argv[sys.argv.index("--sf") + 1]) if "--sf" in sys.argv else 1
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", f"sf{_SF}")
+N_REP = 10 * _SF
 SHIFT = 10**9
 
 
 def rot_alphabet(i: int) -> tuple[str, str]:
+    """Length-preserving per-replica letter substitution. Only 25
+    non-identity rotations exist, so replicas 26+ compose the rotation
+    with Atbash (reversed alphabet) — 50 distinct substitutions total,
+    keeping exact-duplicate density constant up to sf5."""
     low, up = string.ascii_lowercase, string.ascii_uppercase
-    return low + up, low[i:] + low[:i] + up[i:] + up[:i]
+    r = (i - 1) % 25 + 1
+    dl, du = low[r:] + low[:r], up[r:] + up[:r]
+    if i > 25:
+        dl, du = dl[::-1], du[::-1]
+    return low + up, dl + du
 
 
 def main() -> None:
@@ -125,7 +138,7 @@ def main() -> None:
     total = sum(
         os.path.getsize(os.path.join(OUT, f)) for f in os.listdir(OUT)
     )
-    print(f"sf1 at {OUT}: {total / 1e6:.0f} MB")
+    print(f"sf{_SF} at {OUT}: {total / 1e6:.0f} MB")
 
 
 if __name__ == "__main__":
