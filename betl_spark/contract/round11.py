@@ -103,13 +103,14 @@ _TWOS = ", ".join(f"'{s}'" for s in web.TWO_LABEL_SUFFIXES)
 _PARSE_CTE = f"""
 parts AS (
   SELECT *,
-    lower(regexp_extract(url, '^([a-z][a-z0-9+.-]*)://', 1)) AS scheme,
-    lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1))
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))
+      AS scheme,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1))
       AS host,
     CAST(NULLIF(regexp_extract(
-      url, '^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS INT)
+      url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS INT)
       AS port,
-    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
+    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)', 1)
       AS path,
     regexp_extract(url, '\\?([^#]*)', 1) AS query
   FROM urls

@@ -1111,6 +1111,15 @@ def semantic_dedup_2level(
     every fine cell, recall of cross-cell near-dups follows the same
     curve as `ivf_topk`'s. Output: (id, cell_id) survivors, like
     ``semantic_dedup``.
+
+    Sizing rule (measured, SCALE.md round-11 second decade): keep
+    k_coarse ∝ √k_fine, NOT ∝ k_fine. Step 4's cost is n · k_coarse —
+    growing the coarse set linearly with the corpus turns the whole
+    operator n^1.5 (sf1→sf3 with coarse ∝ n measured x4.33 on 3x
+    data: pairs grew x3, coarse scoring x9). With k_coarse = √k_fine
+    the coarse model stays broadcastable to ~10^12 fine centroids;
+    past the point where √k itself breaks the broadcast budget, add a
+    third level (the same quantization applied to the coarse set).
     """
     missing = set(coarse_ids) - set(centroid_ids)
     if missing:

@@ -48,10 +48,12 @@ TWO_LABEL_SUFFIXES: tuple[str, ...] = (
 # tracking params stripped by canonical_url (prefix / exact forms)
 _TRACKING_LIKE = ("utm_%", "ref=%")
 
-_SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/:?#]+)"
-_PORT_RE = "^[a-z][a-z0-9+.-]*://[^/:?#]+:([0-9]+)"
-_PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)"
+# schemes are case-insensitive per RFC 3986 — the class accepts both
+# cases and scheme_of/host_of lowercase the extraction
+_SCHEME_RE = "^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)"
+_PORT_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]+:([0-9]+)"
+_PATH_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)"
 _QUERY_RE = "\\?([^#]*)"
 _IPV4_RE = "^[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}$"
 
