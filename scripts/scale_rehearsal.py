@@ -517,6 +517,53 @@ def hot_gram_rehearsal() -> None:
     spark.stop()
 
 
+SF3 = "/root/repo/.scale/sf3"
+
+# sf1 → sf3 breadth sweep (round-11): one representative per family
+# beyond second_decade.py's top-3, so the two-point growth evidence
+# covers the workload classes, not just the heaviest queries.
+SF3_SWEEP = [
+    "tpch_q1_pricing_summary",       # exact DECIMAL agg, 18M lineitem
+    "tpch_q21_waiting_suppliers",    # full-table multi-join
+    "dedup_minhash_lsh_pairs",       # banded LSH pair generation
+    "dedup_simhash",                 # hamming-bucketed near-dup
+    "line_dedup",                    # explode-heavy text dedup
+    "token_count_bpe",               # saturated-CPU tokenization
+    "events_stream_stateful",        # streaming state commits, 3M events
+    "dsir_scores",                   # hashed-ngram importance scoring
+    "resample_gapfill_daily",        # spine generation + ffill windows
+    "web_curation_pipeline",         # round-11 flagship
+]
+
+
+def sf3_sweep() -> None:
+    from betl_spark.contract import QUERIES
+    from betl_spark.session import build_spark
+
+    spark = build_spark("betl_spark_sf3_sweep")
+    rows = []
+    for n in SF3_SWEEP:
+        # warm the plan at the smallest SF (same policy as main())
+        try:
+            QUERIES[n](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+        gc.collect()
+        t1 = time_query(QUERIES[n], spark, SF1)
+        t3 = time_query(QUERIES[n], spark, SF3)
+        ratio = t3 / t1 if t1 > 0 else float("nan")
+        rows.append((n, t1, t3, ratio))
+        print(f"{n}: sf1 {t1:.2f}s  sf3 {t3:.2f}s  x{ratio:.2f}", flush=True)
+    print()
+    print("| query | sf1 (s) | sf3 (s) | growth (3x data) |")
+    print("|---|---|---|---|")
+    for n, a, b, r in sorted(rows, key=lambda x: -x[3]):
+        print(f"| `{n}` | {a:.2f} | {b:.2f} | x{r:.2f} |")
+    spark.stop()
+
+
 def main() -> None:
     from betl_spark.contract import QUERIES
     from betl_spark.session import build_spark
@@ -604,5 +651,7 @@ if __name__ == "__main__":
         bpe_rounds_rehearsal()
     elif "--hot-gram" in sys.argv:
         hot_gram_rehearsal()
+    elif "--sf3" in sys.argv:
+        sf3_sweep()
     else:
         main()

@@ -53,6 +53,11 @@ SPOTCHECK = [
     "events_stream_anomaly",
     "bm25_topk_docs",
     "source_overlap_matrix",
+    # round-11 family: regex URL parsing, eTLD+1 reduction, canonical
+    # keying, BIGINT-micros composite scoring (all 10 were sf1-checked
+    # the round they shipped; these two are the representative pair)
+    "url_canonical_dedup",
+    "web_curation_pipeline",
 ]
 
 
