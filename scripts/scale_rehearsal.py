@@ -116,6 +116,13 @@ REHEARSAL = [
     "event_transitions",
     "ks_drift_sources",
     "ab_test_events",
+    # round-11 additions (web/URL curation)
+    "url_parse_docs",
+    "url_canonical_dedup",
+    "registered_domain_rollup",
+    "domain_dedup_rates",
+    "domain_blocklist_filter",
+    "web_curation_pipeline",
     # round-10 additions
     "rolling_zscore_time_events",
     "resample_gapfill_observed",
