@@ -117,7 +117,7 @@ parts AS (
 ),
 rd AS (
   SELECT *,
-    CASE WHEN host IS NULL THEN NULL
+    CASE WHEN host IS NULL OR host = '' THEN NULL
          WHEN regexp_matches(host,
            '^[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}$')
            THEN host

@@ -135,7 +135,11 @@ def registered_domain(host) -> Column:
     last2 = F.regexp_extract(h, "([^.]+\\.[^.]+)$", 1)
     last3 = F.regexp_extract(h, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
     return (
-        F.when(h.isNull(), F.lit(None).cast("string"))
+        # '' (the parse-failure sentinel from host_of) → NULL: an
+        # unparseable URL has no registrable domain, and downstream
+        # IS-NOT-NULL screens must drop it rather than pool every
+        # garbage row under a '' pseudo-domain
+        F.when(h.isNull() | (h == ""), F.lit(None).cast("string"))
         .when(is_ip_host(h), h)
         .when(
             last2.isin(*TWO_LABEL_SUFFIXES),
@@ -230,4 +234,7 @@ def blocklist_filter(
             on=domain_col,
             how="left_anti",
         )
-    return df.where(d.isNotNull() & ~d.isin(*list(blocklist)))
+    domains = list(blocklist)
+    if not domains:  # empty IN-set is a no-op screen, not an error
+        return df.where(d.isNotNull())
+    return df.where(d.isNotNull() & ~d.isin(*domains))

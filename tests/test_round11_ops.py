@@ -58,6 +58,7 @@ def test_url_parts_null(spark):
         ("deep.sub.x.ac.uk", "x.ac.uk"),
         ("host.internal", "host.internal"),  # unknown suffix → identity
         (None, None),
+        ("", None),  # parse-failure sentinel → NULL, not a ''-domain
     ],
 )
 def test_registered_domain(spark, host, expected):
@@ -108,6 +109,9 @@ def test_blocklist_literal_and_dataframe_agree(spark):
     want = {1, 4}  # NULL domain dropped by BOTH paths
     assert {r["id"] for r in lit.collect()} == want
     assert {r["id"] for r in joined.collect()} == want
+    # empty literal blocklist = no-op screen (still drops NULL domains)
+    none_blocked = web.blocklist_filter(df, "rd", [])
+    assert {r["id"] for r in none_blocked.collect()} == {1, 2, 4}
 
 
 def test_blocklist_dataframe_is_broadcast(spark):
@@ -150,7 +154,7 @@ def _ref_parts(url):
 
 
 def _ref_reg_domain(host):
-    if host is None:
+    if host is None or host == "":
         return None
     if _re.match(r"^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$", host):
         return host
