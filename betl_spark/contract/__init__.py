@@ -20,6 +20,14 @@ Determinism rules used throughout (so Spark and DuckDB agree bit-for-bit):
 - LIMIT queries carry a total ORDER BY (tiebreak on a key);
 - timestamps are bucketed with floor(epoch/N) (truncation-safe in both
   engines) or cast to DATE;
+- a NANO-UNIT INTEGER SUM is rounded to its reported 6dp entirely in
+  integral arithmetic (util.round6_nanos_ratio_expr: half-away micros
+  = (|s|+500) DIV 1000, mirrored with // in DuckDB), never
+  round(sum/1e9, 6): a sum ending in exactly ...500 nanos is a TRUE
+  6dp midpoint, double(k/1e9) lands one side of it, and Spark
+  (BigDecimal on the shortest decimal repr) and DuckDB (binary value)
+  round opposite ways — found by the round-11 sf3 spot-check on
+  dsir_scores (−64 757 500 nanos: Spark −0.064758, DuckDB −0.064757);
 - SIGNED sub-grain scores (z, r/rho, PMI, PSI terms, log-ratios —
   anything continuous that can land in (−5·10⁻⁷, 0) before a 6dp
   round) add ``+ 0.0`` after the final round ON BOTH SIDES: Spark's

@@ -308,8 +308,12 @@ agg AS (
 SELECT n, n_x, n_y,
        CAST((n_x - 1) * (n_y - 1) AS BIGINT) AS dof,
        CASE WHEN (n_x - 1) * (n_y - 1) > 0
-            THEN round(CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9, 6)
-                 + 0.0
+            THEN CAST(CASE WHEN CAST(n AS HUGEINT) * 1000000000 + chi_n < 0
+                           THEN -((abs(CAST(n AS HUGEINT) * 1000000000
+                                       + chi_n) + 500) // 1000)
+                           ELSE (abs(CAST(n AS HUGEINT) * 1000000000
+                                     + chi_n) + 500) // 1000 END
+                      AS DOUBLE) / 1000000.0
             END AS chi2,
        CASE WHEN (n_x - 1) * (n_y - 1) > 0 AND n > 0
              AND CAST(n AS DOUBLE) + CAST(chi_n AS DOUBLE) / 1e9 > 0.0
@@ -318,7 +322,9 @@ SELECT n, n_x, n_y,
                             / (CAST(n AS DOUBLE)
                                * CAST(least(n_x - 1, n_y - 1) AS DOUBLE))),
                        6) END AS cramers_v,
-       round(CAST(mi_n AS DOUBLE) / 1e9, 6) + 0.0 AS mi_bits
+       CAST(CASE WHEN mi_n < 0 THEN -((abs(mi_n) + 500) // 1000)
+                 ELSE (abs(mi_n) + 500) // 1000 END
+            AS DOUBLE) / 1000000.0 AS mi_bits
 FROM agg
 """
 
@@ -1095,7 +1101,8 @@ terms AS (
 SELECT user_id,
        CAST(max(tot) AS BIGINT) AS n,
        CAST(count(*) AS BIGINT) AS n_categories,
-       round(CAST(sum(en) AS DOUBLE) / 1e9, 6) AS entropy_bits
+       CAST((sum(en) + 500) // 1000 AS DOUBLE) / 1000000.0
+         AS entropy_bits
 FROM terms GROUP BY 1
 """
 

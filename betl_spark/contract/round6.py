@@ -229,7 +229,12 @@ terms AS (
 ),
 scores AS (
   SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_bigrams,
-         round(SUM(term_nanos) / (COUNT(*) * 1e9), 6) AS avg_logprob
+         CAST(CASE WHEN SUM(term_nanos) < 0
+                   THEN -((2 * abs(SUM(term_nanos)) + 1000 * COUNT(*))
+                          // (2000 * COUNT(*)))
+                   ELSE (2 * abs(SUM(term_nanos)) + 1000 * COUNT(*))
+                        // (2000 * COUNT(*)) END
+              AS DOUBLE) / 1000000.0 AS avg_logprob
   FROM terms GROUP BY 1
 )
 SELECT doc.doc_id,
@@ -366,7 +371,13 @@ terms AS (
 ),
 scores AS (
   SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
-         round(SUM(term_nanos) / 1e9, 6) + 0.0 AS dsir_logratio
+         -- exact integral 6dp rounding (util.round6_nanos_ratio_expr
+         -- twin): sums ending in ...500 nanos are true midpoints and
+         -- round(double) diverges cross-engine (found at sf3)
+         CAST(CASE WHEN SUM(term_nanos) < 0
+                   THEN -((abs(SUM(term_nanos)) + 500) // 1000)
+                   ELSE (abs(SUM(term_nanos)) + 500) // 1000 END
+              AS DOUBLE) / 1000000.0 AS dsir_logratio
   FROM terms GROUP BY 1
 )
 SELECT d.doc_id, COALESCE(s.n_feats, 0) AS n_feats, s.dsir_logratio
@@ -1044,7 +1055,8 @@ qtab AS (
 ),
 adist AS (
   SELECT q.query_id, b.neighbor_id,
-         round(SUM(q.d2n) / 1e9, 6) AS approx_dist
+         CAST((SUM(q.d2n) + 500) // 1000 AS DOUBLE) / 1000000.0
+           AS approx_dist
   FROM best_codes b
   JOIN qtab q ON b.subspace = q.subspace AND b.codeword = q.codeword
   WHERE b.neighbor_id <> q.query_id

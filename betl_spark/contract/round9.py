@@ -516,7 +516,7 @@ sc AS (
 )
 SELECT doc_id, lang,
        CAST(count(DISTINCT t) AS BIGINT) AS n_terms_matched,
-       round(CAST(sum(nanos) AS DOUBLE) / 1e9, 6) AS score
+       CAST((sum(nanos) + 500) // 1000 AS DOUBLE) / 1000000.0 AS score
 FROM sc GROUP BY doc_id, lang
 ORDER BY sum(nanos) DESC, doc_id LIMIT 20
 """

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from betl_spark.operators.sampling import hash_bucket
+from betl_spark.operators.util import round6_nanos_ratio_expr
 
 
 def token_frequencies(
@@ -328,10 +329,15 @@ def lm_score(
     )
     scores = terms.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_bigrams"),
-        F.round(
-            F.sum("term_nanos")
-            / (F.count(F.lit(1)) * F.lit(1e9)),
-            6,
+        F.sum("term_nanos").alias("__sn"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        # exact mean in integral arithmetic (den = n·10^9); the old
+        # round(sum/(n·1e9), 6) was the bug-#4 midpoint class AND its
+        # double division lost ulps past 2^53 nanos
+        round6_nanos_ratio_expr(
+            "__sn", "CAST(n_bigrams AS BIGINT) * 1000000000"
         ).alias("avg_logprob"),
     )
     return (
@@ -581,7 +587,7 @@ def bm25_topk(
             id_col,
             *keep,
             "n_terms_matched",
-            F.round(F.col("__sn").cast("double") / F.lit(1e9), 6).alias("score"),
+            round6_nanos_ratio_expr("__sn").alias("score"),
             "__sn",
         )
         .orderBy(F.col("__sn").desc(), F.col(id_col))

@@ -136,15 +136,20 @@ def dsir_scores(
             * F.round(F.col("ratio") * F.lit(1e9)).cast("long")
         ).alias("term_nanos"),
     )
+    from betl_spark.operators.util import round6_nanos_ratio_expr
+
+    # exact-integer final rounding (round6_nanos_ratio_expr): the old
+    # F.round(sum/1e9, 6) diverged cross-engine on sums ending in
+    # exactly ...500 nanos (true 6dp midpoints — found at sf3), and
+    # needed a +0.0 signed-zero patch besides; the integral form has
+    # neither hazard
     scores = terms.groupBy(id_col).agg(
         F.sum("c").cast("long").alias("n_feats"),
-        # + 0.0 normalizes IEEE negative zero: a sum in (-500, 0)
-        # nanos rounds to -0.0 in engines whose round keeps the sign
-        # (DuckDB) but to +0.0 through Spark's BigDecimal — same value,
-        # different bits, failed hash (found by the sf1 spot-check)
-        (F.round(F.sum("term_nanos") / F.lit(1e9), 6) + F.lit(0.0)).alias(
-            "dsir_logratio"
-        ),
+        F.sum("term_nanos").alias("__sn"),
+    ).select(
+        id_col,
+        "n_feats",
+        round6_nanos_ratio_expr("__sn").alias("dsir_logratio"),
     )
     return (
         df.select(id_col)

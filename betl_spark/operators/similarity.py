@@ -1334,6 +1334,7 @@ def pq_topk(
     approx_dist 6dp, rank), self-matches excluded.
     """
     from betl_spark.operators.stats import top_n_per_group
+    from betl_spark.operators.util import round6_nanos_ratio_expr
 
     cb = pq_codebook(df, id_col, vec_col, codeword_ids, n_sub, dim)
     qrows = (
@@ -1359,8 +1360,11 @@ def pq_topk(
     scored = (
         code_rows.join(F.broadcast(table), ["subspace", "codeword"])
         .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(F.sum("d2n") / F.lit(1e9), 6).alias("approx_dist")
+        .agg(F.sum("d2n").alias("__d2n"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6_nanos_ratio_expr("__d2n").alias("approx_dist"),
         )
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )

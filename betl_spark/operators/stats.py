@@ -709,18 +709,28 @@ def crosstab_assoc(
         F.sum(nanos(chi_term)).alias("__chi_n"),
         F.sum(nanos(mi_term)).alias("__mi_n"),
     )
+    from betl_spark.operators.util import round6_nanos_ratio_expr
+
     dof = (F.col("n_x") - 1) * (F.col("n_y") - 1)
     chi2 = (
         F.col("n").cast("double")
         + F.col("__chi_n").cast("double") / F.lit(1e9)
     )
     mind = F.least(F.col("n_x") - 1, F.col("n_y") - 1)
+    # reported chi2/mi round via exact integral nanos (the sum-ending-
+    # in-...500 midpoint class — see round6_nanos_ratio_expr); the
+    # chi2 INSIDE cramers_v's sqrt stays double (a sqrt output lands
+    # on an exact 6dp midpoint only by measure-zero coincidence, and
+    # both engines take the same IEEE sqrt of the same double)
+    chi2_nanos = (
+        "CAST(n AS DECIMAL(38,0)) * 1000000000 + CAST(__chi_n AS DECIMAL(38,0))"
+    )
     return agg.select(
         "n",
         "n_x",
         "n_y",
         dof.cast("long").alias("dof"),
-        F.when(dof > 0, F.round(chi2, 6) + F.lit(0.0)).alias("chi2"),
+        F.when(dof > 0, round6_nanos_ratio_expr(chi2_nanos)).alias("chi2"),
         F.when(
             (dof > 0) & (F.col("n") > 0) & (chi2 > F.lit(0.0)),
             F.round(
@@ -730,10 +740,7 @@ def crosstab_assoc(
                 6,
             ),
         ).alias("cramers_v"),
-        (
-            F.round(F.col("__mi_n").cast("double") / F.lit(1e9), 6)
-            + F.lit(0.0)
-        ).alias("mi_bits"),
+        round6_nanos_ratio_expr("__mi_n").alias("mi_bits"),
     )
 
 
@@ -1013,11 +1020,11 @@ def grouped_entropy(
         F.count(F.lit(1)).alias("n_categories"),
         F.sum("__e").alias("__en"),
     )
+    from betl_spark.operators.util import round6_nanos_ratio_expr
+
     return agg.select(
         *group_cols,
         "n",
         "n_categories",
-        F.round(F.col("__en").cast("double") / F.lit(1e9), 6).alias(
-            "entropy_bits"
-        ),
+        round6_nanos_ratio_expr("__en").alias("entropy_bits"),
     )

@@ -28,6 +28,49 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def round6_nanos_ratio_expr(num_sql: str, den_sql: str = "1000000000"):
+    """Exact half-away 6dp rounding of ``num/den`` where ``num`` is an
+    integer nano-unit SUM (BIGINT or DECIMAL(38,0) fragment) and
+    ``den`` a positive integral fragment (default 10^9: plain
+    nanos → value). Entirely integral — num is widened to
+    DECIMAL(38,0) so giant per-group sums can't overflow the 2·|num|·10^6
+    intermediate — returning integer micros / 10^6 as double.
+
+    This replaces ``F.round(sum_nanos / 1e9, 6)``: that shape is the
+    bug-#4 class at the FINAL step — a sum ending in exactly ...500
+    nanos is a true 6dp midpoint, double(k/1e9) lands a hair off it,
+    and Spark (BigDecimal on the shortest repr) and DuckDB (binary
+    value) round opposite ways. Found by the round-11 sf3 spot-check
+    on dsir_scores (sum −64 757 500 nanos: Spark −0.064758, DuckDB
+    −0.064757); the sf1 "52/52 midpoints agree" observation was luck
+    of those magnitudes, not a rule. The DuckDB mirror is the same
+    expression with ``//``. No signed-zero hazard: integer negation of
+    0 is 0, so the result is always +0.0.
+    """
+    from pyspark.sql import functions as F
+
+    n = f"CAST({num_sql} AS DECIMAL(38,0))"
+    d = f"CAST({den_sql} AS DECIMAL(38,0))"
+    mag = f"(2 * abs({n}) * 1000000 + ({d})) DIV (2 * ({d}))"
+    return (
+        F.expr(
+            f"CASE WHEN ({num_sql}) < 0 THEN -({mag}) ELSE ({mag}) END"
+        ).cast("double")
+        / F.lit(1e6)
+    )
+
+
+def round6_nanos_ratio_sql(num_sql: str, den_sql: str = "1000000000") -> str:
+    """DuckDB twin of :func:`round6_nanos_ratio_expr` (``//`` floors,
+    but the sign split keeps operands positive so floor == trunc;
+    DuckDB auto-promotes to HUGEINT, matching the DECIMAL widening)."""
+    mag = f"(2 * abs({num_sql}) * 1000000 + ({den_sql})) // (2 * ({den_sql}))"
+    return (
+        f"CAST(CASE WHEN ({num_sql}) < 0 THEN -({mag}) ELSE ({mag}) END "
+        f"AS DOUBLE) / 1000000.0"
+    )
+
+
 def round_ratio_expr(num_sql: str, den_sql: str, decimals: int):
     """Half-away-from-zero rounding of an INTEGER ratio num/den
     (den > 0, both SQL fragments over the frame's columns) at
