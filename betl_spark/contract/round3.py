@@ -204,15 +204,14 @@ shs AS (
            i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS s
   FROM aug
 )
-SELECT c.id_a, c.id_b,
-       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / LEAST(len(a.s), len(b.s)), 6) AS containment
-FROM cand c
-JOIN shs a ON a.doc_id = c.id_a
-JOIN shs b ON b.doc_id = c.id_b
-WHERE LEAST(len(a.s), len(b.s)) > 0
-  AND ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / LEAST(len(a.s), len(b.s)), 6) >= {CONTAINMENT_THRESHOLD}
+SELECT id_a, id_b, containment FROM (
+  SELECT c.id_a, c.id_b,
+         -- integral 6dp rounding (non-dyadic count-ratio midpoints)
+         CAST(CASE WHEN (LEAST(len(a.s), len(b.s))) > 0 THEN (2 * (len(list_intersect(a.s, b.s))) * 1000000 + (LEAST(len(a.s), len(b.s)))) // (2 * (LEAST(len(a.s), len(b.s)))) END AS DOUBLE) / 1000000.0 AS containment
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.id_a
+  JOIN shs b ON b.doc_id = c.id_b
+) WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
 
 

@@ -180,13 +180,13 @@ shg AS (
            i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS sh
   FROM aug
 )
-SELECT c.id_new, c.id_ref,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
-         AS jaccard
-FROM cand c JOIN shg a ON a.doc_id = c.id_new JOIN shg b ON b.doc_id = c.id_ref
-WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5
+SELECT id_new, id_ref, jaccard FROM (
+  SELECT c.id_new, c.id_ref,
+         -- integral 6dp rounding (non-dyadic count-ratio midpoints)
+         CAST(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0 THEN (2 * (len(list_intersect(a.sh, b.sh))) * 1000000 + (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) // (2 * (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) END AS DOUBLE) / 1000000.0 AS jaccard
+  FROM cand c JOIN shg a ON a.doc_id = c.id_new
+  JOIN shg b ON b.doc_id = c.id_ref
+) WHERE jaccard >= 0.5
 """
 
 

@@ -420,8 +420,8 @@ SELECT i.group_a, i.group_b,
        CAST(i.inter AS BIGINT) AS inter,
        CAST(sa.n AS BIGINT) AS n_a,
        CAST(sb.n AS BIGINT) AS n_b,
-       round(CAST(i.inter AS DOUBLE)
-             / CAST(sa.n + sb.n - i.inter AS DOUBLE), 6) AS jaccard
+       -- integral 6dp rounding (non-dyadic count-ratio midpoints)
+       CAST(CASE WHEN (sa.n + sb.n - i.inter) > 0 THEN (2 * (i.inter) * 1000000 + (sa.n + sb.n - i.inter)) // (2 * (sa.n + sb.n - i.inter)) END AS DOUBLE) / 1000000.0 AS jaccard
 FROM inter i
 JOIN sizes sa ON sa.g = i.group_a
 JOIN sizes sb ON sb.g = i.group_b

@@ -159,14 +159,14 @@ shs AS (
            i -> substr(text, CAST(i AS INTEGER) + 1, {SHINGLE_K}))) AS s
   FROM aug
 )
-SELECT c.id_a, c.id_b,
-       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-FROM cand c
-JOIN shs a ON a.doc_id = c.id_a
-JOIN shs b ON b.doc_id = c.id_b
-WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+SELECT id_a, id_b, jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         -- integral 6dp rounding (non-dyadic count-ratio midpoints)
+         CAST(CASE WHEN (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0 THEN (2 * (len(list_intersect(a.s, b.s))) * 1000000 + (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) // (2 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) END AS DOUBLE) / 1000000.0 AS jaccard
+  FROM cand c
+  JOIN shs a ON a.doc_id = c.id_a
+  JOIN shs b ON b.doc_id = c.id_b
+) WHERE jaccard >= 0.5
 """
 
 

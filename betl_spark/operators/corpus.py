@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from betl_spark.operators.sampling import hash_bucket
-from betl_spark.operators.util import round6_nanos_ratio_expr
+from betl_spark.operators.util import (
+    round6_nanos_ratio_expr,
+    round_ratio_expr,
+)
 
 
 def token_frequencies(
@@ -491,11 +494,11 @@ def source_overlap_matrix(
             "inter",
             "n_a",
             "n_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
-                6,
-            ).alias("jaccard"),
+            # integral 6dp rounding of the count ratio (non-dyadic
+            # midpoint class — see util.round_ratio_expr)
+            round_ratio_expr("inter", "n_a + n_b - inter", 6).alias(
+                "jaccard"
+            ),
         )
     )
 

@@ -250,9 +250,23 @@ def near_dups_against(
     joined = cand.join(a, "id_new").join(b, "id_ref")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    # integral 6dp rounding (round_ratio_expr): a count ratio whose
+    # lowest-terms denominator has a factor 5 can be a true non-dyadic
+    # 6dp midpoint, where round(double) diverges cross-engine — the
+    # bug-#4/#5 class, closed here by construction
+    from betl_spark.operators.util import round_ratio_expr
+
     return (
-        joined.select("id_new", "id_ref", jac.alias("jaccard"))
+        joined.select(
+            "id_new", "id_ref", inter.alias("__i"), union.alias("__u")
+        )
+        .select(
+            "id_new",
+            "id_ref",
+            F.when(
+                F.col("__u") > 0, round_ratio_expr("__i", "__u", 6)
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -520,9 +534,20 @@ def ngram_jaccard_pairs(
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union.cast("double"), 6)
+    # integral 6dp rounding — see ngram_jaccard incremental variant
+    from betl_spark.operators.util import round_ratio_expr
+
     return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        joined.select(
+            "id_a", "id_b", inter.alias("__i"), union.alias("__u")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("__u") > 0, round_ratio_expr("__i", "__u", 6)
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -559,10 +584,19 @@ def ngram_containment_pairs(
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     smaller = F.least(F.size("sh_a"), F.size("sh_b"))
-    cont = F.round(inter.cast("double") / smaller.cast("double"), 6)
+    # integral 6dp rounding — see ngram_jaccard incremental variant
+    from betl_spark.operators.util import round_ratio_expr
+
     return (
         joined.filter(smaller > 0)
-        .select("id_a", "id_b", cont.alias("containment"))
+        .select("id_a", "id_b", inter.alias("__i"), smaller.alias("__m"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.col("__m") > 0, round_ratio_expr("__i", "__m", 6)
+            ).alias("containment"),
+        )
         .filter(F.col("containment") >= threshold)
     )
 
