@@ -58,6 +58,7 @@ from betl_spark.contract.round8 import QUERIES as _ROUND8
 from betl_spark.contract.round9 import QUERIES as _ROUND9
 from betl_spark.contract.round10 import QUERIES as _ROUND10
 from betl_spark.contract.round11 import QUERIES as _ROUND11
+from betl_spark.contract.linkage import QUERIES as _LINKAGE
 
 _ALL = {
     **_TPCH,
@@ -73,6 +74,7 @@ _ALL = {
     **_ROUND9,
     **_ROUND10,
     **_ROUND11,
+    **_LINKAGE,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
@@ -95,15 +97,17 @@ _ALL = {
 # tabulates the planned r10-r13 windows). Per _PRIORITY below, the
 # window leads with the new-this-round queries, then the stalest
 # greens fill the remaining slots oldest-first (round 11: the ten
-# round-11-new queries, then 40 of the 46 last-green-r7 queries).
+# web-curation + four record-linkage round-11-new queries, then 36 of
+# the 46 last-green-r7 queries; the ~10 remaining r7 greens verify at
+# r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND = [n for n in _ROUND11]
+NEW_THIS_ROUND = [*_ROUND11, *_LINKAGE]
 
 _PRIORITY = [
     *NEW_THIS_ROUND,
     *sorted(
-        (n for n in _ALL if n not in _ROUND11),
+        (n for n in _ALL if n not in set(NEW_THIS_ROUND)),
         key=lambda n: (LAST_VERIFIED.get(n, 0), n),
     ),
 ]

@@ -164,6 +164,41 @@ class AnalyticsOps:
             self.data[targetDataset or f"{dataset}_name_pairs"] = out
         return out
 
+    def resolveEntities(
+        self,
+        dataset: str,
+        masterDataset: str,
+        idCol: str,
+        nameCol: str,
+        masterIdCol: str = "master_id",
+        masterNameCol: str = "name",
+        maxDist: int = 3,
+        keepCols: tuple[str, ...] = (),
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Record-vs-catalog fuzzy resolution: multi-pass blocking →
+        broadcast candidate join → per-record best master
+        (operators/linkage.py:link_records). The catalog side must be
+        the bounded one — it is always broadcast."""
+        from betl_spark.operators import linkage
+
+        with self.journal.step(
+            "resolveEntities", desc or f"resolve {dataset}"
+        ):
+            out = linkage.link_records(
+                self._get(dataset),
+                self._get(masterDataset),
+                record_id=idCol,
+                record_name=nameCol,
+                master_id=masterIdCol,
+                master_name=masterNameCol,
+                threshold=maxDist,
+                keep_cols=tuple(keepCols),
+            )
+            self.data[targetDataset or f"{dataset}_resolved"] = out
+        return out
+
     def integrityAudit(
         self,
         specs: list[tuple[str, str, list[str], str, list[str]]],

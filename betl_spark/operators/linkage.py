@@ -1,23 +1,240 @@
-"""Record linkage / entity resolution: blocked fuzzy matching.
+"""Record linkage / entity resolution: blocked fuzzy matching, in two
+complementary shapes —
 
-The canonical ER pipeline at scale is (1) canonicalize → (2) BLOCK →
-(3) pairwise-score only within blocks → (4) threshold. The naive
-alternative — a cross join with an edit-distance filter — is O(n²)
-rows through the shuffle and is exactly the shape that dies first at
-100 TB; blocking bounds candidate pairs to Σ|block|², which the block
-key's selectivity controls. Edit distance runs JVM-side
-(``F.levenshtein`` — whole-stage codegen, no Python), so the scoring
-stage is pure map work after the block-key shuffle.
+1. record-vs-CATALOG (``link_records``, round 11): resolve a large
+   dirty-record stream against a bounded master catalog (the MDM
+   "match incoming records to the golden dimension" stage, and the
+   training-data "merge noisy source catalogs / author-title dedup"
+   stage). Deliberately LINEAR, not all-pairs: candidates come from
+   multi-pass blocking (each side emits a small set of tagged keys; a
+   pair is a candidate iff they share one), and the only edit
+   distances computed are record x (masters in its blocks). The master
+   catalog of a real linkage job is bounded (10^5-10^7 golden entities
+   — megabytes once keyed), so the exploded master-key table is ALWAYS
+   broadcast: at 100 TB the record side never shuffles to find its
+   candidates; the single shuffle in the pipeline is the per-record
+   argmin.
 
-A skewed block (one key holding a large share of rows) re-creates the
-quadratic inside a single reducer — the same hazard as a skewed join
-key; mitigation is a finer block function (conjunction of two keys) or
-salting the block's self-join (operators/skew.py machinery).
+2. record-vs-RECORD (``canonicalize_names`` / ``fuzzy_join_blocked``,
+   round 9): all near-duplicate name pairs within a block. The naive
+   alternative — a cross join with an edit-distance filter — is O(n²)
+   rows through the shuffle and is exactly the shape that dies first
+   at 100 TB; blocking bounds candidate pairs to Σ|block|², which the
+   block key's selectivity controls.
+
+Cross-engine determinism (the DuckDB oracle mirrors every expression):
+- ``levenshtein`` is classic unit-cost edit distance in BOTH engines —
+  an exact INTEGER, so distances, thresholds, and similarity bands
+  never touch a double until the final integer-micros render;
+- normalization is lower(trim(...)) only — no locale-dependent
+  folding;
+- the best-master tie-break is (distance, master_id): total order,
+  master_id unique;
+- similarity bands are computed from integers:
+  band = least(9, (10 * (maxlen - dist)) DIV maxlen).
+
+Reference parity note: the reference engine (betl) has no fuzzy-match
+stage (its MDM join in ``betl/dataflow/dfl_mdm.py`` is exact-key) —
+this module is part of the beyond-reference training-data surface,
+alongside dedup/similarity/web-curation.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: default edit-distance acceptance threshold for :func:`link_records`
+DEFAULT_THRESHOLD = 3
+
+#: default blocking-key prefix length (first-N chars of the normalized
+#: name / of its last token)
+DEFAULT_PREFIX_LEN = 2
+
+
+def normalize_name(col) -> Column:
+    """Matching-side normalization: lower(trim(name)).
+
+    Kept deliberately minimal (and locale-free) so the oracle can
+    mirror it exactly; heavier folding (accents, punctuation) belongs
+    to a corpus-specific prep step upstream.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def block_keys(
+    name_col, prefix_len: int = DEFAULT_PREFIX_LEN
+) -> Column:
+    """Multi-pass blocking keys for a normalized name: an array of
+    tagged prefixes.
+
+    - ``p:`` + first ``prefix_len`` chars of the whole name
+      (sorted-neighborhood-style head key);
+    - ``l:`` + first ``prefix_len`` chars of the LAST whitespace token
+      (surname/suffix key — recovers head edits: a dropped first
+      char, an added honorific).
+
+    Multi-pass blocking is the standard recall lever in record
+    linkage: a candidate pair only needs to agree on ONE key. Keys
+    are tag-disambiguated so a head prefix never collides with a
+    last-token prefix. A NULL name yields ``[NULL]`` — a NULL key
+    never survives an equi-join, so NULL names cannot silently match;
+    :func:`link_records` additionally filters them out before the
+    explode (audit them against the input).
+    """
+    c = F.col(name_col) if isinstance(name_col, str) else name_col
+    head = F.concat(F.lit("p:"), F.substring(c, 1, prefix_len))
+    last = F.element_at(F.split(c, " "), -1)
+    lastk = F.concat(F.lit("l:"), F.substring(last, 1, prefix_len))
+    return F.array_distinct(F.array(head, lastk))
+
+
+def master_key_table(
+    masters: DataFrame,
+    master_id: str = "master_id",
+    master_name: str = "name",
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+) -> DataFrame:
+    """Explode the master catalog into its blocking-key table
+    ``(block_key, master_id, __mname)`` — the (always-broadcast) small
+    side of the candidate join. ~2 rows per master."""
+    return masters.select(
+        F.col(master_id).alias("master_id"),
+        normalize_name(master_name).alias("__mname"),
+    ).select(
+        F.explode(block_keys(F.col("__mname"), prefix_len)).alias(
+            "block_key"
+        ),
+        "master_id",
+        "__mname",
+    )
+
+
+def link_records(
+    records: DataFrame,
+    masters: DataFrame,
+    record_id: str = "record_id",
+    record_name: str = "name",
+    master_id: str = "master_id",
+    master_name: str = "name",
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Blocked fuzzy linkage: per named record, the best master within
+    its candidate blocks.
+
+    Returns one row per record that produced >= 1 candidate:
+    ``record_id, <keep_cols>, n_candidates, best_dist, best_master_id,
+    best_master_name, matched`` where ``matched`` is
+    ``best_dist <= threshold``. Records with a NULL name emit no keys
+    and are absent from the output (audit them against the input —
+    see the contract's ``er_source_audit``); records whose keys hit no
+    master block are likewise absent.
+
+    Plan shape (the 100 TB contract):
+    - the exploded master-key table is explicitly ``broadcast()`` —
+      candidates are found map-side, the record side never shuffles
+      for the join;
+    - multi-key pair duplicates are dropped MAP-SIDE, not with a
+      distinct aggregate: a pair found via the ``l:`` key is a
+      duplicate iff the two head prefixes also agree (the ``p:`` pair
+      exists exactly then), so a post-join filter on the two name
+      prefixes dedupes exactly and ``n_candidates`` is a plain
+      ``count`` — no expand, no second exchange;
+    - the ONE shuffle is ``groupBy(record_id)``, taking the candidate
+      count and the per-record argmin best master
+      (``min(struct(dist, master_id, name))`` — tie-break on
+      master_id, unique, so the result is deterministic);
+    - ``levenshtein`` runs JVM-side inside the joined stage's codegen.
+    """
+    mk = master_key_table(masters, master_id, master_name, prefix_len)
+    r = records.select(
+        F.col(record_id).alias("record_id"),
+        *[F.col(c) for c in keep_cols],
+        normalize_name(record_name).alias("__rname"),
+    ).where(F.col("__rname").isNotNull())
+    cand = r.select(
+        "record_id",
+        *keep_cols,
+        "__rname",
+        F.explode(block_keys(F.col("__rname"), prefix_len)).alias(
+            "block_key"
+        ),
+    ).join(F.broadcast(mk), "block_key")
+    # exact map-side pair dedup: keep an l:-keyed pair only when the
+    # p: keys would NOT also have matched it
+    cand = cand.where(
+        F.col("block_key").startswith("p:")
+        | (
+            F.substring("__rname", 1, prefix_len)
+            != F.substring("__mname", 1, prefix_len)
+        )
+    )
+    cand = cand.withColumn(
+        "dist", F.levenshtein("__rname", "__mname").cast("long")
+    )
+    best = cand.groupBy("record_id", *keep_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.min(
+            F.struct(
+                F.col("dist"),
+                F.col("master_id"),
+                F.col("__mname"),
+                F.col("__rname"),
+            )
+        ).alias("__best"),
+    )
+    return best.select(
+        "record_id",
+        *keep_cols,
+        "n_candidates",
+        F.col("__best.dist").alias("best_dist"),
+        F.col("__best.master_id").alias("best_master_id"),
+        F.col("__best.__mname").alias("best_master_name"),
+        F.col("__best.__rname").alias("__rname"),
+        (F.col("__best.dist") <= F.lit(threshold)).alias("matched"),
+    )
+
+
+def similarity_band_sql(
+    dist_sql: str, rec_name_sql: str, master_name_sql: str, duckdb: bool = False
+) -> str:
+    """Normalized-similarity decile band from exact integers:
+    ``least(9, (10 * (maxlen - dist)) DIV maxlen)`` with
+    ``maxlen = greatest(len(record), len(master))`` — one SQL text for
+    both dialects (``DIV`` vs ``//`` is the only difference; operands
+    are non-negative so floor == trunc).
+
+    ``1 - dist/maxlen`` is the usual normalized edit similarity;
+    banding it straight from the integer numerator avoids every
+    double-rounding hazard (bug-#4 class) — band 9 holds sim in
+    [0.9, 1.0]. ``maxlen >= dist`` always (levenshtein upper bound),
+    and maxlen = 0 (two empty names) is sent to band 9 (identical)."""
+    div = "//" if duckdb else "DIV"
+    ml = f"greatest(length({rec_name_sql}), length({master_name_sql}))"
+    return (
+        f"CASE WHEN {ml} = 0 THEN 9 ELSE "
+        f"least(9, (10 * ({ml} - ({dist_sql}))) {div} {ml}) END"
+    )
+
+
+def similarity_band(
+    dist_sql: str, rec_name_sql: str, master_name_sql: str
+) -> Column:
+    """Spark Column form of :func:`similarity_band_sql` (arguments are
+    SQL fragments over the frame's columns, like round_ratio_expr)."""
+    return F.expr(
+        similarity_band_sql(dist_sql, rec_name_sql, master_name_sql)
+    ).cast("long")
+
+
+# ---- record-vs-record half: blocked fuzzy NAME-PAIR dedup ----
+# (the round-9 surface: canonicalize -> single-key block -> in-block
+# pairwise levenshtein; complements link_records' record-vs-catalog
+# resolution above. A skewed block re-creates the quadratic inside one
+# reducer - mitigation is a finer block function or salting, exactly
+# like a skewed join key.)
 
 
 def canonicalize_names(

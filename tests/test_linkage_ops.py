@@ -1,0 +1,200 @@
+"""Unit tests for the record-linkage operators
+(betl_spark/operators/linkage.py) — hand-checked distance pins per
+perturbation class, the multi-pass blocking witnesses, tie-break
+determinism, similarity-band edges, and a Spark-vs-DuckDB levenshtein
+cross-check (the family's entire parity story rests on the two
+engines' edit distance being the same exact integer)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from betl_spark.operators import linkage
+from betl_spark.operators.linkage import similarity_band_sql
+
+
+def _masters(spark, names):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "master_id: long, name: string"
+    )
+
+
+def _records(spark, names):
+    return spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "record_id: long, name: string"
+    )
+
+
+def _link(spark, records, masters, **kw):
+    return {
+        r["record_id"]: r
+        for r in linkage.link_records(
+            _records(spark, records), _masters(spark, masters), **kw
+        ).collect()
+    }
+
+
+MASTER = "alice brandt llc"
+
+
+@pytest.mark.parametrize(
+    "dirty,dist",
+    [
+        (MASTER, 0),  # exact
+        ("ALICE BRANDT LLC", 0),  # case fold via normalization
+        ("  alice brandt llc ", 0),  # trim via normalization
+        ("alice brandt ll", 1),  # drop last char
+        ("lice brandt llc", 1),  # drop first char (l-key witness)
+        ("alice brandt llcc", 1),  # double last char
+        ("alice-brandt-llc", 2),  # hyphenation: one sub per space
+        ("alice brandt llc jr", 3),  # ' jr' suffix
+        ("dr alice brandt llc", 3),  # 'dr ' prefix (l-key witness)
+        ("alicxe brandt llc", 1),  # mid insert
+    ],
+)
+def test_variant_distances(spark, dirty, dist):
+    got = _link(spark, [dirty], [MASTER])
+    assert got[0]["best_dist"] == dist
+    assert got[0]["best_master_id"] == 0
+    assert bool(got[0]["matched"]) == (dist <= linkage.DEFAULT_THRESHOLD)
+
+
+def test_null_and_unblocked_records_absent(spark):
+    got = _link(spark, [None, "zz qq"], [MASTER])
+    assert got == {}  # NULL emits no keys; 'zz qq' hits no block
+
+
+def test_multipass_blocking_recovers_head_edits(spark):
+    """Head edits break the p: key; the l: last-token key recovers
+    them — the reason blocking is multi-pass."""
+    head_edited = ["lice brandt llc", "dr alice brandt llc"]
+    got = _link(spark, head_edited, [MASTER])
+    assert set(got) == {0, 1}
+    # single-pass head-prefix blocking alone would have missed both:
+    # their normalized head prefixes are 'li'/'dr', the master's 'al'
+    for r in got.values():
+        assert r["n_candidates"] >= 1 and r["matched"]
+
+
+def test_token_swap_is_candidate_but_no_match(spark):
+    """A swapped name shares the suffix's l: key (candidate) but sits
+    far beyond the threshold (no match)."""
+    got = _link(spark, ["brandt alice llc"], [MASTER])
+    assert got[0]["n_candidates"] >= 1
+    assert got[0]["best_dist"] > linkage.DEFAULT_THRESHOLD
+    assert not got[0]["matched"]
+
+
+def test_best_match_tie_breaks_on_master_id(spark):
+    """Two masters at the same distance: the lower master_id wins —
+    the deterministic total order the oracle mirrors."""
+    masters = ["alfa x", "alfa y"]  # dist 1 from 'alfa z' each
+    got = _link(spark, ["alfa z"], masters)
+    assert got[0]["best_dist"] == 1
+    assert got[0]["best_master_id"] == 0
+    assert got[0]["n_candidates"] == 2
+
+
+def test_candidate_count_dedupes_multi_key_pairs(spark):
+    """A record matching a master via BOTH keys counts it once."""
+    got = _link(spark, [MASTER], [MASTER])
+    assert got[0]["n_candidates"] == 1
+
+
+def test_keep_cols_pass_through(spark):
+    recs = spark.createDataFrame(
+        [(1, "alice brandt llc", "src9")],
+        "record_id: long, name: string, source: string",
+    )
+    out = linkage.link_records(
+        recs, _masters(spark, [MASTER]), keep_cols=("source",)
+    ).collect()
+    assert out[0]["source"] == "src9"
+
+
+def test_block_keys_shape(spark):
+    df = spark.createDataFrame(
+        [("alice brandt",), ("solo",), (None,)], "n: string"
+    )
+    rows = df.select(
+        linkage.block_keys(F.col("n")).alias("k")
+    ).collect()
+    assert rows[0]["k"] == ["p:al", "l:br"]
+    assert rows[1]["k"] == ["p:so", "l:so"]  # tags keep both entries
+    assert rows[2]["k"] == [None]  # NULL key: can never equi-join
+
+
+@pytest.mark.parametrize(
+    "dist,rec,mas,band",
+    [
+        (0, "abcdefghij", "abcdefghij", 9),  # identical
+        (1, "abcdefghij", "abcdefghij", 9),  # 10*(10-1) DIV 10 = 9
+        (5, "abcdefghij", "abcdefghij", 5),
+        (10, "abcdefghij", "abcdefghij", 0),
+        (0, "", "", 9),  # maxlen 0 → identical
+        (3, "ab", "abc", 0),  # 10*(3-3) DIV 3 = 0
+    ],
+)
+def test_similarity_band_integer_edges(spark, dist, rec, mas, band):
+    df = spark.createDataFrame([(dist, rec, mas)], "d: long, r: string, m: string")
+    got = df.select(
+        F.expr(similarity_band_sql("d", "r", "m")).alias("band")
+    ).collect()[0]["band"]
+    assert got == band
+    duck = duckdb.sql(
+        f"SELECT {similarity_band_sql(str(dist), repr(rec), repr(mas), duckdb=True)}"
+    ).fetchone()[0]
+    assert duck == band
+
+
+def test_levenshtein_cross_engine(spark):
+    """The family's parity rests on Spark and DuckDB computing the
+    SAME exact integer edit distance — sweep a pair grid through both
+    engines, including empties, containments, and transposition-heavy
+    pairs (classic levenshtein counts a transposition as 2)."""
+    names = [
+        "", "a", "alice", "alcie", "alice brandt", "brandt alice",
+        "alice brandt llc", "dr alice brandt", "alice-brandt-llc",
+        "kowalski", "kowalsik", "lindqvist gmbh",
+    ]
+    pairs = [(a, b) for a in names for b in names]
+    df = spark.createDataFrame(pairs, "a: string, b: string")
+    got = {
+        (r["a"], r["b"]): r["d"]
+        for r in df.select(
+            "a", "b", F.levenshtein("a", "b").alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for a, b in pairs:
+        want = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert got[(a, b)] == want, (a, b)
+
+
+def test_contract_name_spec_is_injective(spark):
+    """The 211 golden names are pairwise distinct (CRT over the
+    coprime pools) — required for the tie-break to mean anything."""
+    from betl_spark.contract.linkage import masters_frame
+
+    m = masters_frame(spark)
+    assert m.count() == 211
+    assert m.select("name").distinct().count() == 211
+
+
+def test_resolve_entities_verb_journals_and_stores(dfl, spark):
+    dfl.data["recs"] = spark.createDataFrame(
+        [(1, "alice brandt llc"), (2, "alice brandt ll"), (3, None)],
+        "id long, name string",
+    )
+    dfl.data["golden"] = spark.createDataFrame(
+        [(7, "alice brandt llc")], "master_id long, name string"
+    )
+    out = dfl.resolveEntities("recs", "golden", "id", "name", maxDist=2)
+    got = {r["record_id"]: r for r in out.collect()}
+    assert got[1]["best_dist"] == 0 and got[1]["best_master_id"] == 7
+    assert got[2]["best_dist"] == 1 and got[2]["matched"]
+    assert 3 not in got  # NULL name audited upstream, never matched
+    assert "recs_resolved" in dfl.data
+    assert any(s.op == "resolveEntities" for s in dfl.journal.steps)

@@ -525,3 +525,22 @@ def test_embedding_outliers_broadcasts_centroids(spark):
     p = plan(embedding_outliers(emb, "vec_id", "embedding", "label", k=5))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_link_records_broadcasts_masters_one_shuffle(spark):
+    """Record linkage's 100 TB contract: the exploded master-key table
+    is broadcast (the record side never shuffles to find candidates),
+    levenshtein stays JVM-side, and the only exchange below the final
+    rollup is the per-record argmin aggregate."""
+    from betl_spark.contract.linkage import masters_frame, records_frame
+    from betl_spark.operators.linkage import link_records
+
+    recs = records_frame(spark, SF)
+    p = plan(link_records(recs, masters_frame(spark), record_id="doc_id",
+                          record_name="name"))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p, p
+    # exactly ONE exchange: the groupBy(record_id) argmin — the
+    # multi-key pair dedup is a map-side filter, never a distinct agg
+    assert n_exchanges(p) == 1, p
