@@ -146,14 +146,22 @@ def link_records(
       count and the per-record argmin best master
       (``min(struct(dist, master_id, name))`` — tie-break on
       master_id, unique, so the result is deterministic);
-    - ``levenshtein`` runs JVM-side inside the joined stage's codegen.
+    - ``levenshtein`` runs JVM-side inside the joined stage's codegen;
+    - the record side is ``ensure_parallelism``'d first: the scoring
+      stage is |records| x |blocked masters| edit distances, and a
+      small input (one parquet row group) would otherwise run it on
+      ONE core — a plan NO-OP at real scale where the input has
+      thousands of splits.
     """
+    from betl_spark.operators.util import ensure_parallelism
+
     mk = master_key_table(masters, master_id, master_name, prefix_len)
     r = records.select(
         F.col(record_id).alias("record_id"),
         *[F.col(c) for c in keep_cols],
         normalize_name(record_name).alias("__rname"),
     ).where(F.col("__rname").isNotNull())
+    r = ensure_parallelism(r)
     cand = r.select(
         "record_id",
         *keep_cols,

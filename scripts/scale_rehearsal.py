@@ -649,6 +649,48 @@ def main() -> None:
     spark.stop()
 
 
+
+
+LINKAGE_QUERIES = [
+    "er_blocking_audit",
+    "er_master_rollup",
+    "er_source_audit",
+    "er_similarity_bands",
+]
+
+
+def linkage_sweep() -> None:
+    """Round-11 decade rehearsal for the record-linkage family:
+    sf0.1 -> sf1 (10x docs) min-of-2 wall times. The family's scale
+    contract is linearity - candidates per record are bounded by the
+    (broadcast) master catalog's block occupancy, so 10x records must
+    cost ~10x map work amortized over fixed stage overhead, i.e.
+    measured growth well under x10 at MB scale."""
+    from betl_spark.contract import QUERIES
+    from betl_spark.session import build_spark
+
+    spark = build_spark("betl_spark_linkage_sweep")
+    rows = []
+    for n in LINKAGE_QUERIES:
+        try:
+            QUERIES[n](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+        gc.collect()
+        t0 = time_query(QUERIES[n], spark, "/root/testdata/sf0.1")
+        t1 = time_query(QUERIES[n], spark, SF1)
+        ratio = t1 / t0 if t0 > 0 else float("nan")
+        rows.append((n, t0, t1, ratio))
+        print(f"{n}: sf0.1 {t0:.2f}s  sf1 {t1:.2f}s  x{ratio:.2f}", flush=True)
+    print()
+    print("| query | sf0.1 (s) | sf1 (s) | growth (10x data) |")
+    print("|---|---|---|---|")
+    for n, a, b, r in sorted(rows, key=lambda x: -x[3]):
+        print(f"| `{n}` | {a:.2f} | {b:.2f} | x{r:.2f} |")
+
+
 if __name__ == "__main__":
     if "--ann-skew" in sys.argv:
         ann_skew_rehearsal()
@@ -660,5 +702,7 @@ if __name__ == "__main__":
         hot_gram_rehearsal()
     elif "--sf3" in sys.argv:
         sf3_sweep()
+    elif "--linkage" in sys.argv:
+        linkage_sweep()
     else:
         main()
