@@ -198,3 +198,32 @@ def test_resolve_entities_verb_journals_and_stores(dfl, spark):
     assert 3 not in got  # NULL name audited upstream, never matched
     assert "recs_resolved" in dfl.data
     assert any(s.op == "resolveEntities" for s in dfl.journal.steps)
+
+
+def test_contract_all_null_name_slice_guards(spark, tmp_path):
+    """A corpus slice whose ONLY doc has v=0 (NULL name): the audit
+    emits one row with NULL-guarded rates and the match-side queries
+    emit zero rows — the degenerate shape a 1-doc/1-class partition
+    hits at any scale. (Cross-engine agreement for this slice and a
+    17-doc partial-class slice was verified against DuckDB when the
+    family shipped; empty-input agreement is pinned for every contract
+    pair in test_empty_robustness.py.)"""
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    t = pq.read_table(src)
+    pq.write_table(t.slice(0, 1), str(tmp_path / "documents.parquet"))
+
+    from betl_spark.contract.linkage import (
+        q_er_blocking_audit,
+        q_er_master_rollup,
+        q_er_similarity_bands,
+    )
+
+    audit = q_er_blocking_audit(spark, str(tmp_path)).collect()
+    assert len(audit) == 1
+    row = audit[0]
+    assert row["v"] == 0 and row["n_named"] == 0
+    assert row["match_rate"] is None and row["mean_best_dist"] is None
+    assert q_er_master_rollup(spark, str(tmp_path)).count() == 0
+    assert q_er_similarity_bands(spark, str(tmp_path)).count() == 0
