@@ -691,6 +691,56 @@ def linkage_sweep() -> None:
         print(f"| `{n}` | {a:.2f} | {b:.2f} | x{r:.2f} |")
 
 
+
+
+SF10 = "/root/repo/.scale/sf10"
+
+# sf1 -> sf10 sweep (round-11): a SECOND full decade on top of the
+# sf0.1 -> sf1 tables, one representative per workload class. Combined
+# with the earlier tables every listed class now has growth measured
+# across TWO decades (sf0.1 -> sf1 -> sf10 = 100x total), which is the
+# strongest locally-achievable form of the "plans survive a 10-100x
+# scale-up" claim.
+SF10_SWEEP = [
+    "tpch_q1_pricing_summary",       # exact DECIMAL agg, 60M lineitem
+    "tpch_q21_waiting_suppliers",    # full-table multi-join
+    "dedup_minhash_lsh_pairs",       # banded LSH pair generation
+    "line_dedup",                    # explode-heavy text dedup
+    "token_count_bpe",               # saturated-CPU tokenization
+    "dsir_scores",                   # hashed-ngram importance scoring
+    "resample_gapfill_observed",     # the prescribed spine mode
+    "events_stream_stateful",        # streaming state commits, 10M events
+    "web_curation_pipeline",         # round-11 web flagship
+    "er_blocking_audit",             # round-11 linkage flagship
+]
+
+
+def sf10_sweep() -> None:
+    from betl_spark.contract import QUERIES
+    from betl_spark.session import build_spark
+
+    spark = build_spark("betl_spark_sf10_sweep")
+    rows = []
+    for n in SF10_SWEEP:
+        try:
+            QUERIES[n](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
+        gc.collect()
+        t1 = time_query(QUERIES[n], spark, SF1)
+        t10 = time_query(QUERIES[n], spark, SF10)
+        ratio = t10 / t1 if t1 > 0 else float("nan")
+        rows.append((n, t1, t10, ratio))
+        print(f"{n}: sf1 {t1:.2f}s  sf10 {t10:.2f}s  x{ratio:.2f}", flush=True)
+    print()
+    print("| query | sf1 (s) | sf10 (s) | growth (10x data) |")
+    print("|---|---|---|---|")
+    for n, a, b, r in sorted(rows, key=lambda x: -x[3]):
+        print(f"| `{n}` | {a:.2f} | {b:.2f} | x{r:.2f} |")
+
+
 if __name__ == "__main__":
     if "--ann-skew" in sys.argv:
         ann_skew_rehearsal()
@@ -704,5 +754,7 @@ if __name__ == "__main__":
         sf3_sweep()
     elif "--linkage" in sys.argv:
         linkage_sweep()
+    elif "--sf10" in sys.argv:
+        sf10_sweep()
     else:
         main()

@@ -757,7 +757,12 @@ def test_bm25_matches_python_reference(spark, texts):
             w = (idf * (tf * (k1 + 1.0))) / (tf + k1 * (1 - b + b * len(tk) / avglen))
             nanos += int(round(r9(w) * 1e9))
         if matched:
-            want[i] = (matched, round(nanos / 1e9, 6))
+            # the engine's final 6dp render is INTEGRAL half-away
+            # micros (util.round6_nanos_ratio_expr, the bug-#5 fix) —
+            # replay it exactly: round(nanos/1e9, 6) double-rounds at
+            # true ...500-nano midpoints (hypothesis found 276174500).
+            mag = (abs(nanos) + 500) // 1000
+            want[i] = (matched, (-mag if nanos < 0 else mag) / 1e6)
     assert got == want
 
 

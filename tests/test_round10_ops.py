@@ -225,7 +225,9 @@ def test_ewma_bounded_matches_python_reference(spark):
     for i in (2, 3, 4, 5):
         nanos = sum(round(round(w * vals[i - j], 9) * 1e9)
                     for j, w in enumerate(ws))
-        assert out[i] == round(nanos / 1e9 / wsum, 6), i
+        # the engine renders F.round(double, 6): replay with the
+        # HALF_UP shortest-repr rule (_rhu), not python's banker round
+        assert out[i] == _rhu(nanos / 1e9 / wsum, 6), i
 
 
 def test_cusum_changepoint_locates_level_shift(spark):
@@ -535,11 +537,18 @@ def test_crosstab_assoc_matches_python_replay(spark, cells):
         )
     dof = (len(rx) - 1) * (len(cy) - 1)
     assert r["n"] == nn and r["dof"] == dof
+
+    def _micros6(nanos: int) -> float:
+        # the engine's round6_nanos_ratio_expr replayed exactly:
+        # integral half-away micros, never a double round (bug #5)
+        mag = (abs(nanos) + 500) // 1000
+        return (-mag if nanos < 0 else mag) / 1e6
+
     if dof > 0:
-        assert r["chi2"] == _rhu(nn + chi_n / 1e9, 6)
+        assert r["chi2"] == _micros6(nn * 10**9 + chi_n)
     else:
         assert r["chi2"] is None
-    assert r["mi_bits"] == _rhu(mi_n / 1e9, 6)
+    assert r["mi_bits"] == _micros6(mi_n)
 
 
 # ---- DataFlow verb surface ----
