@@ -423,3 +423,65 @@ QUERIES["er_similarity_bands"] = (
     q_er_similarity_bands,
     ER_SIMILARITY_BANDS_SQL,
 )
+
+
+# ---- 5. er_survivorship: golden-record assembly per master ----
+def q_er_survivorship(spark, sf_dir):
+    """Post-resolution survivorship (operators/linkage.py:survivorship):
+    one golden row per master from its matched members — min doc as
+    the representative, worst accepted distance, and the source field
+    survived by deterministic plurality (ties -> smallest source).
+    Mode rides its own bounded census + argmax (min(struct(-n, v)) —
+    one hash agg, no window sort); everything else shares one
+    group-grain aggregate."""
+    linked = _linked(spark, sf_dir).where(F.col("matched"))
+    members = linked.select(
+        F.col("best_master_id").alias("master_id"),
+        "record_id",
+        "best_dist",
+        F.col("source").alias("source_mode"),
+    )
+    g = linkage.survivorship(
+        members,
+        "master_id",
+        {"record_id": "min", "best_dist": "max", "source_mode": "mode"},
+    )
+    return g.select(
+        "master_id",
+        "n_members",
+        F.col("record_id_min").alias("rep_doc_id"),
+        F.col("best_dist_max").cast("long").alias("worst_dist"),
+        "source_mode",
+        F.col("source_mode_votes").alias("source_votes"),
+    )
+
+
+ER_SURVIVORSHIP_SQL = f"""
+WITH {_NAME_CTE},
+memb AS (
+  SELECT * FROM best WHERE best_dist <= {THRESHOLD}
+),
+agg AS (
+  SELECT best_master_id AS master_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         min(doc_id) AS rep_doc_id,
+         CAST(max(best_dist) AS BIGINT) AS worst_dist
+  FROM memb GROUP BY 1
+),
+cen AS (
+  SELECT best_master_id AS master_id, source,
+         CAST(count(*) AS BIGINT) AS nv
+  FROM memb GROUP BY 1, 2
+),
+md AS (
+  SELECT master_id, source AS source_mode, nv AS source_votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY master_id ORDER BY nv DESC, source
+    ) AS rn FROM cen
+  ) WHERE rn = 1
+)
+SELECT a.master_id, a.n_members, a.rep_doc_id, a.worst_dist,
+       m.source_mode, m.source_votes
+FROM agg a LEFT JOIN md m USING (master_id)
+"""
+QUERIES["er_survivorship"] = (q_er_survivorship, ER_SURVIVORSHIP_SQL)

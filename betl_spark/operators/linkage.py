@@ -307,3 +307,82 @@ def first_token_block(col) -> F.Column:
     """Default block key: the name's first whitespace token (catalog
     names lead with their most discriminative attribute)."""
     return F.split_part(col, F.lit(" "), F.lit(1))
+
+
+# ---- survivorship: golden-record assembly after resolution ----
+
+
+def majority_vote(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Deterministic per-group plurality: the most frequent non-NULL
+    ``value_col`` in each group, ties broken by the SMALLEST value —
+    the total order the oracle mirrors. Output: ``(group_col,
+    value_col, n_votes)``.
+
+    The classic survivorship field rule ("most sources say X"). Two
+    bounded shuffles: the (group, value) census, then the per-group
+    argmax — implemented as ``min(struct(-n, value))`` so one hash
+    aggregate replaces a window sort. NULLs never vote (a missing
+    field is an abstention, not a candidate golden value).
+    """
+    census = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    best = census.groupBy(group_col).agg(
+        F.min(F.struct((-F.col("__n")).alias("__neg"), F.col(value_col))).alias(
+            "__b"
+        )
+    )
+    return best.select(
+        group_col,
+        F.col(f"__b.{value_col}").alias(value_col),
+        (-F.col("__b.__neg")).cast("long").alias("n_votes"),
+    )
+
+
+def survivorship(
+    df: DataFrame,
+    group_col: str,
+    rules: dict[str, str],
+) -> DataFrame:
+    """Golden-record assembly: one row per group with each field
+    survived by its rule — ``'min'`` / ``'max'`` (NULL-skipping, the
+    usual recency/completeness picks), ``'sum'`` / ``'count'``
+    (additive facts), or ``'mode'`` (deterministic plurality via
+    :func:`majority_vote`).
+
+    All non-mode rules ride ONE hash aggregate on ``group_col``; each
+    mode rule adds its own bounded census + argmax and joins back on
+    the group key (mode is not algebraic — it cannot share the single
+    agg — but every join here is group-grain: |groups| rows, the
+    SMALL side of the pipeline). Output columns keep the source names
+    (mode columns as-is, others suffixed ``_<rule>``).
+    """
+    aggs = []
+    modes = []
+    for col, rule in rules.items():
+        if rule == "mode":
+            modes.append(col)
+        elif rule in ("min", "max", "sum"):
+            aggs.append(getattr(F, rule)(col).alias(f"{col}_{rule}"))
+        elif rule == "count":
+            aggs.append(F.count(col).cast("long").alias(f"{col}_count"))
+        else:
+            raise ValueError(
+                f"unknown survivorship rule {rule!r} for column {col!r}"
+            )
+    golden = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"), *aggs
+    )
+    for col in modes:
+        golden = golden.join(
+            majority_vote(df, group_col, col).withColumnRenamed(
+                "n_votes", f"{col}_votes"
+            ),
+            group_col,
+            "left",
+        )
+    return golden

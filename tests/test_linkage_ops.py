@@ -227,3 +227,41 @@ def test_contract_all_null_name_slice_guards(spark, tmp_path):
     assert row["match_rate"] is None and row["mean_best_dist"] is None
     assert q_er_master_rollup(spark, str(tmp_path)).count() == 0
     assert q_er_similarity_bands(spark, str(tmp_path)).count() == 0
+
+
+def test_majority_vote_tie_breaks_on_smallest_value(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (1, "c"), (2, None)],
+        "g long, v string",
+    )
+    got = {r["g"]: (r["v"], r["n_votes"])
+           for r in linkage.majority_vote(df, "g", "v").collect()}
+    assert got[1] == ("a", 2)  # 2-2 tie between a and b -> smallest
+    assert 2 not in got  # NULLs abstain; all-NULL group has no winner
+
+
+def test_survivorship_rules_and_mode_join(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0, "s2"),
+            (1, 20, 1.0, "s1"),
+            (1, 30, 3.0, "s1"),
+            (2, 40, 2.0, None),
+        ],
+        "g long, id long, d double, src string",
+    )
+    out = {r["g"]: r for r in linkage.survivorship(
+        df, "g", {"id": "min", "d": "max", "src": "mode"}
+    ).collect()}
+    assert out[1]["n_members"] == 3
+    assert out[1]["id_min"] == 10 and out[1]["d_max"] == 5.0
+    assert out[1]["src"] == "s1" and out[1]["src_votes"] == 2
+    # group 2: src all-NULL -> mode LEFT-joins to NULL, aggs survive
+    assert out[2]["n_members"] == 1 and out[2]["src"] is None
+    assert out[2]["src_votes"] is None
+
+
+def test_survivorship_rejects_unknown_rule(spark):
+    df = spark.createDataFrame([(1, 2)], "g long, x long")
+    with pytest.raises(ValueError, match="unknown survivorship rule"):
+        linkage.survivorship(df, "g", {"x": "median"})
