@@ -97,8 +97,8 @@ _ALL = {
 # tabulates the planned r10-r13 windows). Per _PRIORITY below, the
 # window leads with the new-this-round queries, then the stalest
 # greens fill the remaining slots oldest-first (round 11: the ten
-# web-curation + four record-linkage round-11-new queries, then 36 of
-# the 46 last-green-r7 queries; the ~10 remaining r7 greens verify at
+# web-curation + five record-linkage round-11-new queries, then 35 of
+# the 46 last-green-r7 queries; the 11 remaining r7 greens verify at
 # r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 

@@ -199,6 +199,26 @@ class AnalyticsOps:
             self.data[targetDataset or f"{dataset}_resolved"] = out
         return out
 
+    def surviveGoldenRecords(
+        self,
+        dataset: str,
+        groupCol: str,
+        rules: dict[str, str],
+        targetDataset: str | None = None,
+        desc: str = "",
+    ) -> DataFrame:
+        """Golden-record assembly per resolved group: min/max/sum/count
+        field rules in one hash agg, 'mode' fields by deterministic
+        plurality (operators/linkage.py:survivorship)."""
+        from betl_spark.operators import linkage
+
+        with self.journal.step(
+            "surviveGoldenRecords", desc or f"survive {dataset}"
+        ):
+            out = linkage.survivorship(self._get(dataset), groupCol, rules)
+            self.data[targetDataset or f"{dataset}_golden"] = out
+        return out
+
     def integrityAudit(
         self,
         specs: list[tuple[str, str, list[str], str, list[str]]],

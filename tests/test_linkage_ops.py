@@ -265,3 +265,15 @@ def test_survivorship_rejects_unknown_rule(spark):
     df = spark.createDataFrame([(1, 2)], "g long, x long")
     with pytest.raises(ValueError, match="unknown survivorship rule"):
         linkage.survivorship(df, "g", {"x": "median"})
+
+
+def test_survive_golden_records_verb(dfl, spark):
+    dfl.data["members"] = spark.createDataFrame(
+        [(1, 5, "a"), (1, 7, "a"), (1, 9, "b")], "g long, id long, s string"
+    )
+    out = dfl.surviveGoldenRecords(
+        "members", "g", {"id": "min", "s": "mode"}
+    ).collect()
+    assert out[0]["id_min"] == 5 and out[0]["s"] == "a"
+    assert "members_golden" in dfl.data
+    assert any(s.op == "surviveGoldenRecords" for s in dfl.journal.steps)
