@@ -830,3 +830,96 @@ def test_pmi_matches_python_reference(spark, texts):
             round(math.log((c * float(nu) * nu) / (float(nb) * uni[w1] * uni[w2])), 6),
         )
     assert got == want
+
+
+NAME_TOKENS = ["alpha", "ALPHA", "alp", "beta", "bets", "gamma", "ga", "x"]
+DIRTY_NAMES = st.one_of(
+    st.none(),
+    st.just(""),
+    st.lists(st.sampled_from(NAME_TOKENS), min_size=1, max_size=3).map(
+        " ".join
+    ),
+)
+
+
+@PROP_SETTINGS
+@given(
+    records=st.lists(DIRTY_NAMES, min_size=1, max_size=10),
+    masters=st.lists(
+        st.lists(
+            st.sampled_from(NAME_TOKENS), min_size=1, max_size=2
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+)
+def test_link_records_matches_python_reference(spark, records, masters):
+    """Blocked catalog linkage against an independent python replay:
+    normalization, tagged multi-pass blocking, candidate count under
+    the map-side pair dedup, pure-python DP levenshtein, and the
+    (dist, master_id) argmin tie-break."""
+    from betl_spark.operators.linkage import (
+        DEFAULT_PREFIX_LEN,
+        DEFAULT_THRESHOLD,
+        link_records,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    P = DEFAULT_PREFIX_LEN
+
+    def keys(n: str) -> set[str]:
+        return {"p:" + n[:P], "l:" + n.split(" ")[-1][:P]}
+
+    mnorm = [(i, m.strip(" ").lower()) for i, m in enumerate(masters)]
+    want = {}
+    for rid, raw in enumerate(records):
+        if raw is None:
+            continue
+        n = raw.strip(" ").lower()
+        kr = keys(n)
+        cands = []
+        for mid, mn in mnorm:
+            km = keys(mn)
+            # map-side dedup rule: the p: pair exists iff head
+            # prefixes agree; an l: pair only counts when they differ
+            if ("p:" + n[:P]) in km or (
+                ("l:" + n.split(" ")[-1][:P]) in km and n[:P] != mn[:P]
+            ):
+                cands.append((lev(n, mn), mid, mn))
+        if not cands:
+            continue
+        d, mid, mn = min(cands)
+        want[rid] = (len(cands), d, mid, mn, d <= DEFAULT_THRESHOLD)
+
+    rdf = spark.createDataFrame(
+        list(enumerate(records)), "record_id: long, name: string"
+    )
+    mdf = spark.createDataFrame(
+        list(enumerate(masters)), "master_id: long, name: string"
+    )
+    got = {
+        r["record_id"]: (
+            r["n_candidates"],
+            r["best_dist"],
+            r["best_master_id"],
+            r["best_master_name"],
+            bool(r["matched"]),
+        )
+        for r in link_records(rdf, mdf).collect()
+    }
+    assert got == want
