@@ -1,13 +1,26 @@
 #!/usr/bin/env python
 """Full non-quadratic contract parity sweep at sf10 (round-11).
 
-Replays the driver-grade Spark-vs-DuckDB comparison (same normalize
-code as tests/test_oracle_parity.py) at /root/repo/.scale/sf10 — the
-fourth value-verified scale point, two full decades above bench scale.
-The DuckDB-quadratic control families (semantic_*, crosslingual,
-classifier_train*, substring spans, bpe_train, curation_v2/v3) are
-excluded exactly as in the sf3 sweep; their value parity is pinned at
-sf1 (SCALE.md).
+The fourth value-verified scale point, two full decades above bench
+scale. The DuckDB-quadratic control families (semantic_*,
+crosslingual, classifier_train*, substring spans, bpe_train,
+curation_v2/v3) are excluded exactly as in the sf3 sweep; their value
+parity is pinned at sf1 (SCALE.md).
+
+Compare strategy — EXCEPT ALL inside DuckDB, not python rows: at sf10
+several queries return LINEITEM-GRAIN outputs (60M rows); the pytest
+normalize path (python repr per cell + sort) needs ~30 GB and tens of
+minutes PER SIDE at that size. Instead the Spark result ships to
+DuckDB as ONE Arrow table and the comparison is
+
+    (s EXCEPT ALL d) UNION ALL (d EXCEPT ALL s)  -> must be empty,
+
+with the oracle side CAST column-by-column to the Spark result's
+DuckDB types. Exact multiset equality, vectorized, columnar. The one
+semantic difference vs the bit-level hash compare: SQL equality folds
+-0.0 = +0.0 (and would fold NaN = NaN, which the contract never
+emits) — the stricter bit compare already ran green at sf0.01 / sf0.1
+/ sf1 / sf3, so the signed-zero class is pinned below this scale.
 
 Usage:
   PYTHONPATH=/root/repo python scripts/sf10_parity_sweep.py [names...]
@@ -25,7 +38,11 @@ SF = "/root/repo/.scale/sf10"
 RESULTS = "/tmp/sf10_sweep_results.txt"
 
 sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tests")
+
+QUAD_MARKERS = (
+    "semantic_", "crosslingual", "classifier_train",
+    "repeated_substring", "repeated_spans", "bpe_train", "curation_v",
+)
 
 
 def main() -> None:
@@ -34,19 +51,13 @@ def main() -> None:
     from betl_spark.contract import ORACLES, QUERIES
     from betl_spark.contract.common import TABLES
     from betl_spark.session import build_spark
-    from test_oracle_parity import normalize
 
     if len(sys.argv) > 1:
         names = sys.argv[1:]
     else:
-        quad_markers = (
-            "semantic_", "crosslingual", "classifier_train",
-            "repeated_substring", "repeated_spans", "bpe_train",
-            "curation_v",
-        )
         names = [
             n for n in sorted(ORACLES)
-            if not any(m in n for m in quad_markers)
+            if not any(m in n for m in QUAD_MARKERS)
         ]
     done = set()
     if os.path.exists(RESULTS):
@@ -67,20 +78,44 @@ def main() -> None:
         t0 = time.time()
         try:
             sdf = QUERIES[name](spark, SF)
-            s = normalize(sdf.columns, [tuple(r) for r in sdf.collect()])
+            s_at = sdf.toArrow()
             t_spark = time.time() - t0
             t1 = time.time()
-            res = con.execute(ORACLES[name])
-            d = normalize(
-                [x[0] for x in res.description], res.fetchall()
+            con.register("s_res", s_at)
+            types = {
+                r[0]: r[1]
+                for r in con.execute("DESCRIBE s_res").fetchall()
+            }
+            cols = sorted(s_at.column_names)
+            sel_s = ", ".join(f'"{c}"' for c in cols)
+            sel_d = ", ".join(
+                f'CAST("{c}" AS {types[c]}) AS "{c}"' for c in cols
             )
+            n_s, n_d, n_diff = con.execute(
+                f"""
+                WITH d AS ({ORACLES[name]})
+                SELECT (SELECT count(*) FROM s_res),
+                       (SELECT count(*) FROM d),
+                       (SELECT count(*) FROM (
+                          (SELECT {sel_s} FROM s_res
+                           EXCEPT ALL SELECT {sel_d} FROM d)
+                          UNION ALL
+                          (SELECT {sel_d} FROM d
+                           EXCEPT ALL SELECT {sel_s} FROM s_res)))
+                """
+            ).fetchone()
+            con.unregister("s_res")
             t_duck = time.time() - t1
-            ok = s == d
-            status = "MATCH" if ok else "MISMATCH"
+            ok = n_s == n_d and n_diff == 0
+            status = (
+                "MATCH"
+                if ok
+                else f"MISMATCH n_s={n_s} n_d={n_d} n_diff={n_diff}"
+            )
             if not ok:
                 n_fail += 1
         except Exception as ex:  # noqa: BLE001 - log and continue
-            status = f"ERROR {type(ex).__name__}: {str(ex)[:120]}"
+            status = f"ERROR {type(ex).__name__}: {str(ex)[:160]}"
             t_spark = time.time() - t0
             t_duck = 0.0
             n_fail += 1
