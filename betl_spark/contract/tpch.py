@@ -270,10 +270,10 @@ ORDER BY o_year
 
 Q14_PROMO_REVENUE = f"""
 SELECT
-  CAST(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+  CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
         THEN {dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')})
-        ELSE 0 END) AS DOUBLE)
-    / CAST(SUM({dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')})) AS DOUBLE)
+        ELSE 0 END), 2) AS DOUBLE) * 100.0
+    / CAST(ROUND(SUM({dec('l.l_extendedprice')} * (1 - {dec('l.l_discount')})), 2) AS DOUBLE)
     AS promo_revenue
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey

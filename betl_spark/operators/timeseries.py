@@ -77,6 +77,14 @@ def _explode_bucket_range(keyed_bounds: DataFrame) -> DataFrame:
     )
 
 
+#: default spine-cardinality ceiling: a 100M-row rectangle is the
+#: practical single-box limit for the windowed forward-fill (the sf10
+#: rehearsal's 450M-row global spine died as an executor OOM mid-sort
+#: with the guard off); anything bigger must be an explicit decision
+#: (raise the bound on a real cluster, or use spine="observed").
+DEFAULT_MAX_SPINE_ROWS = 100_000_000
+
+
 def resample_gapfill(
     df: DataFrame,
     key_col: str,
@@ -84,7 +92,7 @@ def resample_gapfill(
     value_col: str,
     bucket_micros: int = MICROS_PER_DAY,
     spine: str = "global",
-    max_spine_rows: int | None = None,
+    max_spine_rows: int | None = DEFAULT_MAX_SPINE_ROWS,
 ) -> DataFrame:
     """Resample events into fixed time buckets per key, emitting a row
     for every (key, bucket) — including empty gaps — with zero-filled
@@ -105,10 +113,14 @@ def resample_gapfill(
       lived two weeks contributes two weeks of spine, not the full
       corpus timeline.
 
-    ``max_spine_rows``, when set, computes the exact spine cardinality
-    (one tiny aggregate job) and raises before generating a spine
-    larger than the bound — the guard that turns a silent 10^12-row
-    rectangle into an explicit decision.
+    ``max_spine_rows`` computes the exact spine cardinality (one tiny
+    aggregate job) and raises before generating a spine larger than
+    the bound — the guard that turns a silent 10^12-row rectangle into
+    an explicit decision. It is ON BY DEFAULT
+    (``DEFAULT_MAX_SPINE_ROWS`` = 100M: the sf10 rehearsal's 450M-row
+    global spine OOMed an executor sort with the guard off, while the
+    sf3 40M-row spine ran fine); pass ``None`` to disable, or a larger
+    bound on a cluster sized for the resulting rectangle.
 
     Output: (key, bucket, n_events, sum_value, ffill_avg); ``bucket``
     is epoch-micros DIV ``bucket_micros``; ``ffill_avg`` is NULL before

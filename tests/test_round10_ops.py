@@ -686,3 +686,27 @@ def test_dataflow_round10_stat_verbs(spark, dfl):
     assert r["n_from"] == 2 and r["n_converted"] == 1
     for verb in ("spearman", "categoryEntropy", "funnelLatency"):
         assert any(s.op == verb for s in dfl.journal.steps), verb
+
+
+def test_resample_gapfill_default_guard_refuses_huge_global_spine(spark):
+    """The spine guard is ON by default: a global rectangle past
+    DEFAULT_MAX_SPINE_ROWS refuses with the explicit message instead
+    of dying as an executor OOM mid-sort (the sf10 rehearsal find:
+    450M-row spine, UNABLE_TO_ACQUIRE_MEMORY). Exercised here by
+    shrinking the bound via monkeypatched argument, plus the
+    opt-out."""
+    from betl_spark.operators.timeseries import resample_gapfill
+
+    df = spark.createDataFrame(
+        [(k, k * 86_400_000_000 * 5, 1.0) for k in range(4)],
+        "k long, t long, v double",
+    )
+    with pytest.raises(ValueError, match="global spine would be"):
+        resample_gapfill(
+            df, "k", "t", "v", spine="global", max_spine_rows=10
+        ).collect()
+    # explicit opt-out still builds the rectangle
+    n = resample_gapfill(
+        df, "k", "t", "v", spine="global", max_spine_rows=None
+    ).count()
+    assert n == 4 * 16  # 4 keys x buckets 0..15
