@@ -102,7 +102,7 @@ _ALL = {
 # r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND = [*_ROUND11, *_LINKAGE]
+NEW_THIS_ROUND: list = []  # round-12 additions are appended below
 
 _PRIORITY = [
     *NEW_THIS_ROUND,

@@ -469,9 +469,13 @@ agg AS (
   FROM memb GROUP BY 1
 ),
 cen AS (
+  -- NULLs abstain from the mode vote, mirroring majority_vote's
+  -- isNotNull filter (round-11 advisor item #1): without this a NULL
+  -- source would vote here but abstain in Spark, a latent
+  -- cross-engine divergence (unobservable on current testdata).
   SELECT best_master_id AS master_id, source,
          CAST(count(*) AS BIGINT) AS nv
-  FROM memb GROUP BY 1, 2
+  FROM memb WHERE source IS NOT NULL GROUP BY 1, 2
 ),
 md AS (
   SELECT master_id, source AS source_mode, nv AS source_votes FROM (

@@ -59,9 +59,18 @@ def main() -> None:
             n for n in sorted(ORACLES)
             if not any(m in n for m in QUAD_MARKERS)
         ]
+    # Resume only skips queries whose logged status is MATCH or a
+    # by-design GUARD refusal; MISMATCH/ERROR lines re-run, so a
+    # resumed sweep cannot silently exit 0 past a failure (round-11
+    # advisor item #2).
     done = set()
     if os.path.exists(RESULTS):
-        done = {ln.split()[0] for ln in open(RESULTS) if ln.strip()}
+        done = {
+            parts[0]
+            for ln in open(RESULTS)
+            if (parts := ln.split()) and len(parts) > 1
+            and parts[1] in ("MATCH", "GUARD")
+        }
     todo = [n for n in names if n not in done]
     print(f"{len(todo)} to run ({len(done)} already logged)", flush=True)
 
