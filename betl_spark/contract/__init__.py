@@ -59,6 +59,7 @@ from betl_spark.contract.round9 import QUERIES as _ROUND9
 from betl_spark.contract.round10 import QUERIES as _ROUND10
 from betl_spark.contract.round11 import QUERIES as _ROUND11
 from betl_spark.contract.linkage import QUERIES as _LINKAGE
+from betl_spark.contract.round12 import QUERIES as _ROUND12
 
 _ALL = {
     **_TPCH,
@@ -75,6 +76,7 @@ _ALL = {
     **_ROUND10,
     **_ROUND11,
     **_LINKAGE,
+    **_ROUND12,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
@@ -102,7 +104,7 @@ _ALL = {
 # r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND: list = []  # round-12 additions are appended below
+NEW_THIS_ROUND = [*_ROUND12]
 
 _PRIORITY = [
     *NEW_THIS_ROUND,

@@ -1,0 +1,250 @@
+"""Round-12 contract queries: master-less entity resolution
+(operators/linkage.py:cluster_records) — transitive fuzzy clustering
+of dirty records among THEMSELVES, the other half of the standard
+linkage stage (round-11 verdict ask #6). ``link_records`` resolves
+against a bounded golden catalog; here there is no catalog: blocked
+fuzzy name pairs -> connected components -> cluster survivorship,
+composing the multi-pass blocking of ``contract/linkage.py`` with the
+CC machinery of ``operators/dedup.py``.
+
+Same deterministic synthetic-name corpus as ``contract/linkage.py``
+(entity = doc_id % 211 picks a golden name, variant = doc_id % 19
+perturbs it). Expected cluster shape per entity: the base perturbation
+family (exact / case / char drops / double / hyphens / ' jr' / 'dr ' /
+mid insert — all within edit distance 3 of the base, directly or
+through it) forms ONE cluster whose id is its lexicographically
+smallest member name; the token-swapped variant (v=9) is far from the
+base family and forms its own (usually singleton) cluster. The NAME
+VOCABULARY is fixed (~10 distinct dirty names per entity x 211
+entities) however large the corpus grows, so the pairwise stage is
+CONSTANT in sf while every record-grain stage is linear — this family
+is deliberately NOT quadratic-control and runs at every ladder scale.
+
+Cross-engine determinism: cluster_id is the minimum name reachable in
+the pair graph — a total, engine-independent label (no hash, no
+row_number over ties). The DuckDB oracle computes the same closure
+with a recursive CTE (transitive reachability, then min per node);
+clusters are vocabulary-small, so the closure's s^2 blow-up is bounded
+by the largest variant family, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from betl_spark.contract.linkage import (
+    THRESHOLD,
+    _LKEY,
+    _NORM,
+    _PKEY,
+    records_frame,
+)
+from betl_spark.operators import linkage
+
+QUERIES: dict = {}
+
+
+def _clustered(spark, sf_dir):
+    """Shared Spark chain: synthetic dirty records -> cluster_records."""
+    return linkage.cluster_records(
+        records_frame(spark, sf_dir),
+        record_id="doc_id",
+        record_name="name",
+        threshold=THRESHOLD,
+        keep_cols=("source", "v"),
+    )
+
+
+# the shared oracle chain (DuckDB dialect): reuse the dirty-name CTEs
+# from contract/linkage.py (recs/dirty via _LINK_CTE's prefix is not
+# separable, so rebuild the three name CTEs here from the same shared
+# fragments), then vocabulary -> blocked pairs -> recursive closure.
+from betl_spark.contract.linkage import _DIRTY, _arr_duck  # noqa: E402
+from betl_spark.contract.linkage import (  # noqa: E402
+    BASE_NAMES,
+    N_ENTITIES,
+    SWAPPED_NAMES,
+)
+
+_CLUSTER_CTE = f"""
+recs AS (
+  SELECT doc_id, source,
+         CAST(doc_id % {N_ENTITIES} AS BIGINT) AS e,
+         CAST(doc_id % 19 AS BIGINT) AS v,
+         {_arr_duck(BASE_NAMES, f'doc_id % {N_ENTITIES}')} AS base,
+         {_arr_duck(SWAPPED_NAMES, f'doc_id % {N_ENTITIES}')} AS swapped
+  FROM documents
+),
+dirty AS (
+  SELECT doc_id, source, e, v, {_DIRTY} AS name FROM recs
+),
+rnorm AS (
+  SELECT doc_id, source, v, {_NORM} AS name
+  FROM dirty WHERE name IS NOT NULL
+),
+vocab AS (
+  SELECT DISTINCT name FROM rnorm
+),
+vkeys AS (
+  SELECT DISTINCT name, k FROM (
+    SELECT name, name AS n, UNNEST([{_PKEY}, {_LKEY}]) AS k FROM vocab
+  )
+),
+npairs AS (
+  -- multi-key dedup mirrors fuzzy_name_pairs: an l:-keyed pair is
+  -- kept only when the p: prefixes disagree (exactly when no p: copy
+  -- of the pair exists)
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM vkeys a JOIN vkeys b
+    ON a.k = b.k AND a.name < b.name
+  WHERE (a.k LIKE 'p:%'
+         OR substr(a.name, 1, 2) <> substr(b.name, 1, 2))
+    AND levenshtein(a.name, b.name) <= {THRESHOLD}
+),
+edges AS (
+  SELECT name_a AS a, name_b AS b FROM npairs
+  UNION
+  SELECT name_b AS a, name_a AS b FROM npairs
+),
+reach AS (
+  SELECT name AS a, name AS b FROM vocab
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+labels AS (
+  SELECT a AS name, min(b) AS cluster_id FROM reach GROUP BY 1
+),
+assign AS (
+  SELECT r.doc_id, r.source, r.v, r.name, l.cluster_id
+  FROM rnorm r JOIN labels l USING (name)
+)"""
+
+
+# ---- 1. er_cluster_assign: record -> transitive cluster label ----
+def q_er_cluster_assign(spark, sf_dir):
+    """Record-grain cluster assignment: every named record with the
+    minimum name transitively reachable through fuzzy pairs. The
+    at-scale shape is one vocabulary hash-agg + the vocabulary-bounded
+    pair/CC stages + one small-side join back (see
+    operators/linkage.py:cluster_records)."""
+    c = _clustered(spark, sf_dir)
+    return c.select(
+        F.col("record_id").alias("doc_id"),
+        "source",
+        "v",
+        "name",
+        "cluster_id",
+    )
+
+
+ER_CLUSTER_ASSIGN_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTE}
+SELECT doc_id, source, v, name, cluster_id FROM assign
+"""
+QUERIES["er_cluster_assign"] = (q_er_cluster_assign, ER_CLUSTER_ASSIGN_SQL)
+
+
+# ---- 2. er_cluster_sizes: duplicate-mass histogram ----
+def q_er_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram: for each cluster size (records per
+    cluster), how many clusters, how many records they hold, and how
+    many distinct name variants they span — the duplicate-mass report
+    an ER run is judged by. Two bounded aggregates above the
+    record-grain assignment (cluster grain, then size grain)."""
+    c = _clustered(spark, sf_dir)
+    per = c.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("name").cast("long").alias("n_names"),
+    )
+    return (
+        per.groupBy("n_records")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_names").cast("long").alias("n_names_sum"),
+        )
+        .select(
+            F.col("n_records").alias("cluster_size"),
+            "n_clusters",
+            "n_names_sum",
+        )
+    )
+
+
+ER_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTE},
+per AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_records,
+         CAST(count(DISTINCT name) AS BIGINT) AS n_names
+  FROM assign GROUP BY 1
+)
+SELECT n_records AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(n_names) AS BIGINT) AS n_names_sum
+FROM per GROUP BY 1
+"""
+QUERIES["er_cluster_sizes"] = (q_er_cluster_sizes, ER_CLUSTER_SIZES_SQL)
+
+
+# ---- 3. er_cluster_survivorship: golden record per cluster ----
+def q_er_cluster_survivorship(spark, sf_dir):
+    """Golden-record assembly over master-less clusters: one row per
+    cluster with the representative record (min doc), the source field
+    survived by deterministic plurality (NULLs abstain, ties -> the
+    smallest source), and the variant spread. Reuses the same
+    survivorship engine as the catalog-resolved family
+    (operators/linkage.py:survivorship)."""
+    c = _clustered(spark, sf_dir)
+    members = c.select(
+        "cluster_id",
+        F.col("record_id").alias("doc_id"),
+        F.col("source").alias("source_mode"),
+        "name",
+    )
+    g = linkage.survivorship(
+        members,
+        "cluster_id",
+        {"doc_id": "min", "source_mode": "mode"},
+    )
+    names = members.groupBy("cluster_id").agg(
+        F.countDistinct("name").cast("long").alias("n_names")
+    )
+    return g.join(names, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        F.col("doc_id_min").alias("rep_doc_id"),
+        "source_mode",
+        F.col("source_mode_votes").alias("source_votes"),
+        "n_names",
+    )
+
+
+ER_CLUSTER_SURVIVORSHIP_SQL = f"""
+WITH RECURSIVE {_CLUSTER_CTE},
+agg AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS n_members,
+         min(doc_id) AS rep_doc_id,
+         CAST(count(DISTINCT name) AS BIGINT) AS n_names
+  FROM assign GROUP BY 1
+),
+cen AS (
+  -- NULLs abstain, mirroring majority_vote (advisor-item lesson)
+  SELECT cluster_id, source, CAST(count(*) AS BIGINT) AS nv
+  FROM assign WHERE source IS NOT NULL GROUP BY 1, 2
+),
+md AS (
+  SELECT cluster_id, source AS source_mode, nv AS source_votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY cluster_id ORDER BY nv DESC, source
+    ) AS rn FROM cen
+  ) WHERE rn = 1
+)
+SELECT a.cluster_id, a.n_members, a.rep_doc_id,
+       m.source_mode, m.source_votes, a.n_names
+FROM agg a LEFT JOIN md m USING (cluster_id)
+"""
+QUERIES["er_cluster_survivorship"] = (
+    q_er_cluster_survivorship,
+    ER_CLUSTER_SURVIVORSHIP_SQL,
+)

