@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 # Fallback when the source path can't be probed (e.g. the directory is
 # still empty when the stream starts) — matches the current testdata.
+#: final StreamingQueryProgress of the last run_stream_to_table call —
+#: diagnostics only (state rows/bytes per provider); None until a run.
+LAST_PROGRESS = None
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -257,6 +261,11 @@ def run_stream_to_table(
             .start()
         )
         q.awaitTermination()
+        # diagnostics hook: the final progress (state-store rows/bytes,
+        # per-batch durations) for harnesses that compare state-store
+        # providers — the query object itself never leaves this scope
+        global LAST_PROGRESS
+        LAST_PROGRESS = q.lastProgress
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
