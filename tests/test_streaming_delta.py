@@ -291,3 +291,61 @@ def test_stream_stream_join_equals_batch(spark):
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))
     assert got == want and len(got) > 0
+
+
+def test_run_stream_records_last_progress(spark):
+    """The LAST_PROGRESS diagnostics hook: after a run the module
+    holds the final StreamingQueryProgress with state-operator
+    metrics (what the state-store provider comparison harness reads)."""
+    import json
+
+    from betl_spark.streaming import events as ev
+
+    stream = event_stream(spark, EVENTS)
+    run_stream_to_table(
+        stateful_running_totals(stream),
+        output_mode="update",
+        table_prefix="prog_out",
+    )
+    prog = ev.LAST_PROGRESS
+    assert prog is not None
+    if not isinstance(prog, dict):
+        prog = json.loads(prog.json)
+    ops = prog.get("stateOperators")
+    assert ops and ops[0].get("numRowsTotal", 0) > 0
+
+
+def test_stateful_running_totals_rocksdb_provider_parity(spark):
+    """The documented 100 TB recommendation (SCALE.md round-12):
+    swapping the state store to RocksDB is behavior-neutral. Same
+    stateful query, same answers, under the RocksDB provider."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(conf, rocks)
+    try:
+        stream = event_stream(spark, EVENTS)
+        out = run_stream_to_table(
+            stateful_running_totals(stream),
+            output_mode="update",
+            table_prefix="rocks_out",
+        )
+        batch = (
+            spark.read.parquet(EVENTS)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        got = {r.user_id: (r.events_seen, r.running_value) for r in out.collect()}
+        want = {r.user_id: (r.n, r.total) for r in batch.collect()}
+        assert set(got) == set(want)
+        for uid, (n, total) in want.items():
+            assert got[uid][0] == n
+            assert abs(got[uid][1] - total) < 1e-6
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
