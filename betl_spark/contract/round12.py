@@ -248,3 +248,176 @@ QUERIES["er_cluster_survivorship"] = (
     q_er_cluster_survivorship,
     ER_CLUSTER_SURVIVORSHIP_SQL,
 )
+
+
+# ---- 4/5. incremental (attach-or-create) ER: day-2 ingest vs frozen
+# day-1 clusters. Day split is deterministic (doc_id parity), so both
+# engines see identical batches; day-1 labels come from the SAME batch
+# closure as er_cluster_assign restricted to even doc_ids. ----
+
+
+def _day2_and_labels(spark, sf_dir):
+    recs = records_frame(spark, sf_dir)
+    day1 = recs.where(F.col("doc_id") % 2 == 0)
+    day2 = recs.where(F.col("doc_id") % 2 == 1)
+    labels1 = (
+        linkage.cluster_records(
+            day1, record_id="doc_id", record_name="name", threshold=THRESHOLD
+        )
+        .select("name", "cluster_id")
+        .distinct()
+    )
+    return day2, labels1
+
+
+def _vocab_pair_ctes(tag: str, vocab_cte: str) -> str:
+    """Blocked pair + closure CTE chain over one vocabulary (DuckDB).
+    Emits {tag}k (keys), {tag}p (pairs), {tag}e (undirected edges),
+    {tag}reach (recursive closure), {tag}lab (min-reachable label)."""
+    return f"""
+{tag}k AS (
+  SELECT DISTINCT name, k FROM (
+    SELECT name, name AS n, UNNEST([{_PKEY}, {_LKEY}]) AS k
+    FROM {vocab_cte}
+  )
+),
+{tag}p AS (
+  SELECT a.name AS name_a, b.name AS name_b
+  FROM {tag}k a JOIN {tag}k b
+    ON a.k = b.k AND a.name < b.name
+  WHERE (a.k LIKE 'p:%'
+         OR substr(a.name, 1, 2) <> substr(b.name, 1, 2))
+    AND levenshtein(a.name, b.name) <= {THRESHOLD}
+),
+{tag}e AS (
+  SELECT name_a AS a, name_b AS b FROM {tag}p
+  UNION
+  SELECT name_b AS a, name_a AS b FROM {tag}p
+),
+{tag}reach AS (
+  SELECT name AS a, name AS b FROM {vocab_cte}
+  UNION
+  SELECT r.a, e.b FROM {tag}reach r JOIN {tag}e e ON r.b = e.a
+),
+{tag}lab AS (
+  SELECT a AS name, min(b) AS lbl FROM {tag}reach GROUP BY 1
+)"""
+
+
+_INCR_CTE = f"""
+recs AS (
+  SELECT doc_id, source,
+         {_arr_duck(BASE_NAMES, f'doc_id % {N_ENTITIES}')} AS base,
+         {_arr_duck(SWAPPED_NAMES, f'doc_id % {N_ENTITIES}')} AS swapped,
+         CAST(doc_id % 19 AS BIGINT) AS v
+  FROM documents
+),
+dirty AS (
+  SELECT doc_id, source, {_DIRTY} AS name FROM recs
+),
+rnorm AS (
+  SELECT doc_id, source, {_NORM} AS name
+  FROM dirty WHERE name IS NOT NULL
+),
+r1 AS (SELECT * FROM rnorm WHERE doc_id % 2 = 0),
+r2 AS (SELECT * FROM rnorm WHERE doc_id % 2 = 1),
+v1 AS (SELECT DISTINCT name FROM r1),
+{_vocab_pair_ctes('d1', 'v1')},
+v2 AS (SELECT DISTINCT name FROM r2),
+fresh AS (
+  SELECT name FROM v2 WHERE name NOT IN (SELECT name FROM v1)
+),
+{_vocab_pair_ctes('fr', 'fresh')},
+ne AS (
+  -- cross pairs fresh -> existing, same tagged-key + p:/l: dedup
+  SELECT DISTINCT f.name AS name_l, e.name AS name_r
+  FROM frk f JOIN d1k e
+    ON f.k = e.k
+  WHERE (f.k LIKE 'p:%'
+         OR substr(f.name, 1, 2) <> substr(e.name, 1, 2))
+    AND levenshtein(f.name, e.name) <= {THRESHOLD}
+),
+attach AS (
+  SELECT c.lbl AS comp,
+         min(l.lbl) AS attach_id,
+         CAST(count(DISTINCT l.lbl) AS BIGINT) AS n_adjacent
+  FROM ne
+  JOIN frlab c ON c.name = ne.name_l
+  JOIN d1lab l ON l.name = ne.name_r
+  GROUP BY 1
+),
+flabels AS (
+  SELECT c.name,
+         coalesce(a.attach_id, c.lbl) AS cluster_id,
+         a.attach_id IS NULL AS is_new_cluster
+  FROM frlab c LEFT JOIN attach a ON a.comp = c.lbl
+),
+alllab AS (
+  SELECT name, lbl AS cluster_id, FALSE AS is_new_cluster FROM d1lab
+  UNION ALL
+  SELECT name, cluster_id, is_new_cluster FROM flabels
+)"""
+
+
+def q_er_incremental_assign(spark, sf_dir):
+    """Attach-or-create assignment of the day-2 batch against frozen
+    day-1 clusters (operators/linkage.py:incremental_cluster_assign):
+    exact-name records keep the existing label; unseen names cluster
+    among themselves and each component attaches to the minimum
+    fuzzy-adjacent existing cluster_id, else becomes a new cluster.
+    All pairwise work runs at unseen-name-vocabulary grain."""
+    day2, labels1 = _day2_and_labels(spark, sf_dir)
+    out = linkage.incremental_cluster_assign(
+        day2,
+        labels1,
+        record_id="doc_id",
+        record_name="name",
+        threshold=THRESHOLD,
+        keep_cols=("source",),
+    )
+    return out.select(
+        F.col("record_id").alias("doc_id"),
+        "source",
+        "name",
+        "cluster_id",
+        "is_new_cluster",
+    )
+
+
+ER_INCREMENTAL_ASSIGN_SQL = f"""
+WITH RECURSIVE {_INCR_CTE}
+SELECT r.doc_id, r.source, r.name, l.cluster_id, l.is_new_cluster
+FROM r2 r JOIN alllab l USING (name)
+"""
+QUERIES["er_incremental_assign"] = (
+    q_er_incremental_assign,
+    ER_INCREMENTAL_ASSIGN_SQL,
+)
+
+
+def q_er_incremental_audit(spark, sf_dir):
+    """The merge-candidate (bridge) report: per unseen-name component
+    of the day-2 batch, how many DISTINCT frozen clusters it is
+    fuzzy-adjacent to (>= 2 means the incremental pass found evidence
+    two day-1 clusters are one entity — surfaced, deliberately not
+    merged) and the cluster it attached to."""
+    day2, labels1 = _day2_and_labels(spark, sf_dir)
+    return linkage.incremental_bridge_audit(
+        day2, labels1, record_id="doc_id", record_name="name",
+        threshold=THRESHOLD,
+    )
+
+
+ER_INCREMENTAL_AUDIT_SQL = f"""
+WITH RECURSIVE {_INCR_CTE},
+members AS (
+  SELECT lbl AS comp, CAST(count(*) AS BIGINT) AS n_members
+  FROM frlab GROUP BY 1
+)
+SELECT m.comp, m.n_members, a.n_adjacent, a.attach_id
+FROM members m JOIN attach a USING (comp)
+"""
+QUERIES["er_incremental_audit"] = (
+    q_er_incremental_audit,
+    ER_INCREMENTAL_AUDIT_SQL,
+)

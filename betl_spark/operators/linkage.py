@@ -423,6 +423,171 @@ def cluster_records(
     )
 
 
+def cross_name_pairs(
+    left_names: DataFrame,
+    right_names: DataFrame,
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+) -> DataFrame:
+    """Fuzzy-match pairs BETWEEN two distinct-name vocabularies (no
+    in-side pairs): ``(name_l, name_r, dist)`` with
+    ``dist <= threshold``, one row per matched (left, right) name.
+
+    Same multi-pass tagged keys and map-side multi-key dedup as
+    :func:`fuzzy_name_pairs`, but the two sides are different frames
+    (e.g. a new ingest batch's names vs the already-clustered
+    vocabulary), so no ordering predicate is needed — every (l, r)
+    combination is a candidate exactly once after the p:/l: dedup.
+    """
+    lk = left_names.select(
+        F.col("name").alias("name_l"),
+        F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
+    )
+    rk = right_names.select(
+        F.col("name").alias("name_r"),
+        F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
+    )
+    cand = lk.join(rk, "block_key").where(
+        F.col("block_key").startswith("p:")
+        | (
+            F.substring("name_l", 1, prefix_len)
+            != F.substring("name_r", 1, prefix_len)
+        )
+    )
+    return cand.select(
+        "name_l",
+        "name_r",
+        F.levenshtein("name_l", "name_r").cast("long").alias("dist"),
+    ).where(F.col("dist") <= F.lit(int(threshold)))
+
+
+def incremental_cluster_assign(
+    new_records: DataFrame,
+    existing_labels: DataFrame,
+    record_id: str = "record_id",
+    record_name: str = "name",
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Incremental (attach-or-create) entity resolution: assign a new
+    ingest batch against FROZEN existing clusters — the daily-ingest
+    half of master-less ER (a full re-cluster of 100 TB per day is not
+    a plan; attaching the new batch to yesterday's labels is).
+
+    ``existing_labels`` is the vocabulary-grain ``(name, cluster_id)``
+    map (e.g. :func:`cluster_records` output collapsed to distinct
+    names, or yesterday's persisted map). Semantics, all deterministic:
+
+    - a new record whose normalized name ALREADY EXISTS in the map
+      keeps that name's cluster_id (exact-name attach, no fuzzy work);
+    - genuinely new names are clustered among THEMSELVES
+      (:func:`fuzzy_name_pairs` + connected components — transitive,
+      exactly like the batch operator);
+    - each new-name component then attaches to the MINIMUM existing
+      cluster_id fuzzy-adjacent (:func:`cross_name_pairs`) to ANY of
+      its members; components with no existing neighbor become new
+      clusters labeled by their minimum member name. Existing labels
+      are never rewritten — a component adjacent to TWO existing
+      clusters attaches to the smaller id and the bridge is surfaced
+      by :func:`incremental_bridge_audit`, not silently merged.
+
+    Output: one row per named new record: ``record_id, <keep_cols>,
+    name, cluster_id, is_new_cluster``. Scale shape mirrors
+    :func:`cluster_records`: record-grain stages are one hash agg +
+    one broadcast-sized join; all pairwise work runs at the grain of
+    the NEW batch's unseen-name vocabulary (the smallest set in the
+    whole problem) against the bounded existing vocabulary.
+    """
+    from betl_spark.operators.dedup import duplicate_clusters
+
+    r = new_records.select(
+        F.col(record_id).alias("record_id"),
+        *[F.col(c) for c in keep_cols],
+        normalize_name(record_name).alias("name"),
+    ).where(F.col("name").isNotNull())
+    existing = existing_labels.select("name", "cluster_id")
+    vocab = r.select("name").distinct()
+    fresh = vocab.join(existing, "name", "left_anti")
+    # components among the fresh names (transitive within the batch)
+    nn = fuzzy_name_pairs(fresh, threshold, prefix_len)
+    cc = duplicate_clusters(nn, "name_a", "name_b").select(
+        F.col("node").alias("name"), F.col("cluster_id").alias("comp")
+    )
+    comp = fresh.join(cc, "name", "left").select(
+        "name", F.coalesce("comp", "name").alias("comp")
+    )
+    # minimum existing cluster adjacent to each component
+    ne = cross_name_pairs(fresh, existing.select("name"), threshold, prefix_len)
+    attach = (
+        ne.join(existing.withColumnRenamed("name", "name_r"), "name_r")
+        .join(comp.withColumnRenamed("name", "name_l"), "name_l")
+        .groupBy("comp")
+        .agg(F.min("cluster_id").alias("attach_id"))
+    )
+    fresh_labels = comp.join(attach, "comp", "left").select(
+        "name",
+        F.coalesce("attach_id", "comp").alias("cluster_id"),
+        F.col("attach_id").isNull().alias("is_new_cluster"),
+    )
+    all_labels = existing.withColumn(
+        "is_new_cluster", F.lit(False)
+    ).unionByName(fresh_labels)
+    return r.join(all_labels, "name").select(
+        "record_id", *keep_cols, "name", "cluster_id", "is_new_cluster"
+    )
+
+
+def incremental_bridge_audit(
+    new_records: DataFrame,
+    existing_labels: DataFrame,
+    record_id: str = "record_id",
+    record_name: str = "name",
+    threshold: int = DEFAULT_THRESHOLD,
+    prefix_len: int = DEFAULT_PREFIX_LEN,
+) -> DataFrame:
+    """The merge-candidate report for :func:`incremental_cluster_assign`:
+    per new-name component, how many DISTINCT existing clusters it is
+    fuzzy-adjacent to. Components with ``n_adjacent >= 2`` are bridges
+    — evidence that two frozen clusters are the same entity; the
+    incremental pass deliberately does NOT merge them (labels are
+    stable within a day), it reports them for the next full re-cluster
+    or a human queue. Output: ``(comp, n_members, n_adjacent,
+    attach_id)`` — one row per component that has at least one
+    existing neighbor.
+    """
+    from betl_spark.operators.dedup import duplicate_clusters
+
+    r = new_records.select(
+        normalize_name(record_name).alias("name")
+    ).where(F.col("name").isNotNull())
+    existing = existing_labels.select("name", "cluster_id")
+    fresh = r.distinct().join(existing, "name", "left_anti")
+    nn = fuzzy_name_pairs(fresh, threshold, prefix_len)
+    cc = duplicate_clusters(nn, "name_a", "name_b").select(
+        F.col("node").alias("name"), F.col("cluster_id").alias("comp")
+    )
+    comp = fresh.join(cc, "name", "left").select(
+        "name", F.coalesce("comp", "name").alias("comp")
+    )
+    ne = cross_name_pairs(fresh, existing.select("name"), threshold, prefix_len)
+    adj = (
+        ne.join(existing.withColumnRenamed("name", "name_r"), "name_r")
+        .join(comp.withColumnRenamed("name", "name_l"), "name_l")
+        .groupBy("comp")
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias("n_adjacent"),
+            F.min("cluster_id").alias("attach_id"),
+        )
+    )
+    members = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return members.join(adj, "comp").select(
+        "comp", "n_members", "n_adjacent", "attach_id"
+    )
+
+
 # ---- survivorship: golden-record assembly after resolution ----
 
 

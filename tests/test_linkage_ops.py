@@ -393,3 +393,91 @@ def test_cluster_records_matches_python_union_find(spark):
     want_label = {n: find(n) for n in vocab}
     for rid, name in enumerate(names):
         assert got[rid] == want_label[name.lower().strip()], (rid, name)
+
+
+# ---- incremental (attach-or-create) ER (round 12, part 2) ----
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "name: string, cluster_id: string")
+
+
+def test_incremental_assign_exact_name_keeps_existing_label(spark):
+    recs = _records(spark, ["alice brandt", "ALICE BRANDT  "])
+    existing = _labels(spark, [("alice brandt", "alice b")])
+    out = linkage.incremental_cluster_assign(recs, existing).collect()
+    assert len(out) == 2
+    assert all(r["cluster_id"] == "alice b" for r in out)
+    assert all(not r["is_new_cluster"] for r in out)
+
+
+def test_incremental_assign_attaches_component_to_min_cluster(spark):
+    """A fresh two-name component adjacent to TWO existing clusters
+    attaches whole to the MINIMUM existing cluster_id (stable labels,
+    no silent merge) — and the bridge audit reports n_adjacent=2."""
+    recs = _records(spark, ["alice brandt x", "alice brandt xy"])
+    existing = _labels(
+        spark,
+        [("alice brandt", "cl_a"), ("alice brandt xyz", "cl_b")],
+    )
+    out = {r["record_id"]: r for r in
+           linkage.incremental_cluster_assign(recs, existing).collect()}
+    assert out[0]["cluster_id"] == "cl_a" and out[1]["cluster_id"] == "cl_a"
+    assert not out[0]["is_new_cluster"]
+    audit = linkage.incremental_bridge_audit(recs, existing).collect()
+    assert len(audit) == 1
+    assert audit[0]["n_adjacent"] == 2
+    assert audit[0]["attach_id"] == "cl_a"
+    assert audit[0]["n_members"] == 2
+
+
+def test_incremental_assign_creates_new_cluster_when_unattached(spark):
+    recs = _records(spark, ["zz unseen name", "zz unseen nam"])
+    existing = _labels(spark, [("alice brandt", "cl_a")])
+    out = {r["record_id"]: r for r in
+           linkage.incremental_cluster_assign(recs, existing).collect()}
+    # both land in one NEW cluster labeled by the min member name
+    assert out[0]["cluster_id"] == "zz unseen nam"
+    assert out[1]["cluster_id"] == "zz unseen nam"
+    assert out[0]["is_new_cluster"] and out[1]["is_new_cluster"]
+    # no existing neighbor -> audit emits nothing
+    assert linkage.incremental_bridge_audit(recs, existing).count() == 0
+
+
+def test_incremental_assign_matches_full_recluster_when_consistent(spark):
+    """When no batch component bridges two existing clusters, the
+    incremental assignment agrees with a full re-cluster of the union
+    (same member sets; labels may differ by representative) — the
+    consistency property that makes attach-or-create a sound daily
+    approximation."""
+    day1 = _records(spark, ["alice brandt llc", "alice brandt ll",
+                            "jonas jansen"])
+    day2_names = ["alice brandt llcc", "jonas jansenn", "karim moreau"]
+    day2 = _records(spark, day2_names)
+    labels1 = (
+        linkage.cluster_records(day1)
+        .select("name", "cluster_id").distinct()
+    )
+    incr = linkage.incremental_cluster_assign(day2, labels1)
+    full = linkage.cluster_records(
+        _records(spark, ["alice brandt llc", "alice brandt ll",
+                         "jonas jansen"] + day2_names)
+    )
+    # group day-2 names by cluster under each scheme; partitions match
+    def groups(rows):
+        g = {}
+        for r in rows:
+            g.setdefault(r["cluster_id"], set()).add(r["name"])
+        return sorted(
+            frozenset(v) for v in g.values()
+            if v & {n.lower() for n in day2_names}
+        )
+    gi = groups(incr.collect())
+    gf = groups(full.collect())
+    # restrict full-recluster groups to day-2 names before comparing
+    # (compare as SETS of frozensets — frozenset ordering is the
+    # subset partial order, useless for list equality)
+    d2 = {n.lower() for n in day2_names}
+    gf = {frozenset(s & d2) for s in gf if s & d2}
+    gi = {frozenset(s & d2) for s in gi if s & d2}
+    assert gi == gf

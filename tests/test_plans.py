@@ -654,3 +654,38 @@ def test_cluster_records_pairs_blocked_labels_broadcast(spark):
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_incremental_er_blocked_joins_no_cartesian_no_python(spark):
+    """Incremental ER's 100 TB contract: every pairwise stage (fresh
+    self-pairs and fresh-vs-existing cross pairs) joins on the block
+    key — never a cartesian — and the whole chain stays JVM-side."""
+    from betl_spark.contract.linkage import records_frame
+    from betl_spark.operators.linkage import (
+        cross_name_pairs,
+        incremental_cluster_assign,
+    )
+
+    recs = records_frame(spark, SF)
+    day1 = recs.where(F.col("doc_id") % 2 == 0)
+    day2 = recs.where(F.col("doc_id") % 2 == 1)
+    labels = (
+        day1.selectExpr("lower(trim(name)) AS name")
+        .where("name IS NOT NULL")
+        .distinct()
+        .selectExpr("name", "name AS cluster_id")
+    )
+    pp = plan(
+        cross_name_pairs(
+            labels.select("name"), labels.select("name")
+        )
+    )
+    assert "CartesianProduct" not in pp, pp
+    assert "block_key" in pp, pp
+    p = plan(
+        incremental_cluster_assign(
+            day2, labels, record_id="doc_id", record_name="name"
+        )
+    )
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
