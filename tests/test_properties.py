@@ -923,3 +923,77 @@ def test_link_records_matches_python_reference(spark, records, masters):
         for r in link_records(rdf, mdf).collect()
     }
     assert got == want
+
+
+# ---- round-12: master-less ER clustering vs independent union-find ----
+
+# short names over a tiny alphabet with spaces: maximizes fuzzy-pair
+# and block-key collisions in few examples (the interesting regime)
+_NAME = st.one_of(
+    st.none(),
+    st.text(alphabet=st.sampled_from(list("ab c")), min_size=0, max_size=8),
+)
+
+
+def _py_lev(a, b):
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+    return dp[len(b)]
+
+
+def _py_keys(n):
+    return {"p:" + n[:2], "l:" + (n.split(" ")[-1] if " " in n else n)[:2]}
+
+
+def _py_cluster(names, threshold=3):
+    """Independent replay: normalize -> blocked fuzzy pairs ->
+    union-find min-label, pure Python."""
+    vocab = sorted({n.lower().strip() for n in names if n is not None})
+    parent = {n: n for n in vocab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, a in enumerate(vocab):
+        for b in vocab[i + 1:]:
+            if _py_keys(a) & _py_keys(b) and _py_lev(a, b) <= threshold:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    lo, hi = sorted((ra, rb))
+                    parent[hi] = lo
+    return {n: find(n) for n in vocab}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(names=st.lists(_NAME, min_size=1, max_size=12))
+def test_cluster_records_equals_union_find_on_arbitrary_names(spark, names):
+    """cluster_records' full distributed chain (distinct vocabulary ->
+    tagged-key blocked pairs -> CC -> label join-back) agrees with an
+    independent pure-Python union-find over DP-levenshtein pairs for
+    ARBITRARY name lists — including empties, all-space strings, and
+    single-char names that stress the p:/l: key edge cases."""
+    from betl_spark.operators import linkage
+
+    recs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)],
+        "record_id: long, name: string",
+    )
+    got = {
+        r["record_id"]: r["cluster_id"]
+        for r in linkage.cluster_records(recs).collect()
+    }
+    want = _py_cluster(names)
+    norm = {
+        i: names[i].lower().strip()
+        for i in range(len(names))
+        if names[i] is not None
+    }
+    assert set(got) == set(norm)
+    for rid, n in norm.items():
+        assert got[rid] == want[n], (rid, n, got[rid], want[n])
