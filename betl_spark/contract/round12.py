@@ -421,3 +421,50 @@ QUERIES["er_incremental_audit"] = (
     q_er_incremental_audit,
     ER_INCREMENTAL_AUDIT_SQL,
 )
+
+
+# ---- 6. er_snm_pairs: sorted-neighborhood candidate generation ----
+def q_er_snm_pairs(spark, sf_dir):
+    """SNM fuzzy pairs over the dirty-name vocabulary
+    (operators/linkage.py:sorted_neighborhood_pairs, window=5): the
+    skew-proof complement to key blocking — candidates are bounded by
+    (window-1)*|vocab| whatever the value distribution. The global
+    rank rides the SK engine's range-partition numbering (no
+    single-partition window); DuckDB replays it as row_number() OVER
+    (ORDER BY name), bit-identical because names are distinct."""
+    recs = records_frame(spark, sf_dir)
+    vocab = (
+        recs.select(F.lower(F.trim("name")).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+    )
+    return linkage.sorted_neighborhood_pairs(
+        vocab, window=5, threshold=THRESHOLD
+    )
+
+
+ER_SNM_PAIRS_SQL = f"""
+WITH recs AS (
+  SELECT doc_id,
+         {_arr_duck(BASE_NAMES, f'doc_id % {N_ENTITIES}')} AS base,
+         {_arr_duck(SWAPPED_NAMES, f'doc_id % {N_ENTITIES}')} AS swapped,
+         CAST(doc_id % 19 AS BIGINT) AS v
+  FROM documents
+),
+dirty AS (
+  SELECT doc_id, {_DIRTY} AS name FROM recs
+),
+vocab AS (
+  SELECT DISTINCT {_NORM} AS name FROM dirty WHERE name IS NOT NULL
+),
+idx AS (
+  SELECT name, row_number() OVER (ORDER BY name) AS rn FROM vocab
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+       CAST(b.rn - a.rn AS BIGINT) AS rank_gap
+FROM idx a JOIN idx b
+  ON b.rn > a.rn AND b.rn <= a.rn + 4
+WHERE levenshtein(a.name, b.name) <= {THRESHOLD}
+"""
+QUERIES["er_snm_pairs"] = (q_er_snm_pairs, ER_SNM_PAIRS_SQL)

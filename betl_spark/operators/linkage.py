@@ -423,6 +423,63 @@ def cluster_records(
     )
 
 
+def sorted_neighborhood_pairs(
+    names: DataFrame,
+    window: int = 5,
+    threshold: int = DEFAULT_THRESHOLD,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) fuzzy pairs over a distinct-name
+    vocabulary: rank the names in lexicographic order, compare each
+    name only to its next ``window - 1`` neighbors, keep pairs with
+    ``dist <= threshold``. Output ``(name_a, name_b, dist, rank_gap)``
+    with ``name_a < name_b`` (rank order IS name order) and
+    ``rank_gap`` the distance in the sorted sequence (1 = adjacent).
+
+    This is the classic mitigation when KEY blocking produces a whale
+    block (one shared prefix covering a large fraction of the
+    vocabulary turns :func:`fuzzy_name_pairs` quadratic inside that
+    block): SNM bounds total candidates to ``(window-1) * n``
+    REGARDLESS of value skew — the trade is recall (only
+    sort-adjacent variants pair; a head edit that changes the sort
+    position escapes the window, which is exactly what the multi-pass
+    ``l:`` key recovers in the blocked formulation; production runs
+    use both and union the pair sets).
+
+    Plan shape (the 100 TB contract): the global rank comes from the
+    SK engine's range-partition + per-partition numbering
+    (``defaults/load.py:assign_surrogate_keys`` — ONE range shuffle,
+    no ``row_number() OVER (ORDER BY ...)`` single-partition window),
+    and neighbor pairing is ``explode(sequence(1, window-1))`` + ONE
+    equi-join on the shifted rank. Candidates never exceed
+    ``(window-1) * |vocabulary|``; levenshtein stays JVM-side.
+    """
+    from betl_spark.defaults.load import assign_surrogate_keys
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    idx = assign_surrogate_keys(names.select("name"), "__rn", ["name"])
+    probe = idx.select(
+        F.col("name").alias("name_a"),
+        F.col("__rn").alias("__ra"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(window) - 1))
+        ).alias("__gap"),
+    ).withColumn("__rb", F.col("__ra") + F.col("__gap"))
+    right = idx.select(
+        F.col("name").alias("name_b"), F.col("__rn").alias("__rb")
+    )
+    return (
+        probe.join(right, "__rb")
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+            F.col("__gap").cast("long").alias("rank_gap"),
+        )
+        .where(F.col("dist") <= F.lit(int(threshold)))
+    )
+
+
 def cross_name_pairs(
     left_names: DataFrame,
     right_names: DataFrame,

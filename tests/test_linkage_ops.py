@@ -481,3 +481,76 @@ def test_incremental_assign_matches_full_recluster_when_consistent(spark):
     gf = {frozenset(s & d2) for s in gf if s & d2}
     gi = {frozenset(s & d2) for s in gi if s & d2}
     assert gi == gf
+
+
+# ---- sorted-neighborhood pairing (round 12, part 3) ----
+
+
+def _vocab(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "name: string")
+
+
+def test_snm_pairs_window_semantics(spark):
+    """Adjacent-in-sort names pair; names window-or-more apart never
+    do, however similar; rank_gap is the sorted distance."""
+    names = ["aaaa", "aaab", "aaac", "aaad", "aaae", "aaaf"]
+    rows = linkage.sorted_neighborhood_pairs(
+        _vocab(spark, names), window=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]): r["rank_gap"] for r in rows}
+    # every within-2 pair is dist 1 <= threshold -> all present
+    for i, a in enumerate(names):
+        for j in range(i + 1, min(i + 3, len(names))):
+            assert got[(a, names[j])] == j - i
+    # gap-3 pairs excluded by the window even though dist == 1
+    assert ("aaaa", "aaad") not in got
+    assert len(rows) == 5 + 4
+
+
+def test_snm_pairs_threshold_filters(spark):
+    rows = linkage.sorted_neighborhood_pairs(
+        _vocab(spark, ["aaaa", "aaab", "zzzz"]), window=3, threshold=1
+    ).collect()
+    got = {(r["name_a"], r["name_b"]) for r in rows}
+    assert got == {("aaaa", "aaab")}  # zzzz within window but dist > 1
+
+
+def test_snm_pairs_matches_python_replay(spark):
+    """Independent replay on a shuffled vocabulary: sort, pair within
+    the window, DP levenshtein filter."""
+    names = [
+        "alice brandt", "alice brand", "alice brandy", "bruno castillo",
+        "bruno castill", "carmen durand", "carmen durant", "dmitri",
+    ]
+    import random
+
+    shuffled = names[:]
+    random.Random(7).shuffle(shuffled)
+    rows = linkage.sorted_neighborhood_pairs(
+        _vocab(spark, shuffled), window=4, threshold=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"], r["dist"], r["rank_gap"]) for r in rows}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    s = sorted(names)
+    want = {
+        (s[i], s[j], lev(s[i], s[j]), j - i)
+        for i in range(len(s))
+        for j in range(i + 1, min(i + 4, len(s)))
+        if lev(s[i], s[j]) <= 3
+    }
+    assert got == want
+
+
+def test_snm_rejects_degenerate_window(spark):
+    with pytest.raises(ValueError):
+        linkage.sorted_neighborhood_pairs(_vocab(spark, ["a"]), window=1)

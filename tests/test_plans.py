@@ -689,3 +689,25 @@ def test_incremental_er_blocked_joins_no_cartesian_no_python(spark):
     )
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_snm_pairs_no_single_partition_window(spark):
+    """SNM's 100 TB contract: the global rank comes from the SK
+    engine's range-partition numbering — never a partition-less
+    Window (one-reducer sort) — and neighbor pairing is an equi-join
+    on the shifted rank, no cartesian."""
+    from betl_spark.operators.linkage import sorted_neighborhood_pairs
+
+    vocab = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .selectExpr("lower(trim(source)) AS name")
+        .where("name IS NOT NULL")
+        .distinct()
+        .repartition(8)
+    )
+    p = plan(sorted_neighborhood_pairs(vocab))
+    assert "SinglePartition" not in p, p
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
