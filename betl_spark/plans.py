@@ -32,8 +32,9 @@ import warnings
 from dataclasses import dataclass
 
 #: Spark's default spark.sql.codegen.hugeMethodLimit — the JVM's 64 KB
-#: method-bytecode ceiling. A compiled stage method at or past this is
-#: executed interpreted.
+#: method-bytecode ceiling. A compiled stage method past this limit is
+#: executed interpreted (the comparison is strict: exactly 65535 stays
+#: compiled, as tests/test_plans.py pins).
 HUGE_METHOD_LIMIT = 65535
 
 _SUBTREE_HEADER = re.compile(

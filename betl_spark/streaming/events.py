@@ -31,12 +31,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-# Fallback when the source path can't be probed (e.g. the directory is
-# still empty when the stream starts) — matches the current testdata.
 #: final StreamingQueryProgress of the last run_stream_to_table call —
 #: diagnostics only (state rows/bytes per provider); None until a run.
 LAST_PROGRESS = None
 
+# Fallback when the source path can't be probed (e.g. the directory is
+# still empty when the stream starts) — matches the current testdata.
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -44,7 +44,10 @@ def build_rows() -> list[str]:
         except ModuleNotFoundError:
             continue
         for q in getattr(mod, "QUERIES", {}):
-            owner.setdefault(q, f"betl_spark/contract/{mod_name}.py")
+            # Plain assignment, iterating in registration order: on a
+            # duplicate name the LAST module wins, matching the _ALL
+            # dict-merge precedence in betl_spark/contract/__init__.py.
+            owner[q] = f"betl_spark/contract/{mod_name}.py"
     rows = []
     for name in sorted(QUERIES):
         oracle = "yes" if name in ORACLES else "rows-only"

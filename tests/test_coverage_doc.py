@@ -89,3 +89,24 @@ def test_every_cited_path_exists_and_imports():
         if path.startswith("betl_spark/") and "/contract/" not in path:
             mod = path[:-3].replace("/", ".")
             importlib.import_module(mod)  # raises on breakage
+
+
+def test_readme_pins_the_contract_query_count():
+    """README.md's "N/N" oracle-parity claim tracks len(QUERIES).
+
+    Round-12 verdict #6: README.md drifted to 216/216 within one round
+    of the 217th query shipping. COVERAGE.md is generated and guarded;
+    the README's prose count was not — now any contract growth without
+    a README update fails here.
+    """
+    from betl_spark.contract import QUERIES
+
+    with open(os.path.join(REPO, "README.md")) as fh:
+        readme = fh.read()
+    want = f"{len(QUERIES)}/{len(QUERIES)}"
+    stale = set(re.findall(r"\b(\d{3})/\1\b", readme)) - {str(len(QUERIES))}
+    assert want in readme, (
+        f"README.md must state the oracle-parity count as {want} "
+        f"(contract has {len(QUERIES)} queries)"
+    )
+    assert not stale, f"README.md still contains stale N/N counts: {stale}"
