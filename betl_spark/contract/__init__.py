@@ -60,6 +60,7 @@ from betl_spark.contract.round10 import QUERIES as _ROUND10
 from betl_spark.contract.round11 import QUERIES as _ROUND11
 from betl_spark.contract.linkage import QUERIES as _LINKAGE
 from betl_spark.contract.round12 import QUERIES as _ROUND12
+from betl_spark.contract.round13 import QUERIES as _ROUND13
 
 _ALL = {
     **_TPCH,
@@ -77,6 +78,7 @@ _ALL = {
     **_ROUND11,
     **_LINKAGE,
     **_ROUND12,
+    **_ROUND13,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
@@ -104,7 +106,7 @@ _ALL = {
 # r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND = [*_ROUND12]
+NEW_THIS_ROUND = [*_ROUND13]
 
 _PRIORITY = [
     *NEW_THIS_ROUND,

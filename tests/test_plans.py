@@ -711,3 +711,68 @@ def test_snm_pairs_no_single_partition_window(spark):
     assert "rangepartitioning" in p.lower(), p
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_growing_vocab_corpus_stays_in_codegen(spark):
+    """Round-13 growing-vocabulary ER corpus: names are synthesized
+    IN-ENGINE from small pool arrays + repeat(letter, 8) — the whole
+    record stage must stay JVM-side and inside the codegen budget (a
+    materialized 20k-name array literal at sf10 would be the 64KB
+    cliff shape), and the full clustering chain keeps the batch
+    family's no-cartesian / block-key-join / broadcast-label shape."""
+    from betl_spark import plans
+    from betl_spark.contract.round13 import growing_records_frame
+    from betl_spark.operators.linkage import cluster_records
+
+    recs = growing_records_frame(spark, SF)
+    p = plan(recs)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    assert not [
+        s for s in plans.warn_on_codegen_cliff(recs, label="growing") if s.falls_back
+    ]
+
+    # the pairwise stage (CC materializes above it, so pin it directly)
+    from betl_spark.operators.linkage import fuzzy_name_pairs
+
+    vocab = (
+        recs.selectExpr("lower(trim(name)) AS name")
+        .where("name IS NOT NULL")
+        .distinct()
+    )
+    pp = plan(fuzzy_name_pairs(vocab))
+    assert "CartesianProduct" not in pp, pp
+    assert "block_key" in pp, pp
+
+    c = plan(
+        cluster_records(recs, record_id="doc_id", record_name="name")
+    )
+    assert "CartesianProduct" not in c, c
+    assert "BatchEvalPython" not in c and "ArrowEvalPython" not in c, c
+    assert "BroadcastHashJoin" in c, c
+
+
+def test_snm_union_no_cartesian_no_single_partition_window(spark):
+    """The blocked ∪ SNM union (er_snm_union_pairs): both candidate
+    generators keep their pinned shapes through the full-outer merge —
+    no cartesian anywhere, the SNM rank still rides range
+    partitioning (never a one-reducer Window), JVM-side throughout."""
+    from betl_spark.contract.round13 import q_er_snm_union_pairs
+
+    p = plan(q_er_snm_union_pairs(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "SinglePartition" not in p, p
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_3day_chain_no_cartesian_no_python(spark):
+    """The 3-day incremental chain: two stacked attach-or-create
+    passes over frozen labels — every pairwise stage still joins on
+    the block key; no cartesian, no Python eval across the whole
+    chain."""
+    from betl_spark.contract.round13 import q_er_3day_chain
+
+    p = plan(q_er_3day_chain(spark, SF))
+    assert "CartesianProduct" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
