@@ -554,3 +554,96 @@ def test_snm_pairs_matches_python_replay(spark):
 def test_snm_rejects_degenerate_window(spark):
     with pytest.raises(ValueError):
         linkage.sorted_neighborhood_pairs(_vocab(spark, ["a"]), window=1)
+
+
+# ---- multi-day incremental chain (round 13, verdict ask #7) ----
+
+
+def _chain_3days(spark, day_names):
+    """Run the day0-batch -> day1-incremental -> day2-incremental
+    chain; returns (per-day record outputs, per-day label maps)."""
+    d0, d1, d2 = (_records(spark, n) for n in day_names)
+    lab0 = (
+        linkage.cluster_records(d0).select("name", "cluster_id").distinct()
+    )
+    out1 = linkage.incremental_cluster_assign(d1, lab0)
+    lab1 = (
+        lab0.unionByName(out1.select("name", "cluster_id")).distinct()
+    )
+    out2 = linkage.incremental_cluster_assign(d2, lab1)
+    lab2 = (
+        lab1.unionByName(out2.select("name", "cluster_id")).distinct()
+    )
+    return (out1, out2), (lab0, lab1, lab2)
+
+
+def test_3day_chain_never_rewrites_labels(spark):
+    """Chained attach-or-create is append-only on the label map: every
+    (name, cluster_id) present after day k is present verbatim after
+    day k+1 — including when a later day's component ATTACHES to an
+    earlier cluster (the attach reuses the frozen id) and when a later
+    batch re-sends an already-labeled name."""
+    days = [
+        ["alice brandt llc", "jonas jansen"],
+        # day1: fuzzy variant attaching to alice's cluster + new entity
+        ["alice brandt llcc", "karim moreau", "jonas jansen"],
+        # day2: attaches to day-1-created cluster + brand new
+        ["karim moreauu", "elena durand"],
+    ]
+    _, (lab0, lab1, lab2) = _chain_3days(spark, days)
+    m0 = {r["name"]: r["cluster_id"] for r in lab0.collect()}
+    m1 = {r["name"]: r["cluster_id"] for r in lab1.collect()}
+    m2 = {r["name"]: r["cluster_id"] for r in lab2.collect()}
+    # distinct() must not have hidden a conflicting relabel
+    assert lab1.count() == len(m1) and lab2.count() == len(m2)
+    assert all(m1[n] == c for n, c in m0.items())
+    assert all(m2[n] == c for n, c in m1.items())
+    # and the day-1 attach really reused the frozen day-0 id
+    assert m1["alice brandt llcc"] == m0["alice brandt llc"]
+    assert m2["karim moreauu"] == m1["karim moreau"]
+
+
+def test_3day_chain_matches_full_recluster_when_no_bridges(spark):
+    """Extending the 2-day consistency pin: when no component of any
+    day bridges two frozen clusters, the 3-day chained incremental
+    partition equals the full re-cluster of all three days' records
+    (same member sets; representatives may differ)."""
+    days = [
+        ["alice brandt llc", "alice brandt ll", "jonas jansen"],
+        ["alice brandt llcc", "jonas jansenn", "karim moreau"],
+        ["karim moreauu", "elena durand", "alice brandt lllcc"],
+    ]
+    _, (_, _, lab2) = _chain_3days(spark, days)
+    full = linkage.cluster_records(
+        _records(spark, [n for d in days for n in d])
+    )
+
+    def partition(rows):
+        g = {}
+        for r in rows:
+            g.setdefault(r["cluster_id"], set()).add(r["name"])
+        return {frozenset(v) for v in g.values()}
+
+    assert partition(lab2.collect()) == partition(full.collect())
+
+
+def test_3day_chain_bridge_surfaced_not_merged(spark):
+    """A later-day component adjacent to TWO frozen clusters attaches
+    to the smaller id and the audit reports it — across chained days,
+    frozen labels never merge silently."""
+    day0 = ["alice brandt llc", "alice brandt xyz qq"]
+    lab0 = (
+        linkage.cluster_records(_records(spark, day0))
+        .select("name", "cluster_id")
+        .distinct()
+    )
+    m0 = {r["name"]: r["cluster_id"] for r in lab0.collect()}
+    assert len(set(m0.values())) == 2, m0  # two frozen clusters
+    # the bridge name is within threshold of both frozen names
+    bridge = ["alice brandt xyz"]
+    out = linkage.incremental_cluster_assign(_records(spark, bridge), lab0)
+    got = {r["name"]: r for r in out.collect()}
+    assert got["alice brandt xyz"]["cluster_id"] == min(m0.values())
+    audit = linkage.incremental_bridge_audit(_records(spark, bridge), lab0)
+    rows = audit.collect()
+    assert len(rows) == 1 and rows[0]["n_adjacent"] == 2
