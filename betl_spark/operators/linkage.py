@@ -321,6 +321,8 @@ def fuzzy_name_pairs(
     names: DataFrame,
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
+    broadcast_names: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """All fuzzy-match pairs over a DISTINCT-name vocabulary using the
     multi-pass (``p:`` head / ``l:`` last-token) blocking keys:
@@ -329,26 +331,93 @@ def fuzzy_name_pairs(
 
     ``names`` must carry one already-normalized ``name`` column (one
     row per distinct name — see :func:`cluster_records` for why the
-    vocabulary grain matters). Plan shape: explode each side to ~2
-    tagged keys, ONE shuffle equi-join on ``block_key``; a pair found
-    via BOTH keys is deduped MAP-SIDE (an ``l:`` pair is kept only
-    when the ``p:`` prefixes disagree — the exact condition under
-    which the ``p:`` copy doesn't exist), so there is no distinct
-    aggregate over the pair stream; ``levenshtein`` runs JVM-side in
-    the joined stage's codegen. In-block work is quadratic in BLOCK
-    size — the classic blocked-ER trade; running it at vocabulary
-    grain (not record grain) is what keeps blocks bounded.
+    vocabulary grain matters). A pair found via BOTH keys is deduped
+    MAP-SIDE (an ``l:`` pair is kept only when the ``p:`` prefixes
+    disagree — the exact condition under which the ``p:`` copy doesn't
+    exist), so there is no distinct aggregate over the pair stream;
+    ``levenshtein`` runs JVM-side in the joined stage's codegen.
+    In-block work is quadratic in BLOCK size — the classic blocked-ER
+    trade; running it at vocabulary grain (not record grain) is what
+    keeps blocks bounded.
+
+    Join strategy — the round-13 whale-rehearsal lesson (SCALE.md): a
+    shuffled self-join on ``block_key`` serializes each block onto ONE
+    reducer, and on a small vocabulary AQE's byte-based coalescing
+    collapses the whole EXPLOSIVE pair stage to one partition (the
+    candidate blow-up is output rows, invisible to map-side size
+    stats) — measured 25x wall-time on a 13k-name corpus with a whale
+    block. So:
+
+    - ``broadcast_names=True`` (default): the keyed vocabulary is
+      broadcast (the module's contract — vocabulary grain is the
+      BOUNDED axis, same as link_records' master side) and the probe
+      side is ``ensure_parallelism``'d; candidates are generated
+      map-side, spread across probe partitions however whale-shaped
+      one block is.
+    - ``broadcast_names=False``: shuffled join for
+      larger-than-broadcast vocabularies; pass ``salt=S`` to grid-
+      decompose each block into S(S+1)/2 cells (deterministic
+      xxhash64 bucketing; every unordered pair meets in exactly one
+      cell), bounding per-reducer work at |block|²/S² — the standard
+      skewed-self-join decomposition.
     """
+    from betl_spark.operators.util import ensure_parallelism
+
     keyed = names.select(
         F.col("name"),
         F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block_key") == F.col("b.block_key"))
-        & (F.col("a.name") < F.col("b.name")),
-    )
+    if broadcast_names:
+        a = ensure_parallelism(keyed).alias("a")
+        b = F.broadcast(keyed).alias("b")
+        cond = (F.col("a.block_key") == F.col("b.block_key")) & (
+            F.col("a.name") < F.col("b.name")
+        )
+        pairs = a.join(b, cond)
+        emit_a, emit_b = F.col("a.name"), F.col("b.name")
+    elif salt > 1:
+        u = F.pmod(F.xxhash64(F.col("name")), F.lit(int(salt))).cast("int")
+        a = (
+            keyed.withColumn("__u", u)
+            .withColumn(
+                "__v",
+                F.explode(F.sequence(F.col("__u"), F.lit(int(salt) - 1))),
+            )
+            .alias("a")
+        )
+        b = (
+            keyed.withColumn("__v", u)
+            .withColumn(
+                "__u", F.explode(F.sequence(F.lit(0), F.col("__v")))
+            )
+            .alias("b")
+        )
+        # every unordered pair meets in exactly one cell: (u_x, u_y)
+        # with u_x <= u_y, the smaller-bucket name arriving from the
+        # left. Off-diagonal cells see each pair once in one
+        # orientation (emit ordered via least/greatest); diagonal
+        # cells see both orientations (keep name_a < name_b only).
+        pairs = a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.__u") == F.col("b.__u"))
+            & (F.col("a.__v") == F.col("b.__v"))
+            & (
+                (F.col("a.__u") != F.col("a.__v"))
+                | (F.col("a.name") < F.col("b.name"))
+            )
+            & (F.col("a.name") != F.col("b.name")),
+        )
+        emit_a = F.least(F.col("a.name"), F.col("b.name"))
+        emit_b = F.greatest(F.col("a.name"), F.col("b.name"))
+    else:
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        emit_a, emit_b = F.col("a.name"), F.col("b.name")
     pairs = pairs.where(
         F.col("a.block_key").startswith("p:")
         | (
@@ -357,11 +426,9 @@ def fuzzy_name_pairs(
         )
     )
     return pairs.select(
-        F.col("a.name").alias("name_a"),
-        F.col("b.name").alias("name_b"),
-        F.levenshtein(F.col("a.name"), F.col("b.name"))
-        .cast("long")
-        .alias("dist"),
+        emit_a.alias("name_a"),
+        emit_b.alias("name_b"),
+        F.levenshtein(emit_a, emit_b).cast("long").alias("dist"),
     ).where(F.col("dist") <= F.lit(int(threshold)))
 
 
@@ -502,16 +569,29 @@ def cross_name_pairs(
     (e.g. a new ingest batch's names vs the already-clustered
     vocabulary), so no ordering predicate is needed — every (l, r)
     combination is a candidate exactly once after the p:/l: dedup.
+
+    Join strategy: the right side (the accumulated/bounded vocabulary
+    in every production shape) is broadcast and the left probe side is
+    ``ensure_parallelism``'d — same whale-block/AQE-coalescing lesson
+    as :func:`fuzzy_name_pairs` (SCALE.md round 13): a shuffled
+    equi-join would serialize each block's candidate explosion onto
+    one reducer.
     """
-    lk = left_names.select(
-        F.col("name").alias("name_l"),
-        F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
+    from betl_spark.operators.util import ensure_parallelism
+
+    lk = ensure_parallelism(
+        left_names.select(
+            F.col("name").alias("name_l"),
+            F.explode(block_keys(F.col("name"), prefix_len)).alias(
+                "block_key"
+            ),
+        )
     )
     rk = right_names.select(
         F.col("name").alias("name_r"),
         F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
     )
-    cand = lk.join(rk, "block_key").where(
+    cand = lk.join(F.broadcast(rk), "block_key").where(
         F.col("block_key").startswith("p:")
         | (
             F.substring("name_l", 1, prefix_len)

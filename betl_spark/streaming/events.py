@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 #: final StreamingQueryProgress of the last run_stream_to_table call —
 #: diagnostics only (state rows/bytes per provider); None until a run.
 LAST_PROGRESS = None
+#: the full recentProgress list of that run (one entry per micro-batch)
+LAST_RECENT_PROGRESS = None
 
 # Fallback when the source path can't be probed (e.g. the directory is
 # still empty when the stream starts) — matches the current testdata.
@@ -263,9 +265,13 @@ def run_stream_to_table(
         q.awaitTermination()
         # diagnostics hook: the final progress (state-store rows/bytes,
         # per-batch durations) for harnesses that compare state-store
-        # providers — the query object itself never leaves this scope
-        global LAST_PROGRESS
+        # providers — the query object itself never leaves this scope.
+        # LAST_RECENT_PROGRESS keeps the per-micro-batch trail so
+        # multi-batch runs (maxFilesPerTrigger) can report per-commit
+        # overhead, not just the final snapshot.
+        global LAST_PROGRESS, LAST_RECENT_PROGRESS
         LAST_PROGRESS = q.lastProgress
+        LAST_RECENT_PROGRESS = q.recentProgress
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

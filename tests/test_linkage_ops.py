@@ -647,3 +647,69 @@ def test_3day_chain_bridge_surfaced_not_merged(spark):
     audit = linkage.incremental_bridge_audit(_records(spark, bridge), lab0)
     rows = audit.collect()
     assert len(rows) == 1 and rows[0]["n_adjacent"] == 2
+
+
+# ---- pair-join strategies (round 13: whale-block lesson) ----
+
+
+def test_fuzzy_pair_strategies_agree(spark):
+    """The three candidate-join strategies (broadcast default, plain
+    shuffled, grid-salted shuffled) are plan variants of one
+    semantics: identical (name_a, name_b, dist) sets on a vocabulary
+    with a deliberate whale block (shared 'zz' prefix) plus normal
+    names, including multi-key (p:+l:) duplicates and prefix-breaking
+    variants."""
+    names = [
+        "zzalice brandt", "zzalice brandtt", "zzalice brand",
+        "zzbob kowalski", "zzbob kowalsky", "zzcarol moreau",
+        "alice brandt", "lice brandt", "dr alice brandt",
+        "jonas jansen", "jonas jansenn", "karim haddad",
+    ]
+    vocab = _vocab(spark, names)
+
+    def pairset(df):
+        return {
+            (r["name_a"], r["name_b"], r["dist"]) for r in df.collect()
+        }
+
+    base = pairset(linkage.fuzzy_name_pairs(vocab))
+    shuffled = pairset(
+        linkage.fuzzy_name_pairs(vocab, broadcast_names=False)
+    )
+    assert base == shuffled
+    for s in (2, 3, 7):
+        salted = pairset(
+            linkage.fuzzy_name_pairs(
+                vocab, broadcast_names=False, salt=s
+            )
+        )
+        assert salted == base, f"salt={s}"
+    assert base, "witness vocabulary produced no pairs"
+
+
+def test_fuzzy_pair_salted_property(spark):
+    """Property sweep: on random vocabularies the salted grid emits
+    every unordered in-block pair exactly once (set-equality with the
+    unsalted join, no duplicates)."""
+    import random
+
+    rng = random.Random(13)
+    pool = ["al", "be", "ca", "do", "el"]
+    for trial in range(3):
+        names = list(
+            {
+                "".join(
+                    rng.choice(pool) for _ in range(rng.randint(1, 3))
+                )
+                + (" " + rng.choice(pool) if rng.random() < 0.7 else "")
+                for _ in range(40)
+            }
+        )
+        vocab = _vocab(spark, names)
+        plain = linkage.fuzzy_name_pairs(vocab, broadcast_names=False)
+        salted = linkage.fuzzy_name_pairs(
+            vocab, broadcast_names=False, salt=4
+        )
+        prow = sorted(tuple(r) for r in plain.collect())
+        srow = sorted(tuple(r) for r in salted.collect())
+        assert prow == srow, f"trial {trial}"
