@@ -266,6 +266,12 @@ def _day2_and_labels(spark, sf_dir):
         )
         .select("name", "cluster_id")
         .distinct()
+        # the frozen map is referenced ~4x inside
+        # incremental_cluster_assign — persist the vocabulary-grain
+        # frame or each reference re-runs the day-1 clustering
+        # (round-13 chain lesson; at scale yesterday's map is a
+        # persisted table by definition)
+        .persist()
     )
     return day2, labels1
 

@@ -430,12 +430,19 @@ def q_er_3day_chain(spark, sf_dir):
     d0 = recs.where(F.col("doc_id") % 3 == 0)
     d1 = recs.where(F.col("doc_id") % 3 == 1)
     d2 = recs.where(F.col("doc_id") % 3 == 2)
+    # each day's label map is the next day's frozen input, referenced
+    # ~4x inside incremental_cluster_assign (exact-attach, left_anti,
+    # cross pairs, final union) — persist the vocabulary-grain map at
+    # every chain boundary or each reference re-executes the whole
+    # prior-day chain multiplicatively (measured 18.4s -> see SCALE.md;
+    # at 100 TB the daily map is a PERSISTED table by definition)
     lab0 = (
         linkage.cluster_records(
             d0, record_id="doc_id", record_name="name", threshold=THRESHOLD
         )
         .select("name", "cluster_id")
         .distinct()
+        .persist()
     )
     out1 = linkage.incremental_cluster_assign(
         d1, lab0, record_id="doc_id", record_name="name", threshold=THRESHOLD
@@ -443,6 +450,7 @@ def q_er_3day_chain(spark, sf_dir):
     lab1 = (
         lab0.unionByName(out1.select("name", "cluster_id"))
         .distinct()
+        .persist()
     )
     out2 = linkage.incremental_cluster_assign(
         d2,
