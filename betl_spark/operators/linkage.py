@@ -509,8 +509,17 @@ def sorted_neighborhood_pairs(
     REGARDLESS of value skew — the trade is recall (only
     sort-adjacent variants pair; a head edit that changes the sort
     position escapes the window, which is exactly what the multi-pass
-    ``l:`` key recovers in the blocked formulation; production runs
-    use both and union the pair sets).
+    ``l:`` key recovers in the blocked formulation).
+
+    Measured operating rule (round-13 whale rehearsal, SCALE.md): on a
+    30%-one-prefix corpus at sf1, blocking found 98.9% of true fuzzy
+    pairs vs SNM's 29.2% (51k candidates, 0.2s vs 30M, 18s) — SNM
+    alone is NOT a recall substitute; it is the candidate-BOUND
+    fallback. Mitigate a whale inside the blocked path first
+    (broadcast the vocabulary when it fits — the default — or
+    ``salt=S`` the shuffled join), union SNM in for the pairs sharing
+    neither tagged key, and fall back to SNM-only only when the
+    candidate budget, not recall, is the binding constraint.
 
     Plan shape (the 100 TB contract): the global rank comes from the
     SK engine's range-partition + per-partition numbering

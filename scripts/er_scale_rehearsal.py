@@ -238,11 +238,50 @@ def part_c(spark):
         spark.conf.set(coalesce_conf, prev)
 
 
+def part_d(spark):
+    """Daily-ingest loop at growing vocabulary: the incremental pass's
+    pairwise work runs at UNSEEN-name grain (the smallest set in the
+    problem) against the frozen map — measure the attach wall time and
+    the unseen fraction across the decade."""
+    from betl_spark.contract.linkage import THRESHOLD as T
+
+    print("\n### Part D: incremental ingest at growing vocabulary\n")
+    print("| scale | frozen names | day-2 unseen names | incr wall |")
+    print("|---|---|---|---|")
+    for tag, sf_dir in SCALES:
+        recs = growing_records_frame(spark, sf_dir).persist()
+        day1 = recs.where(F.col("doc_id") % 2 == 0)
+        day2 = recs.where(F.col("doc_id") % 2 == 1)
+        lab1 = (
+            linkage.cluster_records(
+                day1, record_id="doc_id", record_name="name", threshold=T
+            )
+            .select("name", "cluster_id")
+            .distinct()
+            .persist()
+        )
+        n_frozen = lab1.count()
+        unseen = (
+            vocab_of(day2)
+            .join(lab1.select("name"), "name", "left_anti")
+            .count()
+        )
+        _, t = timed(
+            lambda: linkage.incremental_cluster_assign(
+                day2, lab1, record_id="doc_id", record_name="name",
+                threshold=T,
+            ).write.format("noop").mode("overwrite").save()
+        )
+        print(f"| {tag} | {n_frozen:,} | {unseen:,} | {t:.1f}s |")
+        recs.unpersist(); lab1.unpersist()
+
+
 def main():
     spark = build_spark()
     part_a(spark)
     part_b(spark)
     part_c(spark)
+    part_d(spark)
 
 
 if __name__ == "__main__":
