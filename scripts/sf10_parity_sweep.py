@@ -42,6 +42,10 @@ sys.path.insert(0, "/root/repo")
 QUAD_MARKERS = (
     "semantic_", "crosslingual", "classifier_train",
     "repeated_substring", "repeated_spans", "bpe_train", "curation_v",
+    # round-13 growing-vocabulary corpus: blocked candidates grow
+    # ~x^1.6 in vocab (SCALE.md) — 1.9B levenshteins at sf10 on the
+    # DuckDB side; ladder-checked through sf3 instead
+    "er_vocab_growth", "er_skew_method",
 )
 
 
