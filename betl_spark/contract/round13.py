@@ -557,3 +557,114 @@ SELECT r.doc_id, r.source, r.name, f.cluster_id, f.is_new_cluster
 FROM r2 r JOIN final f USING (name)
 """
 QUERIES["er_3day_chain"] = (q_er_3day_chain, ER_3DAY_CHAIN_SQL)
+
+
+# ---- 6/7. mergeable HLL distinct sketches (operators/sketches.py) —
+# the scan-once / roll-up-forever distinct-count pattern. The DuckDB
+# oracle computes the EXACT distinct counts independently; the Spark
+# side additionally builds the sketch pipeline and pins two
+# deterministic properties against its own exact counts: the estimate
+# lands inside the DataSketches error band, and the day-sketch UNION
+# is register-exact with the direct sketch (mergeability) ----
+
+from betl_spark.contract.common import ts_micros  # noqa: E402
+
+#: lgK=12 → rse ≈ 1.04/sqrt(4096) ≈ 1.6%; 3σ ≈ 4.9% — the band is 5%
+#: + 1 (the +1 covers tiny groups where 5% < 1). DataSketches HLL is
+#: unseeded, so the estimate (and this predicate) is deterministic per
+#: dataset; the ladder re-checks it at every scale.
+_EST_BAND_PCT = 5
+
+
+def _est_ok(est_col, exact_col):
+    tol = F.greatest(F.lit(1), (F.col(exact_col) * _EST_BAND_PCT / 100))
+    return (F.abs(F.col(est_col) - F.col(exact_col)) <= tol).alias("est_ok")
+
+
+def q_sketch_distinct_accuracy(spark, sf_dir):
+    """Per event type: exact distinct users (both engines, exact) and
+    the Spark-side accuracy contract — the HLL estimate within the
+    deterministic 5% band of exact. One sketch agg + one exact agg;
+    at 100 TB only the sketch agg would run per window, with exact
+    reserved for audits like this one."""
+    from betl_spark.operators import sketches
+
+    ev = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = sketches.estimate_distinct(
+        sketches.sketch_distinct(ev, ["event_type"], "user_id")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return sk.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        _est_ok("distinct_est", "exact_users"),
+    )
+
+
+SKETCH_DISTINCT_ACCURACY_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS est_ok
+FROM events GROUP BY 1
+"""
+QUERIES["sketch_distinct_accuracy"] = (
+    q_sketch_distinct_accuracy,
+    SKETCH_DISTINCT_ACCURACY_SQL,
+)
+
+
+def q_sketch_rollup_mergeable(spark, sf_dir):
+    """The rollup contract: per-day sketches UNIONed across days
+    estimate the whole-range distinct count inside the SAME accuracy
+    band as a direct whole-range sketch — rolling up a persisted daily
+    sketch table loses nothing actionable vs rescanning the facts.
+    (Not register-exact in general: DataSketches HLL promotes
+    sparse→dense at data-dependent points, so the union's estimate can
+    differ from the direct sketch's by a fraction of the band — the
+    unit suite pins the closeness, this contract pins both-in-band.)"""
+    from betl_spark.operators import sketches
+
+    ev = table(spark, sf_dir, "events")
+    ev = ev.select(
+        "event_type",
+        "user_id",
+        (ts_micros(ev) / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    daily = sketches.sketch_distinct(ev, ["event_type", "day"], "user_id")
+    rolled = sketches.estimate_distinct(
+        sketches.merge_sketches(daily, ["event_type"]),
+        estimate_col="rolled_est",
+    )
+    direct = sketches.estimate_distinct(
+        sketches.sketch_distinct(ev, ["event_type"], "user_id"),
+        estimate_col="direct_est",
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        rolled.select("event_type", "rolled_est")
+        .join(direct.select("event_type", "direct_est"), "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            _est_ok("rolled_est", "exact_users").alias("rolled_ok"),
+            _est_ok("direct_est", "exact_users").alias("direct_ok"),
+        )
+    )
+
+
+SKETCH_ROLLUP_MERGEABLE_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS rolled_ok,
+       TRUE AS direct_ok
+FROM events GROUP BY 1
+"""
+QUERIES["sketch_rollup_mergeable"] = (
+    q_sketch_rollup_mergeable,
+    SKETCH_ROLLUP_MERGEABLE_SQL,
+)
