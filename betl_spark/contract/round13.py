@@ -668,3 +668,83 @@ QUERIES["sketch_rollup_mergeable"] = (
     q_sketch_rollup_mergeable,
     SKETCH_ROLLUP_MERGEABLE_SQL,
 )
+
+
+# ---- 8. quantile sketch accuracy: percentile_approx rank-error
+# contract (the p99-at-scale tool, same exact-oracle-plus-band pattern
+# as the HLL pair) ----
+
+#: percentile_approx accuracy parameter -> guaranteed rank error
+#: <= n/accuracy (1% here). Deterministic per dataset.
+_PCTL_ACCURACY = 100
+
+
+def q_quantile_sketch_accuracy(spark, sf_dir):
+    """Per event type and p in {50, 90, 99}: the exact value count
+    (both engines) and the Spark-side rank contract — the approximate
+    percentile's value sits within the guaranteed 1% rank band of the
+    target rank. Rank check is exact INTEGER arithmetic at x100 scale
+    (no doubles): the returned value's closed rank interval
+    [count(<v), count(<=v)] must intersect
+    [p*n/100 - n/100 - 1, p*n/100 + n/100 + 1].
+
+    At 100 TB percentile_approx is the only way to ask p99 questions
+    (exact percentile is a full sort per group); this keeps its error
+    contract oracle-audited every rotation."""
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx(
+            "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+            F.lit(_PCTL_ACCURACY),
+        ).alias("ap"),
+        F.count("value").cast("long").alias("n_values"),
+    )
+    cand = ap.select(
+        "event_type",
+        "n_values",
+        F.posexplode("ap").alias("i", "v"),
+    ).select(
+        "event_type",
+        "n_values",
+        F.element_at(
+            F.array(F.lit(50), F.lit(90), F.lit(99)), F.col("i") + 1
+        ).cast("long").alias("p_pct"),
+        "v",
+    )
+    ranks = (
+        ev.join(F.broadcast(cand), "event_type")
+        .groupBy("event_type", "p_pct", "n_values")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("v"), 1).otherwise(0))
+            .cast("long")
+            .alias("lo"),
+            F.sum(F.when(F.col("value") <= F.col("v"), 1).otherwise(0))
+            .cast("long")
+            .alias("hi"),
+        )
+    )
+    n, p = F.col("n_values"), F.col("p_pct")
+    band_lo = p * n - n - F.lit(100)
+    band_hi = p * n + n + F.lit(100)
+    return ranks.select(
+        "event_type",
+        "p_pct",
+        "n_values",
+        (
+            (F.col("hi") * 100 >= band_lo) & (F.col("lo") * 100 <= band_hi)
+        ).alias("rank_ok"),
+    )
+
+
+QUANTILE_SKETCH_ACCURACY_SQL = """
+SELECT event_type,
+       CAST(p.p_pct AS BIGINT) AS p_pct,
+       CAST(count(value) AS BIGINT) AS n_values,
+       TRUE AS rank_ok
+FROM events, (SELECT UNNEST([50, 90, 99]) AS p_pct) p
+GROUP BY 1, 2
+"""
+QUERIES["quantile_sketch_accuracy"] = (
+    q_quantile_sketch_accuracy,
+    QUANTILE_SKETCH_ACCURACY_SQL,
+)
