@@ -202,8 +202,19 @@ def main() -> None:
             payload["normalized_delta_vs_prev"] = dict(
                 sorted(deltas.items())
             )
+            # Flag = normalized delta > +10% AND absolute drift above
+            # a 0.25s floor (round-13 protocol revision): on
+            # sub-second queries a 50ms scheduling wobble crosses the
+            # relative threshold whenever the anchor draws a fast
+            # slot — the sweep-3 adjudication measured a 22-point
+            # same-day anchor swing manufacturing 143 relative-only
+            # flags. Sub-floor queries still have their deltas in
+            # normalized_delta_vs_prev for inspection.
             payload["normalized_regressions_over_10pct"] = {
-                q: d for q, d in sorted(deltas.items()) if d > 0.10
+                q: d
+                for q, d in sorted(deltas.items())
+                if d > 0.10
+                and timings[q] - prev["queries"][q] > 0.25
             }
             # Twice-flagged isolation protocol (round-10 verdict ask
             # #5, formalizing round-10's by-hand reruns): a query
