@@ -210,11 +210,17 @@ def main() -> None:
             # same-day anchor swing manufacturing 143 relative-only
             # flags. Sub-floor queries still have their deltas in
             # normalized_delta_vs_prev for inspection.
+            # The floor is applied in ANCHOR-NORMALIZED seconds
+            # (round-13 advisor): raw drift and the relative delta it
+            # gates are in different units — on a fast-anchor day
+            # (cr < pr) a genuinely regressed multi-second query can
+            # show raw drift under 0.25s, and a slow-anchor day
+            # inflates raw drift toward the floor.
             payload["normalized_regressions_over_10pct"] = {
                 q: d
                 for q, d in sorted(deltas.items())
                 if d > 0.10
-                and timings[q] - prev["queries"][q] > 0.25
+                and (timings[q] / cr) - (prev["queries"][q] / pr) > 0.25
             }
             # Twice-flagged isolation protocol (round-10 verdict ask
             # #5, formalizing round-10's by-hand reruns): a query

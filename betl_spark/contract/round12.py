@@ -267,11 +267,17 @@ def _day2_and_labels(spark, sf_dir):
         .select("name", "cluster_id")
         .distinct()
         # the frozen map is referenced ~4x inside
-        # incremental_cluster_assign — persist the vocabulary-grain
-        # frame or each reference re-runs the day-1 clustering
-        # (round-13 chain lesson; at scale yesterday's map is a
-        # persisted table by definition)
-        .persist()
+        # incremental_cluster_assign — materialize the
+        # vocabulary-grain frame once or each reference re-runs the
+        # day-1 clustering (round-13 chain lesson; at scale
+        # yesterday's map is a persisted table by definition).
+        # localCheckpoint(eager) rather than persist(): persist
+        # registers in the CacheManager and is never released by the
+        # harness, so across a 200+-query sweep the cached maps
+        # accumulate in executor storage memory (round-13 advisor);
+        # checkpoint blocks are ContextCleaner-reclaimed as soon as
+        # the frame goes out of scope after the query materializes.
+        .localCheckpoint(eager=True)
     )
     return day2, labels1
 

@@ -432,17 +432,23 @@ def q_er_3day_chain(spark, sf_dir):
     d2 = recs.where(F.col("doc_id") % 3 == 2)
     # each day's label map is the next day's frozen input, referenced
     # ~4x inside incremental_cluster_assign (exact-attach, left_anti,
-    # cross pairs, final union) — persist the vocabulary-grain map at
-    # every chain boundary or each reference re-executes the whole
+    # cross pairs, final union) — materialize the vocabulary-grain map
+    # at every chain boundary or each reference re-executes the whole
     # prior-day chain multiplicatively (measured 18.4s -> see SCALE.md;
-    # at 100 TB the daily map is a PERSISTED table by definition)
+    # at 100 TB the daily map is a PERSISTED table by definition).
+    # localCheckpoint(eager) rather than persist(): persist registers
+    # in the CacheManager and the harness never unpersists, so cached
+    # maps accumulate across the 200+-query bench sweep (round-13
+    # advisor); checkpoint blocks are ContextCleaner-reclaimed once
+    # the frames go out of scope, and the truncated lineage is exactly
+    # the "frozen table" semantics the chain models.
     lab0 = (
         linkage.cluster_records(
             d0, record_id="doc_id", record_name="name", threshold=THRESHOLD
         )
         .select("name", "cluster_id")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out1 = linkage.incremental_cluster_assign(
         d1, lab0, record_id="doc_id", record_name="name", threshold=THRESHOLD
@@ -450,7 +456,7 @@ def q_er_3day_chain(spark, sf_dir):
     lab1 = (
         lab0.unionByName(out1.select("name", "cluster_id"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     out2 = linkage.incremental_cluster_assign(
         d2,

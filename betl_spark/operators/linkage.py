@@ -439,6 +439,8 @@ def cluster_records(
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     keep_cols: tuple[str, ...] = (),
+    broadcast_names: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """Master-less entity resolution: group dirty records into
     transitive fuzzy-match clusters of their (normalized) names.
@@ -469,6 +471,14 @@ def cluster_records(
     4. the name -> cluster_id map (vocabulary-grain, SMALL) joins back
        to records on the normalized name; singleton names (no pair)
        keep themselves as cluster_id via coalesce.
+
+    ``broadcast_names``/``salt`` pass straight through to
+    :func:`fuzzy_name_pairs` — the caller-level escape to the
+    shuffled+salted path for the growing-vocabulary regime where the
+    keyed vocabulary outgrows the broadcast cap (the round-13
+    advisor's point: an unconditional broadcast hint bypasses
+    autoBroadcastJoinThreshold and would hit the 8 GB broadcast
+    limit / driver OOM with no way out).
     """
     from betl_spark.operators.dedup import duplicate_clusters
 
@@ -478,7 +488,9 @@ def cluster_records(
         normalize_name(record_name).alias("name"),
     ).where(F.col("name").isNotNull())
     vocab = r.select("name").distinct()
-    pairs = fuzzy_name_pairs(vocab, threshold, prefix_len)
+    pairs = fuzzy_name_pairs(
+        vocab, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
+    )
     cc = duplicate_clusters(pairs, "name_a", "name_b").select(
         F.col("node").alias("name"), "cluster_id"
     )
@@ -568,6 +580,8 @@ def cross_name_pairs(
     right_names: DataFrame,
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
+    broadcast_names: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """Fuzzy-match pairs BETWEEN two distinct-name vocabularies (no
     in-side pairs): ``(name_l, name_r, dist)`` with
@@ -579,12 +593,18 @@ def cross_name_pairs(
     vocabulary), so no ordering predicate is needed — every (l, r)
     combination is a candidate exactly once after the p:/l: dedup.
 
-    Join strategy: the right side (the accumulated/bounded vocabulary
-    in every production shape) is broadcast and the left probe side is
-    ``ensure_parallelism``'d — same whale-block/AQE-coalescing lesson
-    as :func:`fuzzy_name_pairs` (SCALE.md round 13): a shuffled
-    equi-join would serialize each block's candidate explosion onto
-    one reducer.
+    Join strategy: ``broadcast_names=True`` (default) broadcasts the
+    right side (the accumulated/bounded vocabulary in every production
+    shape) and ``ensure_parallelism``'s the left probe side — same
+    whale-block/AQE-coalescing lesson as :func:`fuzzy_name_pairs`
+    (SCALE.md round 13): a shuffled equi-join would serialize each
+    block's candidate explosion onto one reducer. For a
+    larger-than-broadcast right vocabulary pass
+    ``broadcast_names=False`` and ``salt=S``: each left row lands in
+    one of S deterministic buckets and the right side is replicated
+    into all S, so every (l, r) candidate meets exactly once and
+    per-reducer work is bounded at |block_l|·|block_r|/S — the
+    two-sided analogue of the grid decomposition.
     """
     from betl_spark.operators.util import ensure_parallelism
 
@@ -600,7 +620,20 @@ def cross_name_pairs(
         F.col("name").alias("name_r"),
         F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
     )
-    cand = lk.join(F.broadcast(rk), "block_key").where(
+    if broadcast_names:
+        cand = lk.join(F.broadcast(rk), "block_key")
+    elif salt > 1:
+        lk = lk.withColumn(
+            "__s",
+            F.pmod(F.xxhash64(F.col("name_l")), F.lit(int(salt))).cast("int"),
+        )
+        rk = rk.withColumn(
+            "__s", F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1)))
+        )
+        cand = lk.join(rk, ["block_key", "__s"])
+    else:
+        cand = lk.join(rk, "block_key")
+    cand = cand.where(
         F.col("block_key").startswith("p:")
         | (
             F.substring("name_l", 1, prefix_len)
@@ -622,6 +655,8 @@ def incremental_cluster_assign(
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     keep_cols: tuple[str, ...] = (),
+    broadcast_names: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """Incremental (attach-or-create) entity resolution: assign a new
     ingest batch against FROZEN existing clusters — the daily-ingest
@@ -651,6 +686,13 @@ def incremental_cluster_assign(
     one broadcast-sized join; all pairwise work runs at the grain of
     the NEW batch's unseen-name vocabulary (the smallest set in the
     whole problem) against the bounded existing vocabulary.
+
+    ``broadcast_names``/``salt`` thread through to BOTH pairwise
+    stages (:func:`fuzzy_name_pairs` among the fresh names,
+    :func:`cross_name_pairs` fresh-vs-existing) — when the
+    accumulated existing vocabulary outgrows the broadcast cap, the
+    shuffled+salted path is reachable from here, not only from the
+    standalone pair operators.
     """
     from betl_spark.operators.dedup import duplicate_clusters
 
@@ -663,7 +705,9 @@ def incremental_cluster_assign(
     vocab = r.select("name").distinct()
     fresh = vocab.join(existing, "name", "left_anti")
     # components among the fresh names (transitive within the batch)
-    nn = fuzzy_name_pairs(fresh, threshold, prefix_len)
+    nn = fuzzy_name_pairs(
+        fresh, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
+    )
     cc = duplicate_clusters(nn, "name_a", "name_b").select(
         F.col("node").alias("name"), F.col("cluster_id").alias("comp")
     )
@@ -671,7 +715,14 @@ def incremental_cluster_assign(
         "name", F.coalesce("comp", "name").alias("comp")
     )
     # minimum existing cluster adjacent to each component
-    ne = cross_name_pairs(fresh, existing.select("name"), threshold, prefix_len)
+    ne = cross_name_pairs(
+        fresh,
+        existing.select("name"),
+        threshold,
+        prefix_len,
+        broadcast_names=broadcast_names,
+        salt=salt,
+    )
     attach = (
         ne.join(existing.withColumnRenamed("name", "name_r"), "name_r")
         .join(comp.withColumnRenamed("name", "name_l"), "name_l")
@@ -698,6 +749,8 @@ def incremental_bridge_audit(
     record_name: str = "name",
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
+    broadcast_names: bool = True,
+    salt: int = 1,
 ) -> DataFrame:
     """The merge-candidate report for :func:`incremental_cluster_assign`:
     per new-name component, how many DISTINCT existing clusters it is
@@ -716,14 +769,23 @@ def incremental_bridge_audit(
     ).where(F.col("name").isNotNull())
     existing = existing_labels.select("name", "cluster_id")
     fresh = r.distinct().join(existing, "name", "left_anti")
-    nn = fuzzy_name_pairs(fresh, threshold, prefix_len)
+    nn = fuzzy_name_pairs(
+        fresh, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
+    )
     cc = duplicate_clusters(nn, "name_a", "name_b").select(
         F.col("node").alias("name"), F.col("cluster_id").alias("comp")
     )
     comp = fresh.join(cc, "name", "left").select(
         "name", F.coalesce("comp", "name").alias("comp")
     )
-    ne = cross_name_pairs(fresh, existing.select("name"), threshold, prefix_len)
+    ne = cross_name_pairs(
+        fresh,
+        existing.select("name"),
+        threshold,
+        prefix_len,
+        broadcast_names=broadcast_names,
+        salt=salt,
+    )
     adj = (
         ne.join(existing.withColumnRenamed("name", "name_r"), "name_r")
         .join(comp.withColumnRenamed("name", "name_l"), "name_l")

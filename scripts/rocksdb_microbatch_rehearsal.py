@@ -102,7 +102,10 @@ def run_once(spark, shard_dir: str, provider: str):
         "sum(CAST(xxhash64(user_id, events_seen) AS DECIMAL(38,0))) AS h",
     ).collect()[0]
     wall = time.perf_counter() - t0
-    return wall, batch_trail(ev.LAST_RECENT_PROGRESS), (h["n"],)
+    # parity covers BOTH the distinct-user count and the content hash
+    # over (user_id, events_seen) — equal user counts with different
+    # running totals must report MISMATCH (round-13 advisor)
+    return wall, batch_trail(ev.LAST_RECENT_PROGRESS), (h["n"], h["h"])
 
 
 def main() -> None:

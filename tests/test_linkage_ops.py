@@ -687,6 +687,84 @@ def test_fuzzy_pair_strategies_agree(spark):
     assert base, "witness vocabulary produced no pairs"
 
 
+def test_cross_pair_strategies_agree(spark):
+    """cross_name_pairs' three strategies (broadcast default, plain
+    shuffled, bucket-salted shuffled) emit the identical
+    (name_l, name_r, dist) multiset — the two-sided analogue of the
+    fuzzy_name_pairs grid equality, covering the round-13 advisor's
+    threaded larger-than-broadcast escape."""
+    left = _vocab(
+        spark,
+        ["zzalice brandt", "zzbob kowalski", "alice brandt", "lice brandt"],
+    )
+    right = _vocab(
+        spark,
+        ["zzalice brandtt", "zzbob kowalsky", "dr alice brandt",
+         "karim haddad"],
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(linkage.cross_name_pairs(left, right))
+    assert base, "witness vocabularies produced no cross pairs"
+    assert rows(
+        linkage.cross_name_pairs(left, right, broadcast_names=False)
+    ) == base
+    for s in (2, 5):
+        assert rows(
+            linkage.cross_name_pairs(
+                left, right, broadcast_names=False, salt=s
+            )
+        ) == base, f"salt={s}"
+
+
+def test_threaded_strategies_through_cluster_and_incremental(spark):
+    """The round-13 advisor's ask: broadcast_names/salt reach the
+    pairwise stages FROM the high-level operators. cluster_records and
+    incremental_cluster_assign produce identical assignments under the
+    broadcast default and the shuffled+salted escape."""
+    day1 = _records(
+        spark,
+        ["zzalice brandt", "zzalice brandtt", "zzbob kowalski",
+         "alice brandt", "jonas jansen"],
+    )
+    day2 = _records(
+        spark,
+        ["zzalice brand", "zzbob kowalsky", "lice brandt",
+         "karim haddad", "karim hadad"],
+    )
+
+    def amap(df):
+        return {r["record_id"]: tuple(r)[1:] for r in df.collect()}
+
+    base = amap(linkage.cluster_records(day1))
+    assert base == amap(
+        linkage.cluster_records(day1, broadcast_names=False, salt=3)
+    )
+    labels = (
+        linkage.cluster_records(day1)
+        .select("name", "cluster_id")
+        .distinct()
+    )
+    inc_base = amap(linkage.incremental_cluster_assign(day2, labels))
+    assert inc_base == amap(
+        linkage.incremental_cluster_assign(
+            day2, labels, broadcast_names=False, salt=3
+        )
+    )
+    audit_base = sorted(
+        tuple(r)
+        for r in linkage.incremental_bridge_audit(day2, labels).collect()
+    )
+    assert audit_base == sorted(
+        tuple(r)
+        for r in linkage.incremental_bridge_audit(
+            day2, labels, broadcast_names=False, salt=3
+        ).collect()
+    )
+
+
 def test_fuzzy_pair_salted_property(spark):
     """Property sweep: on random vocabularies the salted grid emits
     every unordered in-block pair exactly once (set-equality with the

@@ -649,6 +649,25 @@ def test_cluster_records_pairs_blocked_labels_broadcast(spark):
     assert "CartesianProduct" not in pp, pp
     assert "BatchEvalPython" not in pp and "ArrowEvalPython" not in pp, pp
     assert "block_key" in pp, pp
+    # the r13 fix's shape (round-13 verdict ask #5), isolated from
+    # Catalyst's size-based auto-broadcast (the test vocabulary is
+    # tiny, so EVERY join here would auto-broadcast): with the
+    # threshold disabled, a BroadcastHashJoin can only come from the
+    # explicit hint — the default path must carry it (a refactor that
+    # reintroduces the shuffled self-join re-exposes the AQE
+    # single-partition collapse that cost 22x on the whale rehearsal),
+    # and the larger-than-broadcast escape must NOT (a stray hint
+    # would bypass the caller's choice — the round-13 advisor's bug).
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pf = plan(fuzzy_name_pairs(vocab))
+        assert "BroadcastHashJoin" in pf, pf
+        ps = plan(fuzzy_name_pairs(vocab, broadcast_names=False, salt=4))
+        assert "BroadcastHashJoin" not in ps, ps
+        assert "CartesianProduct" not in ps, ps
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
     p = plan(cluster_records(recs, record_id="doc_id", record_name="name"))
     assert "CartesianProduct" not in p, p
@@ -682,6 +701,29 @@ def test_incremental_er_blocked_joins_no_cartesian_no_python(spark):
     )
     assert "CartesianProduct" not in pp, pp
     assert "block_key" in pp, pp
+    # hint-vs-escape isolation, same protocol as the fuzzy_name_pairs
+    # pin: with auto-broadcast disabled, BroadcastHashJoin present on
+    # the default path proves the hint; absent on the escape path
+    # proves broadcast_names=False reaches the join (round-13 advisor)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pb = plan(
+            cross_name_pairs(labels.select("name"), labels.select("name"))
+        )
+        assert "BroadcastHashJoin" in pb, pb
+        ps = plan(
+            cross_name_pairs(
+                labels.select("name"),
+                labels.select("name"),
+                broadcast_names=False,
+                salt=4,
+            )
+        )
+        assert "BroadcastHashJoin" not in ps, ps
+        assert "CartesianProduct" not in ps, ps
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
     p = plan(
         incremental_cluster_assign(
             day2, labels, record_id="doc_id", record_name="name"
@@ -742,6 +784,7 @@ def test_growing_vocab_corpus_stays_in_codegen(spark):
     pp = plan(fuzzy_name_pairs(vocab))
     assert "CartesianProduct" not in pp, pp
     assert "block_key" in pp, pp
+    assert "BroadcastHashJoin" in pp, pp
 
     c = plan(
         cluster_records(recs, record_id="doc_id", record_name="name")
