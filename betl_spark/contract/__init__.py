@@ -61,6 +61,7 @@ from betl_spark.contract.round11 import QUERIES as _ROUND11
 from betl_spark.contract.linkage import QUERIES as _LINKAGE
 from betl_spark.contract.round12 import QUERIES as _ROUND12
 from betl_spark.contract.round13 import QUERIES as _ROUND13
+from betl_spark.contract.round14 import QUERIES as _ROUND14
 
 _ALL = {
     **_TPCH,
@@ -79,6 +80,7 @@ _ALL = {
     **_LINKAGE,
     **_ROUND12,
     **_ROUND13,
+    **_ROUND14,
 }
 
 # The driver's per-round CORRECTNESS run covers the FIRST 50 entries,
@@ -106,7 +108,7 @@ _ALL = {
 # r12, inside the computed ceil(|contract|/(50-new)) bound).
 from betl_spark.contract.rotation import LAST_VERIFIED
 
-NEW_THIS_ROUND = [*_ROUND13]
+NEW_THIS_ROUND = [*_ROUND14]
 
 _PRIORITY = [
     *NEW_THIS_ROUND,

@@ -733,6 +733,24 @@ def test_incremental_er_blocked_joins_no_cartesian_no_python(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
 
 
+def test_histogram_sketch_family_plan_shape(spark):
+    """The mergeable-histogram family's 100 TB contract: the fact
+    table is scanned once per sketch build (a hash aggregate — no
+    Python eval anywhere), the rollup runs at sketch grain, and the
+    quantile selection's cumulative window is PARTITIONED BY the group
+    — never a global single-partition sort."""
+    from betl_spark.contract.round14 import (
+        q_hist_quantile_mergeable,
+        q_hist_sketch_bins,
+    )
+
+    for q in (q_hist_sketch_bins, q_hist_quantile_mergeable):
+        p = plan(q(spark, SF))
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "SinglePartition" not in p, p
+
+
 def test_snm_pairs_no_single_partition_window(spark):
     """SNM's 100 TB contract: the global rank comes from the SK
     engine's range-partition numbering — never a partition-less

@@ -88,6 +88,156 @@ def test_sketch_column_survives_parquet(spark, events, tmp_path):
     )
 
 
+# ---- family 2: mergeable fixed-bin histogram sketches ----
+
+
+@pytest.fixture(scope="module")
+def valued(spark):
+    # 40k rows over 5 types and 20 days; deterministic long-tail-ish
+    # values in [0, ~120) plus exact edge/out-of-range witnesses
+    return spark.range(40_000).selectExpr(
+        "id % 5 AS t",
+        "id % 20 AS day",
+        "CAST(CASE WHEN id % 997 = 0 THEN -1.5 "  # underflow witness
+        "WHEN id % 499 = 0 THEN 150.0 "  # overflow witness
+        "WHEN id % 101 = 0 THEN 100.0 "  # hi edge EXACTLY (overflow)
+        "WHEN id % 103 = 0 THEN 0.0 "  # lo edge exactly (bin 1)
+        "ELSE ((id * 73) % 1000) / 10.0 END AS DOUBLE) AS v",
+    )
+
+
+LO, HI, B = 0.0, 100.0, 25  # width 4.0
+
+
+def _exact_bins(rows):
+    """Python reference: dense bin-count vector per group."""
+    import collections, math
+
+    out = collections.defaultdict(lambda: [0] * (B + 2))
+    for t, v in rows:
+        if v is None:
+            continue
+        if v < LO:
+            b = 0
+        elif v >= HI:
+            b = B + 1
+        else:
+            b = min(B - 1, max(0, math.floor((v - LO) * B / (HI - LO)))) + 1
+        out[t][b] += 1
+    return dict(out)
+
+
+def test_histogram_counts_match_python_reference(spark, valued):
+    got = {
+        r["t"]: list(r["hist_bins"])
+        for r in sketches.histogram_sketch(
+            valued, ["t"], "v", LO, HI, B
+        ).collect()
+    }
+    want = _exact_bins(
+        [(r["t"], r["v"]) for r in valued.select("t", "v").collect()]
+    )
+    assert got == want
+    # edge witnesses actually landed where the spec says
+    any_vec = got[0]
+    assert any_vec[0] > 0, "underflow bin empty — witness missing"
+    assert any_vec[B + 1] > 0, "overflow bin empty — witness missing"
+
+
+def test_histogram_rollup_is_bit_exact(spark, valued):
+    """Vector-sum mergeability is EXACT (unlike HLL): daily sketches
+    rolled up == direct histogram, element for element, and the
+    global (no-group) rollup matches too."""
+    daily = sketches.histogram_sketch(valued, ["t", "day"], "v", LO, HI, B)
+    rolled = {
+        r["t"]: list(r["hist_bins"])
+        for r in sketches.merge_histograms(daily, ["t"], B).collect()
+    }
+    direct = {
+        r["t"]: list(r["hist_bins"])
+        for r in sketches.histogram_sketch(
+            valued, ["t"], "v", LO, HI, B
+        ).collect()
+    }
+    assert rolled == direct
+    total = sketches.merge_histograms(daily, [], B).collect()
+    assert len(total) == 1
+    assert list(total[0]["hist_bins"]) == [
+        sum(v[i] for v in direct.values()) for i in range(B + 2)
+    ]
+
+
+def test_histogram_nulls_excluded(spark):
+    df = spark.range(100).selectExpr(
+        "id % 2 AS t", "CASE WHEN id % 10 = 0 THEN NULL ELSE 50.0 END AS v"
+    )
+    got = {
+        r["t"]: sum(r["hist_bins"])
+        for r in sketches.histogram_sketch(df, ["t"], "v", LO, HI, B).collect()
+    }
+    assert got == {0: 40, 1: 50}  # the 10 NULLs (id%10==0) are all even → t=0
+
+
+def test_histogram_quantiles_rank_guarantee(spark, valued):
+    """For every (group, p): the chosen bin's edges straddle the exact
+    target rank — count(v < bin_lo) < target <= count(v <= bin_hi) in
+    exact integers — and the value error is bounded by one bin width."""
+    rows = [(r["t"], r["v"]) for r in valued.select("t", "v").collect()]
+    sk = sketches.histogram_sketch(valued, ["t"], "v", LO, HI, B)
+    got = sketches.histogram_quantiles(
+        sk, ["t"], [50, 90, 99], LO, HI, B
+    ).collect()
+    assert len(got) == 15
+    for r in got:
+        vals = sorted(v for t, v in rows if t == r["t"] and v is not None)
+        n, p = len(vals), r["p_pct"]
+        assert r["n_values"] == n
+        lo_e = r["bin_lo"] if r["bin_lo"] is not None else float("-inf")
+        hi_e = r["bin_hi"] if r["bin_hi"] is not None else float("inf")
+        n_lt = sum(1 for v in vals if v < lo_e)
+        n_le = sum(1 for v in vals if v <= hi_e)
+        assert 100 * n_lt < p * n <= 100 * n_le, r
+        # true quantile value inside the bin
+        import math
+
+        t_rank = math.ceil(p * n / 100)
+        assert lo_e <= vals[t_rank - 1] <= hi_e, r
+
+
+def test_histogram_quantile_overflow_bin(spark):
+    """p99 of a corpus whose tail is out of range lands in the
+    overflow bin honestly: bin = B+1, bin_hi NULL ("above hi")."""
+    df = spark.range(1000).selectExpr(
+        "0 AS t", "CASE WHEN id < 980 THEN 10.0 ELSE 500.0 END AS v"
+    )
+    sk = sketches.histogram_sketch(df, ["t"], "v", LO, HI, B)
+    got = {
+        r["p_pct"]: r
+        for r in sketches.histogram_quantiles(
+            sk, ["t"], [50, 99], LO, HI, B
+        ).collect()
+    }
+    assert got[50]["bin"] == 3 and got[50]["bin_lo"] == 8.0
+    assert got[99]["bin"] == B + 1
+    assert got[99]["bin_lo"] == HI and got[99]["bin_hi"] is None
+
+
+def test_histogram_survives_parquet(spark, valued, tmp_path):
+    """The persisted-daily-table pattern: array<long> round-trips and
+    rolls up identically after re-read."""
+    daily = sketches.histogram_sketch(valued, ["t", "day"], "v", LO, HI, B)
+    path = str(tmp_path / "daily_hist")
+    daily.write.parquet(path)
+    a = sketches.merge_histograms(
+        spark.read.parquet(path), ["t"], B
+    ).collect()
+    b = sketches.merge_histograms(daily, ["t"], B).collect()
+    key = lambda r: r["t"]  # noqa: E731
+    assert sorted(
+        [(r["t"], list(r["hist_bins"])) for r in a], key=lambda x: x[0]
+    ) == sorted([(r["t"], list(r["hist_bins"])) for r in b], key=lambda x: x[0])
+
+
 def test_higher_lgk_tightens_estimate(spark, events):
     exact = events.select("u").distinct().count()
     errs = {}
