@@ -28,7 +28,7 @@ END = "<!-- END GENERATED QUERY INDEX -->"
 MODULES = [
     "tpch", "operators", "scale", "streaming_delta", "pipeline_e2e",
     "round3", "round5", "round6", "round7", "round8", "round9",
-    "round10", "round11", "linkage", "round12", "round13",
+    "round10", "round11", "linkage", "round12", "round13", "round14",
 ]
 
 
