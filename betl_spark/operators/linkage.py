@@ -50,6 +50,16 @@ DEFAULT_THRESHOLD = 3
 #: name / of its last token)
 DEFAULT_PREFIX_LEN = 2
 
+#: default grid decomposition factor for the pairwise self-join
+#: (:func:`fuzzy_name_pairs`): each block's unordered pairs are split
+#: across S(S+1)/2 bucket cells so every pair is ITERATED once instead
+#: of twice (the plain ordered self-join probes both orientations and
+#: discards half on ``name_a < name_b``). Measured round 14 (SCALE.md):
+#: 1.7-2.0x at sf1/sf3 on both whale and uniform corpora, neutral at
+#: sf0.1 — so the grid is the default for BOTH the broadcast and
+#: shuffled strategies; ``salt=1`` recovers the plain joins.
+DEFAULT_GRID_SALT = 8
+
 
 def normalize_name(col) -> Column:
     """Matching-side normalization: lower(trim(name)).
@@ -322,7 +332,7 @@ def fuzzy_name_pairs(
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     broadcast_names: bool = True,
-    salt: int = 1,
+    salt: int = DEFAULT_GRID_SALT,
 ) -> DataFrame:
     """All fuzzy-match pairs over a DISTINCT-name vocabulary using the
     multi-pass (``p:`` head / ``l:`` last-token) blocking keys:
@@ -354,6 +364,17 @@ def fuzzy_name_pairs(
       side is ``ensure_parallelism``'d; candidates are generated
       map-side, spread across probe partitions however whale-shaped
       one block is.
+    - ``broadcast_names=True, salt=S``: grid-decomposed broadcast —
+      the round-14 whale measurement showed the plain ordered
+      self-join's real cost is ORIENTATION, not distribution: the
+      hash probe iterates every unordered in-block pair TWICE (once
+      per orientation) and discards half on ``name_a < name_b``
+      (probe granularity was exonerated: 256 probe partitions timed
+      the same as 32). Bucketing names by ``xxhash64 % S`` and having
+      each probe row scan only partner buckets ``v >= u`` (own bucket
+      under the name ordering) meets each unordered pair ONCE —
+      measured ~1.9x on the sf3 whale corpus with broadcast safety
+      intact (SCALE.md round 14).
     - ``broadcast_names=False``: shuffled join for
       larger-than-broadcast vocabularies; pass ``salt=S`` to grid-
       decompose each block into S(S+1)/2 cells (deterministic
@@ -367,7 +388,31 @@ def fuzzy_name_pairs(
         F.col("name"),
         F.explode(block_keys(F.col("name"), prefix_len)).alias("block_key"),
     )
-    if broadcast_names:
+    if broadcast_names and salt > 1:
+        u = F.pmod(F.xxhash64(F.col("name")), F.lit(int(salt))).cast("int")
+        a = ensure_parallelism(
+            keyed.withColumn("__u", u).withColumn(
+                "__v",
+                F.explode(F.sequence(F.col("__u"), F.lit(int(salt) - 1))),
+            )
+        ).alias("a")
+        b = F.broadcast(keyed.withColumn("__v", u)).alias("b")
+        # pair (x, y) meets exactly once: cross-bucket pairs from the
+        # SMALLER-bucket member only (it alone explodes up to the
+        # partner's bucket); same-bucket pairs ordered by name
+        cond = (
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.__v") == F.col("b.__v"))
+            & (
+                (F.col("a.__u") != F.col("b.__v"))
+                | (F.col("a.name") < F.col("b.name"))
+            )
+            & (F.col("a.name") != F.col("b.name"))
+        )
+        pairs = a.join(b, cond)
+        emit_a = F.least(F.col("a.name"), F.col("b.name"))
+        emit_b = F.greatest(F.col("a.name"), F.col("b.name"))
+    elif broadcast_names:
         a = ensure_parallelism(keyed).alias("a")
         b = F.broadcast(keyed).alias("b")
         cond = (F.col("a.block_key") == F.col("b.block_key")) & (
@@ -440,7 +485,7 @@ def cluster_records(
     prefix_len: int = DEFAULT_PREFIX_LEN,
     keep_cols: tuple[str, ...] = (),
     broadcast_names: bool = True,
-    salt: int = 1,
+    salt: int = DEFAULT_GRID_SALT,
 ) -> DataFrame:
     """Master-less entity resolution: group dirty records into
     transitive fuzzy-match clusters of their (normalized) names.
@@ -581,7 +626,7 @@ def cross_name_pairs(
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     broadcast_names: bool = True,
-    salt: int = 1,
+    salt: int = DEFAULT_GRID_SALT,
 ) -> DataFrame:
     """Fuzzy-match pairs BETWEEN two distinct-name vocabularies (no
     in-side pairs): ``(name_l, name_r, dist)`` with
@@ -656,7 +701,7 @@ def incremental_cluster_assign(
     prefix_len: int = DEFAULT_PREFIX_LEN,
     keep_cols: tuple[str, ...] = (),
     broadcast_names: bool = True,
-    salt: int = 1,
+    salt: int = DEFAULT_GRID_SALT,
 ) -> DataFrame:
     """Incremental (attach-or-create) entity resolution: assign a new
     ingest batch against FROZEN existing clusters — the daily-ingest
@@ -750,7 +795,7 @@ def incremental_bridge_audit(
     threshold: int = DEFAULT_THRESHOLD,
     prefix_len: int = DEFAULT_PREFIX_LEN,
     broadcast_names: bool = True,
-    salt: int = 1,
+    salt: int = DEFAULT_GRID_SALT,
 ) -> DataFrame:
     """The merge-candidate report for :func:`incremental_cluster_assign`:
     per new-name component, how many DISTINCT existing clusters it is

@@ -684,6 +684,10 @@ def test_fuzzy_pair_strategies_agree(spark):
             )
         )
         assert salted == base, f"salt={s}"
+        grid_bcast = pairset(
+            linkage.fuzzy_name_pairs(vocab, salt=s)
+        )
+        assert grid_bcast == base, f"broadcast salt={s}"
     assert base, "witness vocabulary produced no pairs"
 
 
