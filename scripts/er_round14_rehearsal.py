@@ -76,8 +76,9 @@ def part_a(spark):
         vocab = vocab_of(recs).persist()
         n_vocab = vocab.count()
         for name, kw, coal in [
-            ("broadcast (default)", {}, True),
-            ("shuffled unsalted", dict(broadcast_names=False), False),
+            ("broadcast plain", dict(salt=1), True),
+            ("broadcast grid (default)", {}, True),
+            ("shuffled unsalted", dict(broadcast_names=False, salt=1), False),
             ("shuffled salt=8", dict(broadcast_names=False, salt=8), False),
             ("shuffled salt=16", dict(broadcast_names=False, salt=16), False),
         ]:

@@ -219,9 +219,10 @@ def part_c(spark):
         vocab.count()
         rows = []
         for tag, kw in [
-            ("shuffled unsalted", dict(broadcast_names=False)),
+            ("shuffled unsalted", dict(broadcast_names=False, salt=1)),
             ("shuffled salt=8", dict(broadcast_names=False, salt=8)),
-            ("broadcast (default)", {}),
+            ("broadcast plain", dict(salt=1)),
+            ("broadcast grid (default)", {}),
         ]:
             n, t = timed(
                 linkage.fuzzy_name_pairs(vocab, THRESHOLD, **kw).count
