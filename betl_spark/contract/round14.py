@@ -180,3 +180,122 @@ QUERIES["hist_quantile_mergeable"] = (
     q_hist_quantile_mergeable,
     HIST_QUANTILE_MERGEABLE_SQL,
 )
+
+
+# ---- 3. topk_sketch_heavyhitters: mergeable offline-Misra-Gries
+# heavy-hitter summaries over document tokens, per-source top-10 from
+# shard-merged bounds — the ENTIRE construction (shard censuses,
+# thresholds, residuals, merged exact-integer bounds, final ranking)
+# is replayed independently by the DuckDB oracle, so every output
+# column is value-matched; nothing is TRUE-pinned ----
+
+#: Misra-Gries budget per (source, shard) summary; the synthetic word
+#: pool has ~60-100 distinct tokens per slice, so m=16 exercises REAL
+#: truncation (t > 0) at every scale (m=64 would degenerate to an
+#: exact census on this corpus)
+_TOPK_M = 16
+
+#: shards per source (the "daily partition" axis of the rehearsal)
+_SHARDS = 8
+
+#: final top-k per source from the merged bounds
+_TOPK_OUT = 10
+
+
+def q_topk_sketch_heavyhitters(spark, sf_dir):
+    """Per source: the top-10 tokens by merged-summary LOWER bound
+    (ties broken by token), with the exact-integer bound interval and
+    the independently-computed exact count. The Spark side goes
+    fact scan -> per-(source, shard) Misra-Gries summaries ->
+    bound-merge to source grain -> rank; the oracle rebuilds the same
+    summaries from scratch in SQL. ``exact_n`` always lands inside
+    [est_lo, est_hi] by construction — and because BOTH engines
+    compute all three columns independently, a defect in thresholds,
+    residuals, or the absent-partition accounting breaks the value
+    match rather than a self-referential boolean."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        "source", (F.col("doc_id") % _SHARDS).alias("shard"), "text"
+    )
+    toks = docs.select(
+        "source", "shard", F.explode(F.split("text", " ")).alias("token")
+    )
+    sk = sketches.topk_sketch(toks, ["source", "shard"], "token", _TOPK_M)
+    merged = sketches.merge_topk_sketches(sk, ["source"]).withColumnRenamed(
+        "item", "token"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("est_lo").desc(), F.col("token")
+    )
+    top = merged.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= _TOPK_OUT
+    )
+    exact = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_n")
+    )
+    return top.join(exact, ["source", "token"]).select(
+        "source",
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "est_lo",
+        "est_hi",
+        "exact_n",
+    )
+
+
+TOPK_SKETCH_HEAVYHITTERS_SQL = f"""
+WITH toks AS (
+  SELECT source, doc_id % {_SHARDS} AS shard,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+census AS (
+  SELECT source, shard, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE token IS NOT NULL GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source, shard ORDER BY c DESC, token) AS rn
+  FROM census
+),
+thresh AS (
+  SELECT source, shard,
+         CAST(coalesce(max(CASE WHEN rn = {_TOPK_M + 1} THEN c END), 0)
+              AS BIGINT) AS t
+  FROM ranked GROUP BY 1, 2
+),
+summary AS (
+  SELECT c.source, c.shard, c.token, c.c - th.t AS residual, th.t
+  FROM census c JOIN thresh th USING (source, shard)
+  WHERE c.c > th.t
+),
+meta AS (SELECT source, CAST(sum(t) AS BIGINT) AS t_total FROM thresh GROUP BY 1),
+merged AS (
+  SELECT s.source, s.token,
+         CAST(sum(s.residual + s.t) AS BIGINT) AS est_lo,
+         CAST(sum(s.t) AS BIGINT) AS t_present
+  FROM summary s GROUP BY 1, 2
+),
+bounds AS (
+  SELECT m.source, m.token, m.est_lo,
+         m.est_lo + mt.t_total - m.t_present AS est_hi
+  FROM merged m JOIN meta mt USING (source)
+),
+top AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY source ORDER BY est_lo DESC, token) AS rank
+  FROM bounds QUALIFY rank <= {_TOPK_OUT}
+),
+exact AS (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS exact_n
+  FROM toks GROUP BY 1, 2
+)
+SELECT t.source, CAST(t.rank AS BIGINT) AS rank, t.token,
+       t.est_lo, CAST(t.est_hi AS BIGINT) AS est_hi, e.exact_n
+FROM top t JOIN exact e USING (source, token)
+"""
+QUERIES["topk_sketch_heavyhitters"] = (
+    q_topk_sketch_heavyhitters,
+    TOPK_SKETCH_HEAVYHITTERS_SQL,
+)

@@ -288,3 +288,119 @@ def histogram_quantiles(
         bin_lo.alias("bin_lo"),
         bin_hi.alias("bin_hi"),
     )
+
+
+# ---- family 3: mergeable heavy-hitter (top-k) sketches ----
+# (completing the trio: distinct counts (HLL), quantiles (histogram),
+# and now frequent items. The OFFLINE Misra-Gries summary: per
+# partition, census the items, find the (m+1)-th largest count T, and
+# keep each item's count ABOVE that threshold — at most m rows plus
+# one meta row carrying T. Unlike streaming MG, the offline form is
+# fully deterministic (T is a value at a fixed position of the sorted
+# count multiset — order-independent even under count ties), every
+# quantity is an exact integer, and the whole construction is plain
+# SQL an independent engine can replay — so the contract value-matches
+# summaries, bounds, and ranks rather than pinning booleans. Merging
+# summaries across partitions gives exact bounds per item:
+#   true count in a partition where the item IS in the summary is
+#   exactly residual + T (residual = count - T);
+#   in a partition where it is NOT, it is between 0 and T;
+# so  lo = Σ_present (residual + T)  <=  true  <=  lo + Σ_absent T.
+# The classic guarantee follows: any item with true count > Σ T over
+# all partitions MUST appear in at least one summary. ~m rows per
+# partition persisted, rolled up forever — the 100 TB "top tokens /
+# top URLs per corpus slice" pattern without re-scanning the facts.)
+
+#: default Misra-Gries budget: summaries keep at most m items whose
+#: count strictly exceeds the (m+1)-th largest
+DEFAULT_TOPK_M = 16
+
+
+def topk_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    m: int = DEFAULT_TOPK_M,
+) -> DataFrame:
+    """Offline Misra-Gries summary at the finest grain: one row per
+    kept item ``(<group_cols>, item, residual, t)`` with
+    ``residual = count - t > 0``, plus one meta row per group
+    (``item`` NULL, ``residual`` 0) carrying ``t`` so rollups can
+    account for partitions an item was truncated from. ``t`` is the
+    (m+1)-th largest item count in the group (0 when the group has
+    <= m distinct items — the summary is then the exact census).
+
+    Plan shape: one hash aggregate over the facts (the census), then a
+    group-partitioned row_number at census grain to locate t — never a
+    global sort — and a broadcast-sized join of the per-group t back
+    to the census."""
+    from pyspark.sql import Window
+
+    census = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(*group_cols, F.col(item_col).alias("item"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("__c").desc(), F.col("item")
+    )
+    ranked = census.withColumn("__rn", F.row_number().over(w))
+    t_tbl = ranked.groupBy(*group_cols).agg(
+        F.coalesce(
+            F.max(F.when(F.col("__rn") == int(m) + 1, F.col("__c"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("t")
+    )
+    kept = (
+        census.join(t_tbl, list(group_cols))
+        .where(F.col("__c") > F.col("t"))
+        .select(
+            *group_cols,
+            "item",
+            (F.col("__c") - F.col("t")).alias("residual"),
+            "t",
+        )
+    )
+    meta = t_tbl.select(
+        *group_cols,
+        F.lit(None).cast(kept.schema["item"].dataType).alias("item"),
+        F.lit(0).cast("long").alias("residual"),
+        "t",
+    )
+    return kept.unionByName(meta)
+
+
+def merge_topk_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Roll heavy-hitter summaries up to a coarser grain (the finer
+    partition columns are simply absent from ``group_cols``): exact
+    integer count bounds per surviving item —
+    ``(<group_cols>, item, est_lo, est_hi)`` with
+    ``est_lo <= true count <= est_hi`` (see the family note; both
+    bounds are sums of summary integers, no estimation). Runs at
+    sketch grain: kilobytes per group through the shuffle."""
+    meta = (
+        sketches.where(F.col("item").isNull())
+        .groupBy(*group_cols)
+        .agg(F.sum("t").cast("long").alias("__t_total"))
+    )
+    items = (
+        sketches.where(F.col("item").isNotNull())
+        .groupBy(*group_cols, "item")
+        .agg(
+            F.sum(F.col("residual") + F.col("t")).cast("long").alias("est_lo"),
+            F.sum("t").cast("long").alias("__t_present"),
+        )
+    )
+    return items.join(meta, list(group_cols)).select(
+        *group_cols,
+        "item",
+        "est_lo",
+        (F.col("est_lo") + F.col("__t_total") - F.col("__t_present"))
+        .cast("long")
+        .alias("est_hi"),
+    )

@@ -744,7 +744,13 @@ def test_histogram_sketch_family_plan_shape(spark):
         q_hist_sketch_bins,
     )
 
-    for q in (q_hist_sketch_bins, q_hist_quantile_mergeable):
+    from betl_spark.contract.round14 import q_topk_sketch_heavyhitters
+
+    for q in (
+        q_hist_sketch_bins,
+        q_hist_quantile_mergeable,
+        q_topk_sketch_heavyhitters,
+    ):
         p = plan(q(spark, SF))
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
         assert "CartesianProduct" not in p, p

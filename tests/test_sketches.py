@@ -238,6 +238,132 @@ def test_histogram_survives_parquet(spark, valued, tmp_path):
     ) == sorted([(r["t"], list(r["hist_bins"])) for r in b], key=lambda x: x[0])
 
 
+# ---- family 3: mergeable heavy-hitter (offline Misra-Gries) ----
+
+
+def _mg_reference(rows, m):
+    """Python reference: per group, the offline MG summary
+    {item: residual} plus threshold t."""
+    import collections
+
+    by_group = collections.defaultdict(collections.Counter)
+    for g, item in rows:
+        if item is not None:
+            by_group[g][item] += 1
+    out = {}
+    for g, counts in by_group.items():
+        ordered = sorted(counts.values(), reverse=True)
+        t = ordered[m] if len(ordered) > m else 0
+        out[g] = (
+            {i: c - t for i, c in counts.items() if c > t},
+            t,
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def skewed_items(spark):
+    # 3 groups x 2 shards; zipf-ish: item j appears ~600/(j+1) times
+    return spark.range(6000).selectExpr(
+        "id % 3 AS g",
+        "id % 2 AS shard",
+        "CAST(CAST(floor(sqrt(id % 2000)) AS BIGINT) % 40 AS STRING) AS item",
+    )
+
+
+def test_topk_sketch_matches_python_reference(spark, skewed_items):
+    m = 5
+    got = sketches.topk_sketch(skewed_items, ["g", "shard"], "item", m)
+    rows = got.collect()
+    want = _mg_reference(
+        [((r["g"], r["shard"]), r["item"])
+         for r in skewed_items.select("g", "shard", "item").collect()],
+        m,
+    )
+    for key, (summary, t) in want.items():
+        kept = {
+            r["item"]: r["residual"]
+            for r in rows
+            if (r["g"], r["shard"]) == key and r["item"] is not None
+        }
+        metas = [
+            r for r in rows
+            if (r["g"], r["shard"]) == key and r["item"] is None
+        ]
+        assert kept == summary, key
+        assert len(metas) == 1 and metas[0]["t"] == t, key
+        assert len(kept) <= m
+        assert all(r > 0 for r in kept.values())
+
+
+def test_topk_small_group_is_exact_census(spark):
+    df = spark.range(30).selectExpr(
+        "0 AS g", "CAST(id % 3 AS STRING) AS item"
+    )
+    rows = sketches.topk_sketch(df, ["g"], "item", m=16).collect()
+    kept = {r["item"]: r["residual"] for r in rows if r["item"] is not None}
+    assert kept == {"0": 10, "1": 10, "2": 10}
+    assert all(r["t"] == 0 for r in rows)
+
+
+def test_topk_merge_bounds_contain_exact(spark, skewed_items):
+    m = 5
+    sk = sketches.topk_sketch(skewed_items, ["g", "shard"], "item", m)
+    merged = sketches.merge_topk_sketches(sk, ["g"])
+    exact = {
+        (r["g"], r["item"]): r["n"]
+        for r in skewed_items.groupBy("g", "item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = merged.collect()
+    assert got, "merged summary empty"
+    t_total = {
+        r["g"]: r["tt"]
+        for r in sk.where(F.col("item").isNull())
+        .groupBy("g")
+        .agg(F.sum("t").alias("tt"))
+        .collect()
+    }
+    for r in got:
+        true = exact[(r["g"], r["item"])]
+        assert r["est_lo"] <= true <= r["est_hi"], r
+    # heavy-hitter guarantee: any item with true count > sum of
+    # thresholds must appear in the merged summary
+    present = {(r["g"], r["item"]) for r in got}
+    for (g, item), n in exact.items():
+        if n > t_total[g]:
+            assert (g, item) in present, (g, item, n, t_total[g])
+
+
+def test_topk_merge_of_single_partition_is_exact(spark):
+    """Merging a one-partition sketch collapses the bounds to the
+    summary's exact counts (t_present == t_total)."""
+    df = spark.range(1000).selectExpr(
+        "0 AS g", "CAST(CAST(floor(sqrt(id)) AS BIGINT) % 10 AS STRING) AS item"
+    )
+    sk = sketches.topk_sketch(df, ["g"], "item", m=3)
+    merged = sketches.merge_topk_sketches(sk, ["g"]).collect()
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for r in merged:
+        assert r["est_lo"] == r["est_hi"] == exact[r["item"]], r
+
+
+def test_topk_threshold_is_tie_stable(spark):
+    """t is the (m+1)-th VALUE of the sorted count multiset — stable
+    under count ties however row_number breaks them."""
+    # 6 items, all count 4 -> with m=3, t = 4 and the summary is EMPTY
+    df = spark.range(24).selectExpr(
+        "0 AS g", "CAST(id % 6 AS STRING) AS item"
+    )
+    rows = sketches.topk_sketch(df, ["g"], "item", m=3).collect()
+    assert [r for r in rows if r["item"] is not None] == []
+    assert [r["t"] for r in rows if r["item"] is None] == [4]
+
+
 def test_higher_lgk_tightens_estimate(spark, events):
     exact = events.select("u").distinct().count()
     errs = {}
