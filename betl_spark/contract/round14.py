@@ -299,3 +299,240 @@ QUERIES["topk_sketch_heavyhitters"] = (
     q_topk_sketch_heavyhitters,
     TOPK_SKETCH_HEAVYHITTERS_SQL,
 )
+
+
+# ---- 4. kmv_distinct_mergeable: bottom-k (KMV) sketches — the
+# fourth mergeable family. Spark takes the SHARDED path (daily
+# sketches -> lossless merge -> exact-integer estimate); the oracle
+# computes the DIRECT global bottom-k in SQL. Because bottom-k merge
+# is exact (the k smallest hashes of a union are among the union of
+# each shard's k smallest), the two paths must agree bit-for-bit —
+# the value match IS the mergeability proof. Every column (kept-row
+# count, k-th hash, estimate, exact count, error in permille) is an
+# exact integer both engines derive independently; nothing is
+# TRUE-pinned. ----
+
+#: bottom-k budget: rse ~ 1/sqrt(k-2) ~= 13%; per-type distinct users
+#: are 150/1.5k/15k at sf0.01/0.1/1, so the estimator path (n > k)
+#: is exercised at every scale
+_KMV_K = 64
+
+#: (k-1) * 2^48 — the estimator numerator, an exact long literal
+#: shared with the oracle text
+_KMV_NUM = (_KMV_K - 1) * sketches.KMV_HASH_SPACE
+
+
+def q_kmv_distinct_mergeable(spark, sf_dir):
+    """Per event type: distinct-user estimate from the daily->merged
+    bottom-k sketch chain vs the exact count. distinct_est and
+    err_permille are exact integer arithmetic (``div``), so the oracle
+    value-matches the estimator itself, not a band."""
+    ev0 = table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "event_type",
+        "user_id",
+        (ts_micros(ev0) / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    daily = sketches.kmv_sketch(ev, ["event_type", "day"], "user_id", _KMV_K)
+    merged = sketches.merge_kmv_sketches(daily, ["event_type"], _KMV_K)
+    est = sketches.kmv_estimate(merged, ["event_type"], _KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    out = est.join(exact, "event_type")
+    return out.select(
+        "event_type",
+        "n_kept",
+        "h_k",
+        "distinct_est",
+        "exact_distinct",
+        F.expr(
+            "abs(distinct_est - exact_distinct) * 1000 div exact_distinct"
+        ).alias("err_permille"),
+    )
+
+
+KMV_DISTINCT_MERGEABLE_SQL = f"""
+WITH cand AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type, item,
+         CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h
+  FROM cand
+),
+bottomk AS (
+  SELECT event_type, item, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h, item) AS rn
+  FROM hashed QUALIFY rn <= {_KMV_K}
+),
+est AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(h) AS BIGINT) AS h_k
+  FROM bottomk GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT e.event_type, e.n_kept, e.h_k,
+       CAST(CASE WHEN e.n_kept < {_KMV_K} THEN e.n_kept
+            ELSE {_KMV_NUM} // greatest(e.h_k, 1) END AS BIGINT) AS distinct_est,
+       x.exact_distinct,
+       CAST(abs((CASE WHEN e.n_kept < {_KMV_K} THEN e.n_kept
+                 ELSE {_KMV_NUM} // greatest(e.h_k, 1) END) - x.exact_distinct)
+            * 1000 // x.exact_distinct AS BIGINT) AS err_permille
+FROM est e JOIN exact x USING (event_type)
+"""
+QUERIES["kmv_distinct_mergeable"] = (
+    q_kmv_distinct_mergeable,
+    KMV_DISTINCT_MERGEABLE_SQL,
+)
+
+
+# ---- 5. kmv_bottomk_sample: the sample surface of the same family —
+# a uniform without-replacement sample of distinct doc_ids per lang,
+# built shard-by-shard (per (lang, source)) and merged. The oracle
+# computes the direct global bottom-k; row-for-row equality (rank,
+# item, hash) is the lossless-merge proof at sample grain. ----
+
+#: sample budget per lang (smallest lang slice has 64 docs at sf0.01)
+_KMV_SAMPLE_K = 16
+
+
+def q_kmv_bottomk_sample(spark, sf_dir):
+    """Per lang: the 16 distinct doc_ids with the smallest 48-bit
+    hashes, with their rank — Spark builds per-(lang, source) sketches
+    and merges to lang; the oracle ranks globally."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("lang", "source", "doc_id")
+    sk = sketches.kmv_sketch(docs, ["lang", "source"], "doc_id", _KMV_SAMPLE_K)
+    merged = sketches.merge_kmv_sketches(sk, ["lang"], _KMV_SAMPLE_K)
+    w = Window.partitionBy("lang").orderBy(F.col("h").asc(), F.col("item").asc())
+    return merged.select(
+        "lang",
+        F.row_number().over(w).cast("long").alias("rank"),
+        "item",
+        "h",
+    )
+
+
+KMV_BOTTOMK_SAMPLE_SQL = f"""
+WITH cand AS (
+  SELECT DISTINCT lang, CAST(doc_id AS VARCHAR) AS item
+  FROM documents WHERE doc_id IS NOT NULL
+),
+hashed AS (
+  SELECT lang, item,
+         CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h
+  FROM cand
+)
+SELECT lang,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY h, item)
+            AS BIGINT) AS rank,
+       item, h
+FROM hashed QUALIFY rank <= {_KMV_SAMPLE_K}
+"""
+QUERIES["kmv_bottomk_sample"] = (q_kmv_bottomk_sample, KMV_BOTTOMK_SAMPLE_SQL)
+
+
+# ---- 6. bloom_membership_census: Bloom-filter membership — the
+# fifth mergeable family (bit_or). Build per (event_type, day) over
+# the EVEN event_ids, merge to event_type, probe the odd ids (true
+# negatives) plus every 10th id (members); ground truth is the parity
+# rule, recomputed exactly by both engines. The oracle builds its
+# filter as a SET of occupied bit positions (semi-join membership),
+# so the Spark side's word-packing and shift/mask extraction is
+# verified against an independent REPRESENTATION, not replayed. False
+# negatives are structurally zero; false positives are deterministic
+# (md5 positions) and value-matched, giving a measured FPR ladder as
+# the fixed 2 KB filter saturates with scale (the documented sizing
+# rule: m scales with expected keys; the plan shape is m-independent). ----
+
+_BLOOM_W = sketches.DEFAULT_BLOOM_WORDS      # 256 longs = 16384 bits
+_BLOOM_J = sketches.DEFAULT_BLOOM_HASHES     # 3 salted md5 hashes
+_BLOOM_BITS = 64 * _BLOOM_W
+
+
+def q_bloom_membership_census(spark, sf_dir):
+    """Per event type: probe census (probes, members, hits, true/false
+    positives, false negatives) of the merged daily Bloom filters."""
+    ev0 = table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "event_type",
+        "event_id",
+        F.col("event_id").cast("string").alias("key"),
+        (ts_micros(ev0) / F.lit(86_400_000_000)).cast("long").alias("day"),
+    )
+    build = ev.where(F.col("event_id") % 2 == 0)
+    daily = sketches.bloom_sketch(
+        build, ["event_type", "day"], "key", _BLOOM_W, _BLOOM_J
+    )
+    merged = sketches.merge_bloom_sketches(daily, ["event_type"], _BLOOM_W)
+    probes = ev.where(
+        (F.col("event_id") % 2 == 1) | (F.col("event_id") % 10 == 0)
+    ).withColumn("is_member", F.col("event_id") % 2 == 0)
+    flagged = sketches.bloom_probe(
+        probes, merged, ["event_type"], "key", _BLOOM_W, _BLOOM_J
+    )
+    m, hit = F.col("is_member"), F.col("bloom_hit")
+    one = F.lit(1)
+    return flagged.groupBy("event_type").agg(
+        F.count(one).cast("long").alias("n_probes"),
+        F.sum(F.when(m, 1).otherwise(0)).cast("long").alias("n_members"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(hit & m, 1).otherwise(0)).cast("long").alias("n_true_pos"),
+        F.sum(F.when(hit & ~m, 1).otherwise(0)).cast("long").alias("n_false_pos"),
+        F.sum(F.when(~hit & m, 1).otherwise(0)).cast("long").alias("n_false_neg"),
+    )
+
+
+BLOOM_MEMBERSHIP_CENSUS_SQL = f"""
+WITH salts AS (SELECT UNNEST([0, 1, 2]) AS i),
+members AS (
+  SELECT DISTINCT event_type, CAST(event_id AS VARCHAR) AS key
+  FROM events WHERE event_id % 2 = 0
+),
+bits AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(i || ':' || key), 1, 12) AS BIGINT)
+           % {_BLOOM_BITS} AS p
+  FROM members CROSS JOIN salts
+),
+probes AS (
+  SELECT event_type, CAST(event_id AS VARCHAR) AS key,
+         event_id % 2 = 0 AS is_member
+  FROM events WHERE event_id % 2 = 1 OR event_id % 10 = 0
+),
+ppos AS (
+  SELECT pr.event_type, pr.key, pr.is_member, s.i,
+         CAST('0x' || substr(md5(s.i || ':' || pr.key), 1, 12) AS BIGINT)
+           % {_BLOOM_BITS} AS p
+  FROM probes pr CROSS JOIN salts s
+),
+hits AS (
+  SELECT pp.event_type, pp.key, pp.is_member,
+         bool_and(b.p IS NOT NULL) AS hit
+  FROM ppos pp
+  LEFT JOIN bits b ON b.event_type = pp.event_type AND b.p = pp.p
+  GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(sum(CASE WHEN hit AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_pos,
+       CAST(sum(CASE WHEN hit AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos,
+       CAST(sum(CASE WHEN (NOT hit) AND is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_neg
+FROM hits GROUP BY 1
+"""
+QUERIES["bloom_membership_census"] = (
+    q_bloom_membership_census,
+    BLOOM_MEMBERSHIP_CENSUS_SQL,
+)

@@ -404,3 +404,273 @@ def merge_topk_sketches(
         .cast("long")
         .alias("est_hi"),
     )
+
+
+# ---- family 4: bottom-k (KMV) sketches — mergeable distinct sample ----
+# (the fourth mergeable per-group summary shape: HLL answers "how
+# many distinct", the histogram "what distribution", Misra-Gries
+# "which items dominate" — bottom-k answers "show me a uniform sample
+# of the distinct values, and how many there are", from one persisted
+# sketch. The k distinct values with the SMALLEST hashes are a
+# uniform-without-replacement sample of the distinct-value set
+# (Bar-Yossef et al. 2002; Beyer et al., SIGMOD 2007 "On synopses for
+# distinct-value estimation"), and the merge is LOSSLESS-EXACT, not
+# just error-preserving: the k smallest hashes of a union are always
+# among the union of each part's k smallest, so sharded build + merge
+# is bit-identical to a direct global build — the contract proves it
+# by having Spark take the sharded path while the oracle computes the
+# direct one. The cardinality estimator is the classic
+# (k-1)/u_(k) with u the hash normalized into [0,1); with a 48-bit
+# integer hash that is floor((k-1)*2^48 / h_(k)) — EXACT INTEGER
+# arithmetic (relative std error ~1/sqrt(k-2)), and a group with
+# fewer than k distinct values degrades to the exact census.)
+
+#: 48-bit hash space: 12 md5 hex chars. (k-1)*2^48 fits a long for
+#: any practical k (k=1024 -> 2.9e17 << 2^63), so the estimator stays
+#: in exact integer arithmetic both engines replay identically.
+KMV_HASH_SPACE = 1 << 48
+
+#: default bottom-k budget: rse ~1/sqrt(k-2) ~= 13% at k=64
+DEFAULT_KMV_K = 64
+
+
+def kmv_hash(col) -> Column:
+    """48-bit uniform hash of a value: first 12 hex chars of md5 of
+    the string form, as a non-negative long. The DuckDB oracle replays
+    it as ``CAST('0x' || substr(md5(v), 1, 12) AS BIGINT)`` — parity
+    is pinned by test on literal values."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Build the finest-grain bottom-k sketch table: per group, the
+    <= k distinct ``value_col`` values with the smallest 48-bit hashes
+    — ``(<group_cols>, item (string), h (long))``. ONE hash aggregate
+    (the distinct) then a group-partitioned row_number ordered by
+    ``(h, item)``; the ``rn <= k`` filter is rewritten by Spark's
+    WindowGroupLimit rule into a map-side partial group-limit, so only
+    <= k rows per group per input partition reach the shuffle — the
+    build never sorts a group's full distinct set in one place
+    (plan-pinned in ``tests/test_plans.py``)."""
+    from pyspark.sql import Window
+
+    cand = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, F.col(value_col).cast("string").alias("item"))
+        .distinct()
+        .withColumn("h", kmv_hash(F.col("item")))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("item").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+def merge_kmv_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Roll bottom-k sketches up to a coarser grain: dedupe items and
+    re-take the k smallest hashes per surviving group. EXACT: the
+    result is bit-identical to a direct :func:`kmv_sketch` of the
+    unioned data (any globally-bottom-k hash is bottom-k within its
+    own shard, so it survives into the merge input). Runs at sketch
+    grain — <= k rows per group per shard through the shuffle."""
+    from pyspark.sql import Window
+
+    cand = sketches.select(*group_cols, "item", "h").distinct()
+    w = Window.partitionBy(*group_cols).orderBy(F.col("h").asc(), F.col("item").asc())
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= int(k))
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = DEFAULT_KMV_K,
+) -> DataFrame:
+    """Distinct-count estimate per group from a bottom-k sketch table:
+    ``(<group_cols>, n_kept, h_k, distinct_est)``. When the group kept
+    fewer than k rows the sketch IS the distinct set (est = n_kept,
+    h_k the largest kept hash); otherwise the KMV estimator
+    ``floor((k-1) * 2^48 / h_k)`` with h_k the k-th smallest hash —
+    exact integer arithmetic end to end (``div``), replayed verbatim
+    by the oracle."""
+    c_num = (int(k) - 1) * KMV_HASH_SPACE
+    agg = sketches.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("h_k"),
+    )
+    return agg.withColumn(
+        "distinct_est",
+        F.when(F.col("n_kept") < int(k), F.col("n_kept")).otherwise(
+            F.expr(f"{c_num} div greatest(h_k, CAST(1 AS BIGINT))")
+        ),
+    )
+
+
+# ---- family 5: Bloom-filter membership sketches (bit_or-mergeable) ----
+# (the fifth shape: "have we seen this key?" — the incremental-dedup /
+# decontamination membership primitive. A fixed m-bit filter as an
+# array<long> of m/64 words: build = one hash aggregate of OR'd
+# single-bit words, merge = elementwise bit_or — associative and
+# commutative, so per-shard filters roll up BIT-IDENTICAL to a direct
+# build (the contract proves it the same way as KMV: Spark takes the
+# sharded path, the oracle the direct one). Probes have NO false
+# negatives by construction; false positives are deterministic for a
+# given dataset because the j bit positions come from md5 — the FP
+# census is therefore an exact value-matched integer fact, not a
+# bound pin. Sizing rule (documented, measured in the ladder): FPR
+# ~= (1 - e^(-j*n/m))^j — a fixed 2 KB filter is honest at n ~= 1e3
+# keys and saturates visibly by n ~= 1e5; production sizes m to the
+# expected key count per group (the array length is a parameter, and
+# the plan shape is identical at any m).)
+
+#: default filter geometry: 256 longs = 16384 bits (2 KB/group), 3 hashes
+DEFAULT_BLOOM_WORDS = 256
+DEFAULT_BLOOM_HASHES = 3
+
+
+def bloom_positions(col, n_words: int, n_hashes: int) -> list[Column]:
+    """The j bit positions (0 .. 64*n_words-1) of one key: position i
+    is the 48-bit md5 hash of ``'<i>:' || key`` modulo the bit count.
+    Independent salted hashes, identical text in the oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    m_bits = 64 * int(n_words)
+    return [
+        (kmv_hash(F.concat(F.lit(f"{i}:"), c.cast("string"))) % m_bits)
+        for i in range(int(n_hashes))
+    ]
+
+
+def bloom_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_words: int = DEFAULT_BLOOM_WORDS,
+    n_hashes: int = DEFAULT_BLOOM_HASHES,
+    bits_col: str = "bloom_bits",
+) -> DataFrame:
+    """Build the finest-grain Bloom filter table: one row per group
+    with an ``array<long>`` of ``n_words`` words whose bits cover the
+    group's keys. Plan: project each key to j (word, single-bit-mask)
+    pairs (a j-element explode — row growth j, no shuffle), ONE hash
+    aggregate at (group, word) grain OR-ing the masks, then the same
+    sketch-grain densify as the histogram family. Persist as the
+    daily/shard filter table."""
+    pos = F.explode(
+        F.array(*bloom_positions(key_col, n_words, n_hashes))
+    ).alias("__pos")
+    exploded = df.where(F.col(key_col).isNotNull()).select(
+        *group_cols, pos
+    )
+    words = (
+        exploded.select(
+            *group_cols,
+            (F.col("__pos") / 64).cast("int").alias("__w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+            ).alias("__m"),
+        )
+        .groupBy(*group_cols, "__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_words) - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__m"), i.cast("int")), F.lit(0)
+        ).cast("long"),
+    )
+    return (
+        words.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+            ).alias("__m")
+        )
+        .select(*group_cols, dense.alias(bits_col))
+    )
+
+
+def merge_bloom_sketches(
+    sketches: DataFrame,
+    group_cols: list[str],
+    n_words: int = DEFAULT_BLOOM_WORDS,
+    bits_col: str = "bloom_bits",
+) -> DataFrame:
+    """Roll Bloom filters up to a coarser grain: elementwise bit_or of
+    the word arrays — bit-identical to a direct build over the unioned
+    keys, at sketch grain (posexplode -> bit_or per (group, word) ->
+    reassemble; kilobytes per group through the shuffle)."""
+    ex = sketches.select(
+        *group_cols, F.posexplode(bits_col).alias("__w", "__x")
+    )
+    words = ex.groupBy(*group_cols, "__w").agg(F.bit_or("__x").alias("__bits"))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_words) - 1)),
+        lambda i: F.coalesce(
+            F.try_element_at(F.col("__m"), i.cast("int")), F.lit(0)
+        ).cast("long"),
+    )
+    return (
+        words.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__w"), F.col("__bits")))
+            ).alias("__m")
+        )
+        .select(*group_cols, dense.alias(bits_col))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    filters: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n_words: int = DEFAULT_BLOOM_WORDS,
+    n_hashes: int = DEFAULT_BLOOM_HASHES,
+    bits_col: str = "bloom_bits",
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test: join each probe row to its group's filter
+    (BROADCAST — the filter table is kilobytes per group however big
+    the underlying key set was; this is the point of the family: the
+    100 TB probe side never shuffles) and flag rows whose j bits are
+    all set. Bit extraction is ``(word >> (pos % 64)) & 1`` — the
+    lowest bit after an arithmetic shift, sign-safe in both engines."""
+    flt = F.broadcast(filters.select(*group_cols, bits_col))
+    out = probes.join(flt, list(group_cols), "left")
+    pos_cols = []
+    for i, p in enumerate(bloom_positions(key_col, n_words, n_hashes)):
+        out = out.withColumn(f"__bp{i}", p)
+        pos_cols.append(f"__bp{i}")
+    checks = [
+        F.coalesce(
+            F.expr(
+                f"(shiftright(try_element_at({bits_col}, "
+                f"CAST({pc} div 64 AS INT) + 1), "
+                f"CAST({pc} % 64 AS INT)) & 1) = 1"
+            ),
+            F.lit(False),
+        )
+        for pc in pos_cols
+    ]
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    return out.withColumn(flag_col, hit).drop(bits_col, *pos_cols)

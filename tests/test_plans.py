@@ -843,3 +843,52 @@ def test_3day_chain_no_cartesian_no_python(spark):
     p = plan(q_er_3day_chain(spark, SF))
     assert "CartesianProduct" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_kmv_family_plan_shape(spark):
+    """Bottom-k (KMV) family 100 TB contract: the build's rn<=k filter
+    must be rewritten by WindowGroupLimit (map-side partial group
+    limit BEFORE the shuffle — only <=k rows per group per input
+    partition move), and the whole family stays JVM-side with no
+    cartesian and no single-partition exchange."""
+    from betl_spark.contract.round14 import (
+        q_kmv_bottomk_sample,
+        q_kmv_distinct_mergeable,
+    )
+    from betl_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    build = sketches.kmv_sketch(ev, ["event_type"], "user_id", 64)
+    p = plan(build)
+    limits = re.findall(r"\(\d+\) WindowGroupLimit", p)
+    assert len(limits) >= 2, p  # partial (map-side) + final
+    assert p.index("WindowGroupLimit") >= 0
+    for q in (q_kmv_distinct_mergeable, q_kmv_bottomk_sample):
+        pq = plan(q(spark, SF))
+        assert "WindowGroupLimit" in pq, pq
+        assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
+        assert "CartesianProduct" not in pq, pq
+        assert "SinglePartition" not in pq, pq
+
+
+def test_bloom_family_plan_shape(spark):
+    """Bloom family 100 TB contract: the probe side joins the filter
+    table by BROADCAST (the probe fact never shuffles — the filter is
+    kilobytes per group), the build is hash aggregates only, and
+    nothing leaves the JVM."""
+    from betl_spark.contract.round14 import q_bloom_membership_census
+    from betl_spark.operators import sketches
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").selectExpr(
+        "event_type", "CAST(event_id AS STRING) AS key"
+    )
+    flt = sketches.bloom_sketch(ev, ["event_type"], "key", 64, 3)
+    probed = sketches.bloom_probe(ev, flt, ["event_type"], "key", 64, 3)
+    p = plan(probed)
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    pq = plan(q_bloom_membership_census(spark, SF))
+    assert "BroadcastHashJoin" in pq, pq
+    assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
+    assert "CartesianProduct" not in pq, pq
+    assert "SinglePartition" not in pq, pq

@@ -376,3 +376,142 @@ def test_higher_lgk_tightens_estimate(spark, events):
         # union-of-types over full data == sketch of all (same values)
         errs[lgk] = abs(est - exact)
     assert errs[14] <= errs[10] + max(1, int(0.002 * exact))
+
+
+# ---- family 4: bottom-k (KMV) ----
+
+
+@pytest.fixture(scope="module")
+def kmv_events(spark):
+    # 40k rows, 9,876 distinct users across 5 types and 8 shards
+    return spark.range(40_000).selectExpr(
+        "id % 5 AS t", "id % 8 AS shard", "(id * 31) % 9876 AS u"
+    )
+
+
+def test_kmv_hash_parity_with_duckdb(spark):
+    import duckdb
+
+    vals = ["42", "hello", "1:42", "", "Ünïcode"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], ["v"])
+        .select("v", sketches.kmv_hash(F.col("v")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for v in vals:
+        (want,) = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 12) AS BIGINT)", [v]
+        ).fetchone()
+        assert got[v] == want, v
+
+
+def test_kmv_merge_is_bit_exact(spark, kmv_events):
+    """Sharded build + merge == direct global build, row for row —
+    the lossless-merge property the contract's oracle strategy rests
+    on (the k smallest hashes of a union are among the union of each
+    shard's k smallest)."""
+    k = 32
+    sharded = sketches.kmv_sketch(kmv_events, ["t", "shard"], "u", k)
+    merged = sketches.merge_kmv_sketches(sharded, ["t"], k)
+    direct = sketches.kmv_sketch(kmv_events, ["t"], "u", k)
+    a = {tuple(r) for r in merged.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b and len(a) == 5 * k
+
+
+def test_kmv_small_group_is_exact_census(spark):
+    df = spark.range(10).selectExpr("0 AS g", "id AS v")
+    sk = sketches.kmv_sketch(df, ["g"], "v", 64)
+    est = sketches.kmv_estimate(sk, ["g"], 64).collect()[0]
+    assert est["n_kept"] == 10 and est["distinct_est"] == 10
+    items = {r["item"] for r in sk.collect()}
+    assert items == {str(i) for i in range(10)}
+
+
+def test_kmv_estimate_within_band(spark, kmv_events):
+    """(k-1)/u_(k) estimator at k=256: rse ~ 1/sqrt(254) ~= 6.3%;
+    assert within 4 rse of the exact distinct count."""
+    k = 256
+    sk = sketches.kmv_sketch(kmv_events, ["t"], "u", k)
+    est = sketches.kmv_estimate(sk, ["t"], k)
+    exact = kmv_events.groupBy("t").agg(
+        F.count_distinct("u").cast("long").alias("exact")
+    )
+    for r in est.join(exact, "t").collect():
+        assert abs(r["distinct_est"] - r["exact"]) <= 0.25 * r["exact"], dict(
+            r.asDict()
+        )
+
+
+def test_kmv_sample_items_are_real_and_hash_ordered(spark, kmv_events):
+    k = 16
+    sk = sketches.kmv_sketch(kmv_events, ["t"], "u", k)
+    rows = sk.collect()
+    assert all(r["h"] >= 0 for r in rows)
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r["t"], []).append(r["h"])
+    universe = {
+        (r["t"], r["u"]) for r in kmv_events.select("t", "u").distinct().collect()
+    }
+    got = {(r["t"], int(r["item"])) for r in rows}
+    assert got <= universe
+    for t, hs in by_t.items():
+        assert len(hs) == k == len(set(hs))
+
+
+# ---- family 5: Bloom membership ----
+
+
+@pytest.fixture(scope="module")
+def bloom_keys(spark):
+    # 3 groups x 800 member keys, disjoint probe space
+    return spark.range(2_400).selectExpr(
+        "id % 3 AS g", "CAST(id AS STRING) AS key", "id % 6 AS shard"
+    )
+
+
+def test_bloom_no_false_negatives(spark, bloom_keys):
+    flt = sketches.bloom_sketch(bloom_keys, ["g"], "key", 64, 3)
+    probed = sketches.bloom_probe(bloom_keys, flt, ["g"], "key", 64, 3)
+    assert probed.where(~F.col("bloom_hit")).count() == 0
+
+
+def test_bloom_merge_is_bit_exact(spark, bloom_keys):
+    sharded = sketches.bloom_sketch(bloom_keys, ["g", "shard"], "key", 32, 3)
+    merged = sketches.merge_bloom_sketches(sharded, ["g"], 32)
+    direct = sketches.bloom_sketch(bloom_keys, ["g"], "key", 32, 3)
+    a = {r["g"]: r["bloom_bits"] for r in merged.collect()}
+    b = {r["g"]: r["bloom_bits"] for r in direct.collect()}
+    assert a == b and len(a) == 3
+    assert all(len(v) == 32 for v in a.values())
+
+
+def test_bloom_fpr_within_expected(spark, bloom_keys):
+    """800 keys/group in a 64*64=4096-bit filter with j=3:
+    theoretical FPR ~ (1-e^(-3*800/4096))^3 ~= 0.087; allow 2.5x."""
+    flt = sketches.bloom_sketch(bloom_keys, ["g"], "key", 64, 3)
+    probes = spark.range(10_000, 13_000).selectExpr(
+        "id % 3 AS g", "CAST(id AS STRING) AS key"
+    )
+    probed = sketches.bloom_probe(probes, flt, ["g"], "key", 64, 3)
+    fp = probed.where(F.col("bloom_hit")).count()
+    assert fp / 3000 < 0.22, fp
+
+
+def test_bloom_probe_unknown_group_is_negative(spark, bloom_keys):
+    flt = sketches.bloom_sketch(bloom_keys, ["g"], "key", 64, 3)
+    probes = spark.createDataFrame([(99, "5")], ["g", "key"])
+    rows = sketches.bloom_probe(probes, flt, ["g"], "key", 64, 3).collect()
+    assert rows[0]["bloom_hit"] is False
+
+
+def test_bloom_survives_parquet(spark, bloom_keys, tmp_path):
+    flt = sketches.bloom_sketch(bloom_keys, ["g"], "key", 64, 3)
+    path = str(tmp_path / "bloom")
+    flt.write.parquet(path)
+    back = spark.read.parquet(path)
+    probed = sketches.bloom_probe(bloom_keys, back, ["g"], "key", 64, 3)
+    assert probed.where(~F.col("bloom_hit")).count() == 0
