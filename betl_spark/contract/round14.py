@@ -536,3 +536,161 @@ QUERIES["bloom_membership_census"] = (
     q_bloom_membership_census,
     BLOOM_MEMBERSHIP_CENSUS_SQL,
 )
+
+
+# ---- 7/8. web-graph centrality: exact-integer PageRank over the
+# synthetic domain link graph (operators/graph.py). The link universe
+# reuses round-11's URL host id (u = doc_id % 101 — contract/round11.py
+# _URL_CTE) as the domain key; each doc contributes up to two
+# deterministic out-links whose targets depend on doc_id div 101, so
+# the graph DENSIFIES as the corpus grows (889 edges at sf0.01, 5296
+# at sf0.1, saturating toward the 101-node clique) and the d1 link
+# biases toward domains 0..12 — web-like hub skew (in-degree 4..100
+# at sf0.01) that differentiates the ranks. A 101-node graph whose
+# every quantity — inflow sums, damped update, teleport — is exact
+# long arithmetic, so the oracle unrolls the SAME three iterations
+# and every rank is value-matched bit-for-bit (the module docstring
+# explains why a double-typed PageRank could never be). ----
+
+from betl_spark.operators import graph as graph_ops
+
+_PR_ITERS = 3
+_PR_SCALE = graph_ops.DEFAULT_SCALE
+
+#: shared edge-derivation CTE text (DuckDB) — the Spark twin is
+#: _domain_edges below; one comment, two implementations, parity
+#: enforced by the value match
+_EDGES_CTE = """
+docs AS (
+  SELECT doc_id % 101 AS u,
+         (doc_id // 101) % (1 + (doc_id % 101) % 13) AS d1,
+         (7 * (doc_id // 101) + 3 * (doc_id % 101) + 5) % 101 AS d2
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT u AS src, d AS dst
+  FROM (SELECT u, d1 AS d FROM docs UNION ALL SELECT u, d2 AS d FROM docs)
+  WHERE u <> d
+)"""
+
+
+def _domain_edges(spark, sf_dir):
+    """Spark twin of _EDGES_CTE: the deterministic doc->domain link
+    graph (distinct (src, dst), self-loops removed)."""
+    docs = table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 101).alias("u"),
+        F.expr("(doc_id div 101) % (1 + (doc_id % 101) % 13)").alias("d1"),
+        F.expr("(7 * (doc_id div 101) + 3 * (doc_id % 101) + 5) % 101").alias(
+            "d2"
+        ),
+    )
+    e = docs.select(F.col("u").alias("src"), F.col("d1").alias("dst")).unionByName(
+        docs.select(F.col("u").alias("src"), F.col("d2").alias("dst"))
+    )
+    return e.where(F.col("src") != F.col("dst")).distinct()
+
+
+def q_domain_pagerank(spark, sf_dir):
+    """Top-15 domains by 3-iteration exact-integer PageRank, with
+    in/out degree — the web-curation 'weight domains by centrality'
+    signal. The rank side is broadcast (|V| ~ 101 — kilobytes), so
+    each iteration costs one aggregation of the edge table."""
+    from pyspark.sql import Window
+
+    edges = _domain_edges(spark, sf_dir)
+    pr = graph_ops.pagerank_int(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, broadcast_ranks=True
+    )
+    outd = graph_ops.out_degrees(edges).withColumnRenamed("src", "node")
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("indeg")
+    )
+    w = Window.orderBy(F.col("rank_int").desc(), F.col("node"))
+    return (
+        pr.join(outd, "node", "left")
+        .join(ind, "node", "left")
+        .select(
+            "node",
+            "rank_int",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .where(F.col("pos") <= 15)
+    )
+
+
+DOMAIN_PAGERANK_SQL = f"""
+WITH {_EDGES_CTE},
+{graph_ops.pagerank_int_sql("edges", _PR_ITERS, scale=_PR_SCALE)},
+outd AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+         FROM edges GROUP BY 1),
+ind AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS indeg
+        FROM edges GROUP BY 1)
+SELECT p.node, p.rank_int,
+       CAST(coalesce(o.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(coalesce(i.indeg, 0) AS BIGINT) AS indeg,
+       CAST(row_number() OVER (ORDER BY p.rank_int DESC, p.node)
+            AS BIGINT) AS pos
+FROM pr_final p
+LEFT JOIN outd o ON o.node = p.node
+LEFT JOIN ind i ON i.node = p.node
+QUALIFY pos <= 15
+"""
+QUERIES["domain_pagerank"] = (q_domain_pagerank, DOMAIN_PAGERANK_SQL)
+
+
+def q_pagerank_convergence(spark, sf_dir):
+    """Per-iteration convergence audit: total mass and L1 movement
+    (sum of |r_i - r_(i-1)|) after each of the 3 iterations — exact
+    integer sums, so the decay trajectory itself is value-matched.
+    (Total mass DECAYS slightly per iteration — the integer chain is
+    sub-stochastic by the floor() construction; the audit makes that
+    documented behavior a pinned, replayed fact.)"""
+    edges = _domain_edges(spark, sf_dir)
+    outs = []
+    prev = graph_ops.pagerank_int(
+        edges, iters=0, scale=_PR_SCALE, broadcast_ranks=True
+    )
+    for i in range(1, _PR_ITERS + 1):
+        cur = graph_ops.pagerank_int(
+            edges, iters=i, scale=_PR_SCALE, broadcast_ranks=True
+        )
+        j = cur.withColumnRenamed("rank_int", "r_cur").join(
+            prev.withColumnRenamed("rank_int", "r_prev"), "node"
+        )
+        outs.append(
+            j.agg(
+                F.lit(i).cast("long").alias("iter"),
+                F.sum("r_cur").cast("long").alias("total_mass"),
+                F.sum(F.abs(F.col("r_cur") - F.col("r_prev")))
+                .cast("long")
+                .alias("l1_delta"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            )
+        )
+        prev = cur
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+_PR_CONV_ROWS = "\nUNION ALL\n".join(
+    f"SELECT CAST({i} AS BIGINT) AS iter,"
+    f" CAST(sum(c.rank_int) AS BIGINT) AS total_mass,"
+    f" CAST(sum(abs(c.rank_int - p.rank_int)) AS BIGINT) AS l1_delta,"
+    f" CAST(count(*) AS BIGINT) AS n_nodes"
+    f" FROM pr_{i} c JOIN pr_{i - 1} p ON p.node = c.node"
+    for i in range(1, _PR_ITERS + 1)
+)
+
+PAGERANK_CONVERGENCE_SQL = f"""
+WITH {_EDGES_CTE},
+{graph_ops.pagerank_int_sql("edges", _PR_ITERS, scale=_PR_SCALE)}
+{_PR_CONV_ROWS}
+"""
+QUERIES["pagerank_convergence"] = (
+    q_pagerank_convergence,
+    PAGERANK_CONVERGENCE_SQL,
+)

@@ -892,3 +892,29 @@ def test_bloom_family_plan_shape(spark):
     assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
     assert "CartesianProduct" not in pq, pq
     assert "SinglePartition" not in pq, pq
+
+
+def test_pagerank_family_plan_shape(spark):
+    """Exact-integer PageRank 100 TB contract: with broadcast_ranks
+    the per-iteration rank-edge join is a BroadcastHashJoin (one per
+    iteration — the edge table is aggregated, never shuffled wide),
+    and nothing leaves the JVM. The contract queries' only
+    single-partition stage is the final global top-15 window over the
+    |V|-row rank table (bounded domain grain) — pinned as Python-free
+    and cartesian-free."""
+    from betl_spark.contract.round14 import (
+        q_domain_pagerank,
+        q_pagerank_convergence,
+    )
+    from betl_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)], ["src", "dst"]
+    )
+    p = plan(graph.pagerank_int(edges, iters=3, broadcast_ranks=True))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 3, p
+    assert "CartesianProduct" not in p, p
+    for q in (q_domain_pagerank, q_pagerank_convergence):
+        pq = plan(q(spark, SF))
+        assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
+        assert "CartesianProduct" not in pq, pq
