@@ -694,3 +694,67 @@ QUERIES["pagerank_convergence"] = (
     q_pagerank_convergence,
     PAGERANK_CONVERGENCE_SQL,
 )
+
+
+# ---- 9. centrality_weighted_sample: the families COMPOSE — the
+# web-curation capstone "weight domains by link centrality, then
+# deterministically sample the corpus at per-domain rates". PageRank
+# ranks (exact-integer, query 7) become per-domain keep-rates in
+# permille (rate = 1000 * rank div max_rank — the hub keeps all of
+# its docs, a teleport-only domain keeps its teleport share), and the
+# doc-level keep decision is the engine's stable md5 hash-bucket
+# (operators/sampling.py:hash_bucket — in-or-out is a property of the
+# doc_id, reproducible across runs, partitionings, and engines).
+# Census output at domain grain; everything is exact integers, fully
+# value-matched. ----
+
+
+def q_centrality_weighted_sample(spark, sf_dir):
+    """Per domain: docs, keep-rate (permille of the max PageRank),
+    kept count under deterministic hash sampling."""
+    from betl_spark.operators import sampling
+
+    edges = _domain_edges(spark, sf_dir)
+    pr = graph_ops.pagerank_int(
+        edges, iters=_PR_ITERS, scale=_PR_SCALE, broadcast_ranks=True
+    )
+    mx = pr.agg(F.max("rank_int").alias("__max_rank"))
+    rates = pr.crossJoin(F.broadcast(mx)).select(
+        F.col("node").alias("domain"),
+        F.expr("1000 * rank_int div __max_rank").alias("rate_pm"),
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 101).alias("domain")
+    )
+    keep = sampling.hash_bucket("doc_id", 1000) < F.col("rate_pm")
+    return (
+        docs.join(F.broadcast(rates), "domain")
+        .groupBy("domain", "rate_pm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+CENTRALITY_WEIGHTED_SAMPLE_SQL = f"""
+WITH {_EDGES_CTE},
+{graph_ops.pagerank_int_sql("edges", _PR_ITERS, scale=_PR_SCALE)},
+rates AS (
+  SELECT node AS domain,
+         1000 * rank_int // (SELECT max(rank_int) FROM pr_final) AS rate_pm
+  FROM pr_final
+),
+cdocs AS (SELECT doc_id, doc_id % 101 AS domain FROM documents)
+SELECT d.domain, CAST(r.rate_pm AS BIGINT) AS rate_pm,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 1000 < r.rate_pm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM cdocs d JOIN rates r USING (domain)
+GROUP BY 1, 2
+"""
+QUERIES["centrality_weighted_sample"] = (
+    q_centrality_weighted_sample,
+    CENTRALITY_WEIGHTED_SAMPLE_SQL,
+)

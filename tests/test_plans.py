@@ -903,6 +903,7 @@ def test_pagerank_family_plan_shape(spark):
     |V|-row rank table (bounded domain grain) — pinned as Python-free
     and cartesian-free."""
     from betl_spark.contract.round14 import (
+        q_centrality_weighted_sample,
         q_domain_pagerank,
         q_pagerank_convergence,
     )
@@ -918,3 +919,9 @@ def test_pagerank_family_plan_shape(spark):
         pq = plan(q(spark, SF))
         assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
         assert "CartesianProduct" not in pq, pq
+    # capstone: the rate table must BROADCAST onto the doc scan (the
+    # 100 TB side never shuffles for the sampling decision); the only
+    # cartesian is the 1-row max-rank scalar attach
+    pq = plan(q_centrality_weighted_sample(spark, SF))
+    assert "BroadcastHashJoin" in pq, pq
+    assert "BatchEvalPython" not in pq and "ArrowEvalPython" not in pq, pq
