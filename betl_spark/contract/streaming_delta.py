@@ -411,7 +411,58 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def q_events_stream_kmv(spark, sf_dir):
+    """Streaming bottom-k (KMV) distinct sketch per event type
+    (applyInPandasWithState; streaming/events.py:stream_kmv_distinct):
+    the state update is the same lossless bottom-k merge as the batch
+    family, so the final generation equals the batch kmv_sketch of the
+    same rows bit-for-bit — the oracle computes the direct global
+    bottom-k in SQL (the 48-bit md5 hash is computed JVM-side before
+    the stateful operator). Micro-batch-slicing invariance is pinned
+    separately with maxFilesPerTrigger=1 (tests/test_streaming_delta.py)."""
+    from betl_spark.streaming import stream_kmv_distinct
+
+    stream = event_stream(spark, f"{sf_dir}/events.parquet")
+    out = run_stream_to_table(
+        stream_kmv_distinct(stream, "event_type", "user_id", k=64),
+        output_mode="update",
+        state_partitions=STATE_PARTS,
+    )
+    from pyspark.sql import Window
+
+    wmax = Window.partitionBy("group_key")
+    final = out.withColumn("__gmax", F.max("gen").over(wmax)).where(
+        F.col("gen") == F.col("__gmax")
+    )
+    w = Window.partitionBy("group_key").orderBy(F.col("h").asc(), F.col("item").asc())
+    return final.select(
+        F.col("group_key").alias("event_type"),
+        F.row_number().over(w).cast("long").alias("rank"),
+        "item",
+        "h",
+    )
+
+
+EVENTS_STREAM_KMV_SQL = """
+WITH cand AS (
+  SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+),
+hashed AS (
+  SELECT event_type, item,
+         CAST('0x' || substr(md5(item), 1, 12) AS BIGINT) AS h
+  FROM cand
+)
+SELECT event_type,
+       CAST(row_number() OVER (PARTITION BY event_type ORDER BY h, item)
+            AS BIGINT) AS rank,
+       item, h
+FROM hashed QUALIFY rank <= 64
+"""
+
+
 QUERIES = {
+    "events_stream_kmv": (q_events_stream_kmv, EVENTS_STREAM_KMV_SQL),
     "events_stream_join": (q_events_stream_join, EVENTS_STREAM_JOIN_SQL),
     "events_stream_tumbling": (q_events_stream_tumbling, EVENTS_STREAM_TUMBLING_SQL),
     "events_stream_enrich": (q_events_stream_enrich, EVENTS_STREAM_ENRICH_SQL),

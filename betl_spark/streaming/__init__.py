@@ -6,6 +6,7 @@ from betl_spark.streaming.events import (
     sliding_window_agg,
     stateful_running_totals,
     stream_dedupe,
+    stream_kmv_distinct,
     stream_static_enrich,
     stream_stream_time_join,
     tumbling_window_agg,
@@ -19,6 +20,7 @@ __all__ = [
     "sliding_window_agg",
     "stateful_running_totals",
     "stream_dedupe",
+    "stream_kmv_distinct",
     "stream_static_enrich",
     "stream_stream_time_join",
     "tumbling_window_agg",

@@ -552,3 +552,88 @@ def stateful_anomaly_scores(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("gen", T.LongType()),
+    ]
+)
+_KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("h", T.LongType()),
+        T.StructField("gen", T.LongType()),
+    ]
+)
+
+
+def stream_kmv_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "user_id",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming bottom-k (KMV) distinct sketch per group
+    (``applyInPandasWithState``): the state is the <= k distinct
+    values with the smallest 48-bit hashes seen so far, updated per
+    micro-batch by the same lossless bottom-k merge as the batch
+    family (operators/sketches.py family 4) — so the FINAL state is
+    bit-identical to a batch :func:`~betl_spark.operators.sketches.
+    kmv_sketch` of the same rows however the stream was sliced into
+    micro-batches (pinned by test with maxFilesPerTrigger=1 over a
+    sharded copy). The 48-bit hash is computed JVM-side BEFORE the
+    stateful operator (one expression, no Python in the per-row path);
+    the Python state update touches only <= k + batch-distinct rows
+    per group.
+
+    Emits the current bottom-k per group per micro-batch with a
+    ``gen`` sequence number (batches seen); consumers take the max-gen
+    generation per group as the final sketch (one availableNow batch
+    -> exactly one generation). Estimates follow from the sketch rows
+    exactly as in the batch family.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from betl_spark.operators.sketches import kmv_hash
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("group_key"),
+        F.col(value_col).cast("string").alias("item"),
+    ).where(F.col("item").isNotNull())
+    prepared = prepared.withColumn("h", kmv_hash(F.col("item")))
+
+    kk = int(k)
+
+    def update(key, pdf_iter, state: GroupState):
+        (group_key,) = key
+        if state.exists:
+            hs, items, gen = state.get
+            cur = set(zip(hs, items))
+        else:
+            cur, gen = set(), 0
+        for pdf in pdf_iter:
+            cur.update(zip((int(x) for x in pdf["h"]), pdf["item"]))
+        kept = sorted(cur)[:kk]
+        gen = int(gen) + 1
+        state.update(([h for h, _ in kept], [i for _, i in kept], gen))
+        yield pd.DataFrame(
+            {
+                "group_key": [group_key] * len(kept),
+                "item": [i for _, i in kept],
+                "h": [h for h, _ in kept],
+                "gen": [gen] * len(kept),
+            }
+        )
+
+    return prepared.groupBy("group_key").applyInPandasWithState(
+        update,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

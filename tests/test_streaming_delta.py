@@ -349,3 +349,45 @@ def test_stateful_running_totals_rocksdb_provider_parity(spark):
             spark.conf.unset(conf)
         else:
             spark.conf.set(conf, prev)
+
+
+def test_stream_kmv_final_state_equals_batch_sketch_any_slicing(spark, tmp_path):
+    """The streaming KMV's defining property: the final generation is
+    bit-identical to the batch bottom-k sketch of the same rows, for
+    ANY micro-batch slicing — here forced to 6 micro-batches via a
+    6-file shard with maxFilesPerTrigger=1 (and cross-checked with the
+    single-batch whole-file run)."""
+    from betl_spark.operators import sketches
+    from betl_spark.streaming import stream_kmv_distinct
+
+    shard_dir = str(tmp_path / "ev_shards")
+    spark.read.parquet(EVENTS).repartition(6).write.parquet(shard_dir)
+
+    ev = spark.read.parquet(shard_dir).select(
+        F.col("event_type").cast("string").alias("group_key"),
+        F.col("user_id").alias("u"),
+    )
+    batch = sketches.kmv_sketch(ev, ["group_key"], "u", 16)
+    want = {tuple(r) for r in batch.collect()}
+
+    for max_files in (1, None):
+        stream = event_stream(spark, shard_dir, max_files_per_trigger=max_files)
+        out = run_stream_to_table(
+            stream_kmv_distinct(stream, "event_type", "user_id", k=16),
+            output_mode="update",
+            state_partitions=4,
+        )
+        gens = (
+            out.groupBy("group_key")
+            .agg(F.max("gen").alias("g"))
+            .withColumnRenamed("group_key", "gk")
+        )
+        final = out.join(
+            gens,
+            (F.col("group_key") == F.col("gk")) & (F.col("gen") == F.col("g")),
+        ).select("group_key", "item", "h")
+        got = {tuple(r) for r in final.collect()}
+        assert got == want, max_files
+        if max_files == 1:
+            n_gens = out.agg(F.max("gen")).collect()[0][0]
+            assert n_gens >= 5  # really ran multi-batch
