@@ -403,6 +403,17 @@ def classifier_train(
         .localCheckpoint(eager=True)
     )
     n_docs = int(obs.get["n"])
+    # AQE's byte-based coalescing collapses the checkpointed feature
+    # table to ONE partition at small scale (it is a few MB), and the
+    # per-iteration gradient EXPLODES it ~|fs|x downstream — the
+    # round-13 lesson again (output-row blow-up is invisible to byte
+    # stats), measured as every GD iteration running single-threaded.
+    # ensure_parallelism is a no-op at real scale (the feature table
+    # inherits the corpus's partitioning) and costs one tiny exchange
+    # per iteration here.
+    from betl_spark.operators.util import ensure_parallelism
+
+    f = ensure_parallelism(f)
     wn: dict[int, int] = {}
     den = 1.0e9 * n_docs
     dec = "decimal(38,0)"
@@ -457,19 +468,28 @@ def classifier_train(
             )
         else:
             if wn:
-                # small model: rides the plan as one constant-foldable
-                # str_to_map literal — no join, no per-doc exchange
-                pairs = ",".join(f"{b}:{v}" for b, v in sorted(wn.items()))
-                wmap = F.expr(f"str_to_map('{pairs}', ',', ':')")
+                # small model: rides the plan as one constant-folded
+                # ARRAY literal indexed by bucket+1 (slot 0 = the bias
+                # bucket -1) — no join, no per-doc exchange, and each
+                # lookup is an O(1) array get. The previous
+                # ``str_to_map`` literal was a linear scan of all
+                # |model| STRING keys per feature entry (Catalyst map
+                # literals have no hash index), measured ~1.1s/iter at
+                # sf0.1 vs ~0.4s with the array (same values: integer
+                # nanos either way, so S is bit-identical).
+                warr_vals = [0] * (max(wn) + 2)
+                for b, v in wn.items():
+                    warr_vals[b + 1] = v
+                warr = F.array(
+                    *[F.lit(int(v)).cast("long") for v in warr_vals]
+                )
                 S = F.aggregate(
                     "fs",
                     F.lit(0).cast(dec),
                     lambda acc, s: acc
                     + s["x9"].cast(dec)
                     * F.coalesce(
-                        F.element_at(wmap, s["bucket"].cast("string")).cast(
-                            "long"
-                        ),
+                        F.get(warr, (s["bucket"] + 1).cast("int")),
                         F.lit(0),
                     ).cast(dec),
                 )

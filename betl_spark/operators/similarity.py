@@ -837,30 +837,75 @@ def semantic_decontaminate(
 
 
 def _cell_pairs(
-    assigned: DataFrame, id_col: str, vec_col: str, threshold: float
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    pair_salt: int = 8,
 ) -> DataFrame:
     """Within-cell cosine pair generation shared by the semantic-dedup
-    family: an EQUI-join on cell_id with id_a < id_b and 6dp cosine >=
+    family: same-cell pairs with id_a < id_b and 6dp cosine >=
     threshold — the stage whose byte-identity across variants the
-    determinism contract depends on."""
-    a = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("_nrm").alias("na"),
-        "cell_id",
+    determinism contract depends on.
+
+    Round-14 shape: the plain EQUI-join on cell_id serializes each
+    cell's QUADRATIC pair output onto one reducer — the round-13
+    AQE-coalescing lesson verbatim (the blow-up is join OUTPUT rows,
+    invisible to map-side byte stats, so adaptive coalescing happily
+    collapses the stage to one partition; measured exactly that at
+    bench scale, the whole cosine fold single-threaded). AQE's skew
+    splitter can't help either: a hot cell is ONE join key. So the
+    pairs are grid-decomposed exactly like the linkage module's salted
+    self-join: names → ``__u = xxhash64(id) % S``, the left side
+    explodes to partner buckets ``__v in u..S-1``, the join runs on
+    ``(cell_id, __v)`` over an explicit hash repartition (which AQE
+    leaves alone), and every unordered pair meets exactly ONCE —
+    off-diagonal cells in one orientation (ids re-ordered via
+    least/greatest on emit), diagonal cells ordered by ``id_a <
+    id_b``. Per-reducer work for a whale cell drops from |cell|² to
+    |cell|²/S² at the cost of replicating the left side (S+1)/2× —
+    the standard skewed-self-join trade (guide §2.5), and the cosine
+    is arg-order-exact either way because elementwise multiply and
+    the left-fold sum are commutative in each slot (pinned by the
+    strategy set-equality test). Measured 4-5x on the bench pair
+    stage; at 100 TB it is what keeps a boilerplate-dominated cell
+    from pinning one executor.
+    """
+    S = max(1, int(pair_salt))
+    spark = assigned.sparkSession
+    n_part = max(spark.sparkContext.defaultParallelism, 1)
+    u = F.pmod(F.xxhash64(F.col("id_a")), F.lit(S)).cast("int")
+    a = (
+        assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_nrm").alias("na"),
+            "cell_id",
+        )
+        .withColumn("__u", u)
+        .withColumn(
+            "__v", F.explode(F.sequence(F.col("__u"), F.lit(S - 1)))
+        )
+        .repartition(n_part, "cell_id", "__u", "__v")
     )
     b = assigned.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("vb"),
         F.col("_nrm").alias("nb"),
         "cell_id",
-    )
+    ).withColumn("__v", F.pmod(F.xxhash64(F.col("id_b")), F.lit(S)).cast("int"))
     return (
-        a.join(b, "cell_id")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["cell_id", "__v"])
+        .filter(
+            (
+                (F.col("__u") != F.col("__v"))
+                | (F.col("id_a") < F.col("id_b"))
+            )
+            & (F.col("id_a") != F.col("id_b"))
+        )
         .select(
-            "id_a",
-            "id_b",
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             _cosine_pre(
                 F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
             ).alias("cosine_sim"),
