@@ -209,7 +209,7 @@ def q_near_dup_removal(spark, sf_dir):
     pairs = dedup.minhash_near_dups(
         aug, "doc_id", "text", n_hashes=N_HASHES, bands=BANDS, min_est_jaccard=0.25
     )
-    clusters = dedup.duplicate_clusters(pairs.select("id_a", "id_b"))
+    clusters = dedup.duplicate_clusters(pairs.select("id_a", "id_b"), edges_unique=True)
     return (
         aug.join(clusters, aug.doc_id == clusters.node, "left")
         .filter(F.col("cluster_id").isNull() | (F.col("doc_id") == F.col("cluster_id")))
@@ -573,7 +573,7 @@ FROM withpii
 def q_dedup_clusters(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
     pairs = similarity.embedding_near_dups(emb, "vec_id", "embedding", threshold=0.2)
-    return dedup.duplicate_clusters(pairs)
+    return dedup.duplicate_clusters(pairs, edges_unique=True)
 
 
 # The oracle computes the same components with a recursive CTE:

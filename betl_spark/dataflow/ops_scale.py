@@ -66,7 +66,10 @@ class ScaleOps:
                 n_hashes=nHashes, bands=bands, min_est_jaccard=minEstJaccard,
             )
             clusters = dedup.duplicate_clusters(
-                pairs.select("id_a", "id_b"), algorithm=algorithm
+                pairs.select("id_a", "id_b"),
+                algorithm=algorithm,
+                # minhash_near_dups ends in groupBy(id_a, id_b): unique
+                edges_unique=True,
             )
             out = (
                 df.join(clusters, df[idCol] == clusters["node"], "left")

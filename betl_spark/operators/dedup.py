@@ -660,7 +660,10 @@ def _cc_union_find_local(e: DataFrame) -> DataFrame:
 
 
 def _cc_large_small_star(
-    edges: DataFrame, max_iter: int, small_graph_edges: int = 200_000
+    edges: DataFrame,
+    max_iter: int,
+    small_graph_edges: int = 200_000,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -690,7 +693,19 @@ def _cc_large_small_star(
     distributed contraction runs unconditionally; pass
     ``small_graph_edges=0`` to force it (the plan-contract tests do).
     """
-    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not edges_unique:
+        # guide §2.4: a distinct on data that is already unique is a
+        # pure extra exchange — every in-repo pair generator emits
+        # each unordered pair exactly once (map-side multi-key dedup /
+        # grid orientation rules / terminal groupBy), so those callers
+        # pass edges_unique=True and skip the shuffle; the flag only
+        # skips DEDUP of the input edge list, never the src!=dst
+        # filter, and duplicate edges would anyway not change
+        # union-find or contraction RESULTS (only the fixpoint
+        # checksum's multiset), which is why the default stays safe
+        # for arbitrary input.
+        e = e.distinct()
     # checkpoint + checksum share ONE job: the checksum rides the
     # materialization as observe() metrics — per-round scheduling
     # overhead is the dominant cost of contraction on small graphs
@@ -752,6 +767,7 @@ def duplicate_clusters(
     max_iter: int = 25,
     algorithm: str = "star",
     small_graph_edges: int = 200_000,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs: assigns every
     node the MINIMUM id reachable through the pair graph, i.e. a
@@ -786,7 +802,9 @@ def duplicate_clusters(
     """
     if algorithm == "star":
         undirected = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        return _cc_large_small_star(undirected, max_iter, small_graph_edges)
+        return _cc_large_small_star(
+            undirected, max_iter, small_graph_edges, edges_unique
+        )
     if algorithm != "min_label":
         raise ValueError(f"algorithm must be 'min_label' or 'star', got {algorithm!r}")
     edges = (

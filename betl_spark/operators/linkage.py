@@ -532,11 +532,16 @@ def cluster_records(
         *[F.col(c) for c in keep_cols],
         normalize_name(record_name).alias("name"),
     ).where(F.col("name").isNotNull())
-    vocab = r.select("name").distinct()
+    # the distinct-name vocabulary feeds BOTH sides of the pair
+    # self-join plus the label join-back — without materialization the
+    # corpus-wide distinct re-executes per consumer (guide §5: reuse >
+    # recompute for a bounded frame; it is vocabulary-grain by
+    # definition)
+    vocab = r.select("name").distinct().localCheckpoint(eager=False)
     pairs = fuzzy_name_pairs(
         vocab, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
     )
-    cc = duplicate_clusters(pairs, "name_a", "name_b").select(
+    cc = duplicate_clusters(pairs, "name_a", "name_b", edges_unique=True).select(
         F.col("node").alias("name"), "cluster_id"
     )
     labeled = vocab.join(cc, "name", "left").select(
@@ -748,12 +753,18 @@ def incremental_cluster_assign(
     ).where(F.col("name").isNotNull())
     existing = existing_labels.select("name", "cluster_id")
     vocab = r.select("name").distinct()
-    fresh = vocab.join(existing, "name", "left_anti")
+    # fresh (the batch's unseen names) is read by three consumers —
+    # the in-batch pair join (both sides), the component join-back and
+    # the cross pairs; materialize the anti-join once (bounded:
+    # unseen-name grain, the smallest set in the problem)
+    fresh = vocab.join(existing, "name", "left_anti").localCheckpoint(
+        eager=False
+    )
     # components among the fresh names (transitive within the batch)
     nn = fuzzy_name_pairs(
         fresh, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
     )
-    cc = duplicate_clusters(nn, "name_a", "name_b").select(
+    cc = duplicate_clusters(nn, "name_a", "name_b", edges_unique=True).select(
         F.col("node").alias("name"), F.col("cluster_id").alias("comp")
     )
     comp = fresh.join(cc, "name", "left").select(
@@ -817,7 +828,7 @@ def incremental_bridge_audit(
     nn = fuzzy_name_pairs(
         fresh, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
     )
-    cc = duplicate_clusters(nn, "name_a", "name_b").select(
+    cc = duplicate_clusters(nn, "name_a", "name_b", edges_unique=True).select(
         F.col("node").alias("name"), F.col("cluster_id").alias("comp")
     )
     comp = fresh.join(cc, "name", "left").select(

@@ -1085,7 +1085,7 @@ def _pick_survivors(
     """
     from betl_spark.operators.dedup import duplicate_clusters
 
-    clusters = duplicate_clusters(pairs.select("id_a", "id_b"))
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"), edges_unique=True)
     member = assigned.join(
         clusters, assigned[id_col] == clusters["node"], "left"
     )
