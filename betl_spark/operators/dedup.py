@@ -1097,8 +1097,12 @@ def _substring_fingerprints(
     chunk_windows=7. Offsets stay global to the document."""
     length = F.length(F.col(text_col))
     last = (length - F.lit(k)).cast("long")  # last valid window start
+    # one md5 per CHARACTER of the corpus is the single heaviest map
+    # pass in the dedup ladder — same treatment as minhash_signatures:
+    # never let a one-split input serialize it on one core (no-op at
+    # scale, where the scan has thousands of splits)
     chunked = (
-        df.filter(length >= k)
+        ensure_parallelism(df).filter(length >= k)
         .select(
             F.col(id_col),
             F.col(text_col),

@@ -200,8 +200,11 @@ def classifier_score(
     Output: (id, n_tokens, logit, score).
     """
     from betl_spark.operators.sampling import hash_bucket
+    from betl_spark.operators.util import ensure_parallelism
 
-    toks = df.select(
+    # one md5 per token: same one-split parallelism guard as the
+    # trainer's feature build (no-op at real scale)
+    toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     )
     # weights quantize to 9dp nano-units so the per-doc accumulation is
@@ -333,6 +336,12 @@ def classifier_train(
     from betl_spark.operators.sampling import hash_bucket
 
     spark = df.sparkSession
+    # the feature build is one md5 per TOKEN of the corpus — like
+    # minhash_signatures, never let a one-split input serialize that
+    # map pass on one core (no-op at real scale)
+    from betl_spark.operators.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     # NULL labels train as 0 (the oracle's CASE WHEN ... THEN 1 ELSE 0
     # semantics) — a NULL would otherwise poison the whole gradient
     base = df.select(
@@ -411,8 +420,6 @@ def classifier_train(
     # ensure_parallelism is a no-op at real scale (the feature table
     # inherits the corpus's partitioning) and costs one tiny exchange
     # per iteration here.
-    from betl_spark.operators.util import ensure_parallelism
-
     f = ensure_parallelism(f)
     wn: dict[int, int] = {}
     den = 1.0e9 * n_docs
