@@ -364,6 +364,9 @@ def q_er_skew_method_census(spark, sf_dir):
         .select(F.lower(F.trim("name")).alias("name"))
         .where(F.col("name").isNotNull())
         .distinct()
+        # both pair generators (blocked + SNM) read the vocabulary;
+        # materialize the generated corpus + distinct once
+        .localCheckpoint(eager=False)
     )
     bp = linkage.fuzzy_name_pairs(vocab, THRESHOLD).withColumn(
         "in_blocked", F.lit(True)

@@ -435,8 +435,13 @@ def source_overlap_matrix(
         F.size(toks) >= F.lit(ngram),
         F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)),
     ).otherwise(F.array().cast("array<int>"))
+    from betl_spark.operators.util import ensure_parallelism
+
     grams = (
-        df.select(
+        # one md5 per n-gram position: same one-split parallelism
+        # guard as the rest of the hash-heavy map passes (no-op at
+        # real scale)
+        ensure_parallelism(df).select(
             F.col(group_col).alias("__g"),
             F.explode(
                 F.transform(

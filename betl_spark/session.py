@@ -48,6 +48,20 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # guide §3.1/§9: let the planner pick shuffled-hash over
+        # sort-merge when a side's per-partition build fits (skips both
+        # sorts), and let AQE rewrite SMJ->SHJ at runtime when every
+        # post-shuffle partition is under the threshold. Bounded risk:
+        # the 64m local-map cap keeps build sides well inside task
+        # memory at any scale (the threshold is per-partition, not
+        # per-table, so this is not a local[32]-only tune). Interleaved
+        # min-of-4 A/B on a 16-query basket: -4.3% total, no query
+        # slower beyond noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
