@@ -425,9 +425,12 @@ def source_overlap_matrix(
     Output: (group_a, group_b, inter, n_a, n_b, jaccard) for a < b,
     jaccard 6dp.
     """
-    from betl_spark.operators.text import tokens
+    from betl_spark.operators.util import ensure_parallelism
 
-    toks = tokens(text_col)
+    # tokenize ONCE into a real column: with the raw split() expression
+    # inside the per-position lambda, interpreted HOFs re-run the split
+    # per element — O(len²) per doc (see decontam.word_ngrams_col)
+    toks = F.col("__tk")
     # short/NULL docs yield an empty gram array (sequence(1, n<1) would
     # otherwise step BACKWARD and fabricate grams — same guard as
     # dedup.char_shingles)
@@ -435,14 +438,17 @@ def source_overlap_matrix(
         F.size(toks) >= F.lit(ngram),
         F.sequence(F.lit(1), F.size(toks) - F.lit(ngram - 1)),
     ).otherwise(F.array().cast("array<int>"))
-    from betl_spark.operators.util import ensure_parallelism
-
     grams = (
         # one md5 per n-gram position: same one-split parallelism
         # guard as the rest of the hash-heavy map passes (no-op at
         # real scale)
-        ensure_parallelism(df).select(
+        ensure_parallelism(df)
+        .select(
             F.col(group_col).alias("__g"),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .select(
+            F.col("__g"),
             F.explode(
                 F.transform(
                     positions,
@@ -785,11 +791,24 @@ def ngram_novelty(
 
     Output: (id, n_ngrams, n_novel, novelty 6dp).
     """
-    from betl_spark.operators.decontam import word_ngrams
+    from betl_spark.operators.decontam import word_ngrams_col
+    from betl_spark.operators.util import ensure_parallelism
 
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_ngrams(text_col, n)).alias("__g"),
+    # n-gram construction is the CPU-heavy map work (same one-split
+    # guard as decontam/minhash; no-op at real scale) — and it feeds
+    # BOTH the census and the per-doc count. Tokenize into a real
+    # column first: the text-column form re-splits per position inside
+    # the lambda (O(len²) per doc — see word_ngrams_col).
+    grams = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.split(F.col(text_col), " ").alias("__tk"),
+        )
+        .select(
+            F.col("__id"),
+            F.explode(word_ngrams_col("__tk", n)).alias("__g"),
+        )
     )
     census = grams.groupBy("__g").agg(F.min("__id").alias("__first"))
     novel = census.groupBy("__first").agg(

@@ -572,12 +572,16 @@ def bloom_sketch(
     aggregate at (group, word) grain OR-ing the masks, then the same
     sketch-grain densify as the histogram family. Persist as the
     daily/shard filter table."""
+    from betl_spark.operators.util import ensure_parallelism
+
     pos = F.explode(
         F.array(*bloom_positions(key_col, n_words, n_hashes))
     ).alias("__pos")
-    exploded = df.where(F.col(key_col).isNotNull()).select(
-        *group_cols, pos
-    )
+    # j seeded md5 hashes per key: the standard one-split parallelism
+    # guard on the hash-heavy map pass (no-op at real scale)
+    exploded = ensure_parallelism(
+        df.where(F.col(key_col).isNotNull())
+    ).select(*group_cols, pos)
     words = (
         exploded.select(
             *group_cols,
@@ -653,8 +657,12 @@ def bloom_probe(
     100 TB probe side never shuffles) and flag rows whose j bits are
     all set. Bit extraction is ``(word >> (pos % 64)) & 1`` — the
     lowest bit after an arithmetic shift, sign-safe in both engines."""
+    from betl_spark.operators.util import ensure_parallelism
+
     flt = F.broadcast(filters.select(*group_cols, bits_col))
-    out = probes.join(flt, list(group_cols), "left")
+    # probe-side hashing is j seeded md5s per row — same one-split
+    # guard; the broadcast join keeps the probe side shuffle-free
+    out = ensure_parallelism(probes).join(flt, list(group_cols), "left")
     pos_cols = []
     for i, p in enumerate(bloom_positions(key_col, n_words, n_hashes)):
         out = out.withColumn(f"__bp{i}", p)

@@ -76,6 +76,22 @@ def build_spark(
         # contract.common.ts_micros / streaming.events._event_time_col.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # InferFiltersFromGenerate duplicates every explode's generator
+        # expression into an inferred `size(..)>0 AND isnotnull(..)`
+        # filter that predicate-pushdown then inlines BELOW the
+        # parallelism guard at the scan: the engine's most expensive
+        # map expressions (n-gram builds, shingle/window hashes) were
+        # being evaluated twice, once single-partition. The filter
+        # saves nothing in these shapes (explode drops empty arrays
+        # anyway); excluding the rule is semantics-preserving by
+        # definition. Interleaved min-of-3 A/B over a 20-query basket:
+        # 48.8 -> 41.8s (-14%), decontamination family 3x, no
+        # regression beyond noise.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
