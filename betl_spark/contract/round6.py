@@ -114,7 +114,9 @@ def q_token_count_bpe(spark, sf_dir):
     list — the tokenizer-faithful upgrade of ``token_count``."""
     from betl_spark.operators import bpe
 
-    docs = table(spark, sf_dir, "documents")
+    from betl_spark.operators.util import ensure_parallelism
+
+    docs = ensure_parallelism(table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id", bpe.bpe_token_count("text").alias("n_bpe_tokens")
     )
@@ -157,8 +159,9 @@ def q_mixture_rebalance_bpe(spark, sf_dir):
     denominator (round 5's variant used n_chars as a proxy) — the
     training mix as it would actually be specified."""
     from betl_spark.operators import bpe, sampling
+    from betl_spark.operators.util import ensure_parallelism
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", bpe.bpe_token_count("text").alias("n_bpe")
     )
     return sampling.mixture_sample(
@@ -1197,8 +1200,9 @@ def q_pack_sequences_bpe(spark, sf_dir):
     as the budget currency — round 5's packer fed whitespace counts;
     training batches are specified in real tokens."""
     from betl_spark.operators import bpe, corpus
+    from betl_spark.operators.util import ensure_parallelism
 
-    docs = table(spark, sf_dir, "documents").select(
+    docs = ensure_parallelism(table(spark, sf_dir, "documents")).select(
         "doc_id", bpe.bpe_token_count("text").alias("n_tokens")
     )
     return corpus.pack_sequences(

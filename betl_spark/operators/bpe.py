@@ -354,7 +354,10 @@ def bpe_token_count(
     carries exactly two \\x1f sentinels, so the count is
     (len(encoded) - len(encoded minus sentinels)) / 2."""
     enc = _encoded_expr(text_col, merges)
+    # count sentinels with ONE reference to the encode chain: the
+    # previous length(enc) - length(replace(enc, ...)) form embedded
+    # the whole |merges|-deep replace chain TWICE per row (Catalyst
+    # has no expression-level CSE for textual duplicates)
     return F.expr(
-        f"CAST((length({enc}) - length(replace({enc}, {_sql_quote(SYM)}, ''))) / 2 "
-        "AS INT)"
+        f"CAST(regexp_count({enc}, {_sql_quote(SYM)}) / 2 AS INT)"
     )
