@@ -162,7 +162,11 @@ canon AS (
 
 def _docs(spark, sf_dir):
     """documents + synthetic url column (the Spark twin of _URL_CTE)."""
-    d = table(spark, sf_dir, "documents").withColumn(
+    from betl_spark.operators.util import ensure_parallelism
+
+    # the web family stacks URL-parse regexes and per-row text stats
+    # on this scan: one-split parallelism guard (no-op at real scale)
+    d = ensure_parallelism(table(spark, sf_dir, "documents")).withColumn(
         "__u", F.expr("doc_id % 101")
     )
     return d.withColumn("url", F.expr(_URL_EXPR))

@@ -26,7 +26,11 @@ def _hashed_ngram_features(
     ``sampling.hash_bucket`` (replayed by DuckDB as
     CAST('0x'||substr(md5(g),1,8) AS BIGINT) % B)."""
     from betl_spark.operators.sampling import hash_bucket
+    from betl_spark.operators.util import ensure_parallelism
 
+    # one md5 per unigram AND per bigram: the standard one-split
+    # parallelism guard on the hash-heavy map pass (no-op at scale)
+    df = ensure_parallelism(df)
     toks = F.split(F.col(text_col), " ")
     uni = df.select(F.col(id_col), F.col("__t"), F.explode(toks).alias("__g"))
     bi = df.select(
