@@ -540,7 +540,16 @@ def test_substring_fingerprints_select_before_any_exchange(spark):
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     wins = _substring_fingerprints(docs, "doc_id", "text", 20, 4)
     plan = wins._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan  # map-only stage
+    # the wire never carries the window stream: the only permitted
+    # exchange is the round-robin parallelism guard on the RAW input
+    # rows (round-14: ensure_parallelism on the one-split bench scan —
+    # a no-op at real scale); a hash/range exchange would mean the
+    # fingerprint or window stream itself is being shuffled
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "RoundRobinPartitioning" in line, line
     assert "Generate explode" in plan
     # the selection is part of the generator's input expression
     assert "filter(transform(sequence" in plan.replace(" ", "")
