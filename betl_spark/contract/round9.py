@@ -182,12 +182,18 @@ def q_rolling_zscore(spark, sf_dir):
     """Trailing-window anomaly scores per event_type: exact-decimal
     rolling Σv/Σv² (never a double stddev — sliding-frame summation
     order differs across engines), doubles only in the final IEEE
-    ops."""
+    ops. Banded strategy (r14): events has ~5 event types, so the
+    per-key Window serializes onto 5 tasks at ANY scale; the banded
+    prefix-sum decomposition is bit-identical (pinned in
+    tests/test_round9_ops.py) and parallelizes to |keys|×bands. Band
+    count scales with the cluster (4× defaultParallelism), not a
+    local constant."""
     ev = table(spark, sf_dir, "events")
     ev = ev.withColumn("__ts_us", ts_micros(ev))
     return timeseries.rolling_zscore(
         ev, "event_type", "__ts_us", "event_id", "value",
         window_rows=ZSCORE_WINDOW, min_rows=ZSCORE_MIN, z_thresh=ZSCORE_THRESH,
+        n_bands=4 * spark.sparkContext.defaultParallelism,
     )
 
 

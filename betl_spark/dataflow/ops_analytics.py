@@ -42,18 +42,20 @@ class AnalyticsOps:
         windowRows: int = 100,
         minRows: int = 20,
         zThresh: float = 3.0,
+        nBands: int | None = None,
         targetDataset: str | None = None,
         desc: str = "",
     ) -> DataFrame:
         """Trailing-window anomaly scores
-        (operators/timeseries.py:rolling_zscore)."""
+        (operators/timeseries.py:rolling_zscore). ``nBands`` opts into
+        the banded prefix-sum strategy for low-cardinality keys."""
         from betl_spark.operators import timeseries
 
         with self.journal.step("rollingZscore", desc or f"zscore {dataset}"):
             out = timeseries.rolling_zscore(
                 self._get(dataset), partCol, tsMicrosCol, tiebreakCol,
                 valueCol, window_rows=windowRows, min_rows=minRows,
-                z_thresh=zThresh,
+                z_thresh=zThresh, n_bands=nBands,
             )
             self.data[targetDataset or f"{dataset}_zscores"] = out
         return out

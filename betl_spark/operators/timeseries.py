@@ -211,6 +211,7 @@ def rolling_zscore(
     window_rows: int = 100,
     min_rows: int = 20,
     z_thresh: float = 3.0,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Rolling z-score anomaly detection: each row's value is scored
     against the mean/stddev of the PRECEDING ``window_rows`` rows in
@@ -222,6 +223,30 @@ def rolling_zscore(
     builtin ``stddev`` over doubles, whose sliding-frame summation
     order differs across engines — combined in doubles at the end:
     var = (Σv² − (Σv)²/n) / (n−1), sample convention.
+
+    Strategy (same knob pattern as ``rolling_zscore_time``'s
+    ``chunk_micros`` and linkage's ``broadcast_names``/``salt``):
+
+    - ``n_bands=None`` (default): one Window per partition key — a
+      bounded ROWS frame streams with O(frame) memory, but each key
+      serializes through ONE task, so |keys| bounds parallelism at any
+      scale (5 event types = 5 cores on any cluster).
+    - ``n_bands=B``: banded prefix-sum decomposition. Rows band by
+      timestamp range (B value-derived, deterministic bands — no
+      RangePartitioner sampling, no driver collect); per-(key, band)
+      windows compute LOCAL rank and inclusive prefix Σv/Σv² in
+      parallel; per-band totals (|keys|·B rows) take one tiny
+      cumulative window to become band offsets; the trailing frame
+      [r−W, r−1] is then two exact prefix differences — the row's own
+      exclusive prefix minus the prefix at rank r−W−1, fetched by an
+      equi-join on (key, rank). Decimal prefix sums are exact, so the
+      scores are BIT-IDENTICAL to the window frame's
+      (equality-pinned in tests/test_round9_ops.py); parallelism
+      becomes |keys|·B at the cost of two extra shuffles of the
+      5-column projection. Use when |keys| ≪ cores; the default
+      single-frame plan wins when keys already saturate the cluster
+      (and at bench scale, where the extra exchanges cost more than
+      5-way parallelism leaves on the table).
 
     Output: one row per scored event (part, tiebreak, value, z,
     is_anomaly), z rounded to 6dp.
@@ -236,19 +261,22 @@ def rolling_zscore(
         v.alias("__v"),
         (v * v).cast("decimal(20,6)").alias("__v2"),
     )
-    w = (
-        Window.partitionBy("__p")
-        .orderBy("__t", "__id")
-        .rowsBetween(-window_rows, -1)
-    )
-    scored = base.select(
-        "__p",
-        "__id",
-        "__v",
-        F.count("__v").over(w).alias("__n"),
-        F.sum("__v").over(w).alias("__s"),
-        F.sum("__v2").over(w).alias("__s2"),
-    )
+    if n_bands is None:
+        w = (
+            Window.partitionBy("__p")
+            .orderBy("__t", "__id")
+            .rowsBetween(-window_rows, -1)
+        )
+        scored = base.select(
+            "__p",
+            "__id",
+            "__v",
+            F.count("__v").over(w).alias("__n"),
+            F.sum("__v").over(w).alias("__s"),
+            F.sum("__v2").over(w).alias("__s2"),
+        )
+    else:
+        scored = _rolling_zscore_banded(base, window_rows, int(n_bands))
     # Σv ≤ 100·1e6 at scale 3 (unscaled 1e11), Σv² ≤ 100·1e9 at scale 6
     # (unscaled 1e17 < 2**63, double cast ≤ 1e11 · 2^? — magnitude 1e11
     # < 2**53 after the value is read at scale 6): exact double casts.
@@ -274,6 +302,138 @@ def rolling_zscore(
             F.col("__v").cast("double").alias(value_col),
             z.alias("zscore"),
             (F.abs(z) > F.lit(z_thresh)).alias("is_anomaly"),
+        )
+    )
+
+
+def _rolling_zscore_banded(
+    base: DataFrame, window_rows: int, n_bands: int
+) -> DataFrame:
+    """Banded prefix-sum decomposition of the trailing ROWS frame (see
+    ``rolling_zscore``). Input: (__p, __t, __id, __v, __v2); output the
+    same (__p, __id, __v, __n, __s, __s2) rows the Window path feeds
+    the shared z tail.
+
+    Exactness argument: per-(key, band) inclusive decimal prefixes plus
+    per-key cumulative band offsets give every row its GLOBAL inclusive
+    prefix (P_n, P_s, P_s2) and global rank r under the same
+    (__t, __id) total order the Window uses; the trailing frame
+    [r−W, r−1] is then n = E_n − Q_n, Σv = E_s − Q_s, Σv² = E_s2 − Q_s2
+    where E is the row's own EXCLUSIVE prefix (inclusive minus the
+    row's contribution) and Q the inclusive prefix at rank r−W−1
+    (zero when r ≤ W+1, i.e. the frame is [1, r−1]). Decimal addition
+    is exact, so prefix differences equal frame sums bit-for-bit;
+    NULL values occupy rank positions but contribute nothing —
+    count/sum skip them in both formulations.
+
+    Bands derive from the timestamp VALUE range (one 1-row min/max
+    aggregate, broadcast back — no driver action): deterministic by
+    construction, so no RangePartitioner reseed hazard and no frozen
+    checkpoint is needed (contrast stats.ranked_running_sum, which must
+    band arbitrary sort-key types). Skewed timelines give uneven bands
+    — still strictly more parallel than one task per key.
+    """
+    zl = F.lit(0).cast("long")
+    zs = F.lit(0).cast("decimal(38,3)")
+    zs2 = F.lit(0).cast("decimal(38,6)")
+    # nulls contribute zero to the prefixes; prefixes run in wide
+    # decimals so a whole-key prefix can never overflow (the Window
+    # path's 100-row frame sums stay narrow; a prefix spans the key)
+    keyed = base.select(
+        "__p",
+        F.col("__t").cast("long").alias("__tl"),
+        "__t",
+        "__id",
+        "__v",
+        "__v2",
+        F.coalesce(F.col("__v").cast("decimal(38,3)"), zs).alias("__vz"),
+        F.coalesce(F.col("__v2").cast("decimal(38,6)"), zs2).alias("__v2z"),
+        F.col("__v").isNotNull().cast("long").alias("__nz"),
+    )
+    bounds = keyed.agg(
+        F.min("__tl").alias("__mn"), F.max("__tl").alias("__mx")
+    )
+    banded = keyed.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        # width = ceil-ish span/B computed divide-first: multiplying
+        # (__tl − __mn) by B first can overflow BIGINT on wide ranges
+        F.expr(
+            f"(__tl - __mn) DIV ((__mx - __mn) DIV {int(n_bands)} + 1)"
+        ).alias("__band"),
+    )
+    wloc = Window.partitionBy("__p", "__band").orderBy("__t", "__id")
+    pre = wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    loc = banded.select(
+        "__p",
+        "__band",
+        "__id",
+        "__v",
+        "__v2",
+        "__vz",
+        "__v2z",
+        "__nz",
+        F.row_number().over(wloc).alias("__rl"),
+        F.sum("__nz").over(pre).alias("__pnl"),
+        F.sum("__vz").over(pre).alias("__psl"),
+        F.sum("__v2z").over(pre).alias("__ps2l"),
+    )
+    tot = banded.groupBy("__p", "__band").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.sum("__nz").alias("__tn"),
+        F.sum("__vz").alias("__ts"),
+        F.sum("__v2z").alias("__ts2"),
+    )
+    wb = (
+        Window.partitionBy("__p")
+        .orderBy("__band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # |keys|·n_bands rows total — the cumulative window is tiny and
+    # the join back broadcasts (AQE sizes it; bounded by construction)
+    off = tot.select(
+        "__p",
+        "__band",
+        F.coalesce(F.sum("__cnt").over(wb), zl).alias("__offc"),
+        F.coalesce(F.sum("__tn").over(wb), zl).alias("__offn"),
+        F.coalesce(F.sum("__ts").over(wb), zs).alias("__offs"),
+        F.coalesce(F.sum("__ts2").over(wb), zs2).alias("__offs2"),
+    )
+    g = loc.join(off, ["__p", "__band"]).select(
+        "__p",
+        "__id",
+        "__v",
+        "__v2",
+        (F.col("__rl") + F.col("__offc")).alias("__r"),
+        # exclusive prefixes: inclusive minus the row's own contribution
+        (F.col("__pnl") + F.col("__offn") - F.col("__nz")).alias("__en"),
+        (F.col("__psl") + F.col("__offs") - F.col("__vz")).alias("__es"),
+        (F.col("__ps2l") + F.col("__offs2") - F.col("__v2z")).alias("__es2"),
+        (F.col("__pnl") + F.col("__offn")).alias("__qn"),
+        (F.col("__psl") + F.col("__offs")).alias("__qs"),
+        (F.col("__ps2l") + F.col("__offs2")).alias("__qs2"),
+    )
+    partner = g.select(
+        F.col("__p").alias("__pp"),
+        (F.col("__r") + F.lit(window_rows + 1)).alias("__rj"),
+        F.col("__qn").alias("__qn_p"),
+        F.col("__qs").alias("__qs_p"),
+        F.col("__qs2").alias("__qs2_p"),
+    )
+    return (
+        g.join(
+            partner,
+            (g["__p"] == partner["__pp"]) & (g["__r"] == partner["__rj"]),
+            "left",
+        )
+        .select(
+            "__p",
+            "__id",
+            "__v",
+            (F.col("__en") - F.coalesce(F.col("__qn_p"), zl)).alias("__n"),
+            (F.col("__es") - F.coalesce(F.col("__qs_p"), zs)).alias("__s"),
+            (F.col("__es2") - F.coalesce(F.col("__qs2_p"), zs2)).alias(
+                "__s2"
+            ),
         )
     )
 

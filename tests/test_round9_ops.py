@@ -199,6 +199,52 @@ def test_rolling_zscore_flags_outlier_and_skips_warmup(spark):
     assert all(not v[1] for k, v in got.items() if k != 30)
 
 
+def test_rolling_zscore_banded_bit_identical(spark):
+    # the banded prefix-sum decomposition (n_bands=B) must reproduce
+    # the Window-frame scores EXACTLY — decimal prefix differences are
+    # exact, so this pins equality, not approximation. Data exercises:
+    # multiple keys, NULL values inside frames, duplicate timestamps
+    # (unique tiebreaks), a key smaller than min_rows, and band counts
+    # 1 / 4 / far-more-bands-than-rows-per-band.
+    from betl_spark.operators.timeseries import rolling_zscore
+
+    rows = []
+    for i in range(137):
+        v = None if i % 11 == 7 else 10.0 + ((i * 7919) % 97) / 3.0
+        rows.append(("a", (i // 3) * 1000, i, v))  # dup ts every 3 rows
+    for i in range(61):
+        rows.append(("b", i * 17, 1000 + i, 5.0 + ((i * 31) % 13)))
+    rows.append(("tiny", 5, 9999, 1.0))  # under min_rows: no output row
+    df = spark.createDataFrame(rows, "p string, t long, id long, v double")
+
+    def key(r):
+        return (r["p"], r["id"])
+
+    ref = {
+        key(r): (r["v"], r["zscore"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "p", "t", "id", "v", window_rows=25, min_rows=5
+        ).collect()
+    }
+    assert ref, "reference output must be non-empty"
+    for bands in (1, 4, 64):
+        got = {
+            key(r): (r["v"], r["zscore"], r["is_anomaly"])
+            for r in rolling_zscore(
+                df, "p", "t", "id", "v",
+                window_rows=25, min_rows=5, n_bands=bands,
+            ).collect()
+        }
+        assert got == ref, f"n_bands={bands} diverged"
+
+
+def test_rolling_zscore_banded_empty_input(spark):
+    from betl_spark.operators.timeseries import rolling_zscore
+
+    df = spark.createDataFrame([], "p string, t long, id long, v double")
+    assert rolling_zscore(df, "p", "t", "id", "v", n_bands=8).count() == 0
+
+
 def test_rolling_zscore_constant_window_yields_null(spark):
     from betl_spark.operators.timeseries import rolling_zscore
 
