@@ -230,6 +230,50 @@ def test_ewma_bounded_matches_python_reference(spark):
         assert out[i] == _rhu(nanos / 1e9 / wsum, 6), i
 
 
+def test_ewma_bounded_banded_bit_identical(spark):
+    # the banded contribution-explode (n_bands=B) must reproduce the
+    # LAG-window scores EXACTLY — integer-nanos addition is order-free,
+    # so this pins equality, not approximation. Data exercises:
+    # multiple keys, duplicate timestamps (unique tiebreaks), NULL
+    # values (excluded rows shift ranks), a key shorter than k, and
+    # band counts 1 / 4 / far-more-bands-than-rows-per-band.
+    from betl_spark.operators.timeseries import ewma_bounded
+
+    rows = []
+    for i in range(113):
+        v = None if i % 13 == 5 else 10.0 + ((i * 7919) % 97) / 3.0
+        rows.append(("a", (i // 3) * 1000, i, v))  # dup ts every 3 rows
+    for i in range(47):
+        rows.append(("b", i * 17, 1000 + i, 5.0 + ((i * 31) % 13)))
+    rows.append(("tiny", 5, 9999, 1.0))  # under k: NULL ewma, row kept
+    df = spark.createDataFrame(rows, "p string, t long, id long, v double")
+
+    def key(r):
+        return (r["p"], r["id"])
+
+    ref = {
+        key(r): (r["v"], r["ewma"])
+        for r in ewma_bounded(df, "p", "t", "id", "v").collect()
+    }
+    assert ref, "reference output must be non-empty"
+    assert any(e is not None for _, e in ref.values())
+    for bands in (1, 4, 64):
+        got = {
+            key(r): (r["v"], r["ewma"])
+            for r in ewma_bounded(
+                df, "p", "t", "id", "v", n_bands=bands
+            ).collect()
+        }
+        assert got == ref, f"n_bands={bands} diverged"
+
+
+def test_ewma_bounded_banded_empty_input(spark):
+    from betl_spark.operators.timeseries import ewma_bounded
+
+    df = spark.createDataFrame([], "p string, t long, id long, v double")
+    assert ewma_bounded(df, "p", "t", "id", "v", n_bands=8).count() == 0
+
+
 def test_cusum_changepoint_locates_level_shift(spark):
     from betl_spark.operators.timeseries import cusum_changepoint
 
