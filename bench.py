@@ -73,6 +73,83 @@ _R11_COMPOSITE_ANCHOR = {
 }
 
 
+# Round-15 anchor re-pin (round-14 verdict ask #5): two of the r11
+# composite members (token_count_bpe, url_parse_docs) were OPTIMIZED in
+# round 14, and the r4 TPC-H anchor predates the session-wide
+# shuffled-hash-join config — both old anchors now mix code delta into
+# what should be pure host-drift normalization. These baskets re-pin
+# per-query min-of-2/3 seconds from the round-14 builder's committed
+# closing sweep (commit b4cdc29 BENCH_FULL.json: 32 cores, idle host,
+# current code — the same sweep the r14 verdict adjudicated), with the
+# two touched composite members replaced by untouched same-family
+# queries. Both old- and new-anchor ratios are emitted for the
+# transition round(s); additions only, nothing removed.
+_R14_TPCH_ANCHOR = {
+    "tpch_q10_returned_items": 0.6532,
+    "tpch_q11_important_parts": 0.6299,
+    "tpch_q12_late_shipments": 0.4945,
+    "tpch_q13_customer_distribution": 0.5653,
+    "tpch_q14_promo_revenue": 0.3166,
+    "tpch_q15_top_supplier": 0.5409,
+    "tpch_q16_supplier_count": 0.6963,
+    "tpch_q17_small_qty_revenue": 0.4443,
+    "tpch_q18_large_volume_customer": 1.3301,
+    "tpch_q19_brand_revenue": 0.3747,
+    "tpch_q1_pricing_summary": 1.3089,
+    "tpch_q20_promotion_suppliers": 0.5464,
+    "tpch_q21_waiting_suppliers": 1.3891,
+    "tpch_q22_dormant_customers": 0.4541,
+    "tpch_q2_min_cost_supplier": 0.812,
+    "tpch_q3_shipping_priority": 0.915,
+    "tpch_q4_order_priority": 0.7911,
+    "tpch_q5_local_supplier": 1.2918,
+    "tpch_q6_forecast_revenue": 0.2897,
+    "tpch_q7_volume_shipping": 0.991,
+    "tpch_q8_market_share": 1.0515,
+    "tpch_q9_product_type_profit": 0.9001,
+}
+
+_R14_COMPOSITE_ANCHOR = {
+    "tpch_q9_product_type_profit": 0.9001,  # join-heavy
+    "tpch_q1_pricing_summary": 1.3089,  # agg-heavy scan
+    "char_diversity_filter": 1.1909,  # string/codegen-heavy (untouched)
+    "doc_length_histogram": 0.2084,  # shuffle-light scan (untouched)
+    "events_stream_stateful": 1.7489,  # stateful streaming
+}
+
+
+# The round-14 driver bench's stdout line inlined exactly these 46
+# queries (BENCH_r14.json); everything else was evicted fastest-first
+# by the 1800-char budget and PERF_r14 mislabeled those 9 evictions
+# "dropped_from_bench" (round-14 verdict, "What's wrong" #6). The
+# driver's round-over-round comparison only sees the INLINED dicts, so
+# the fix is to keep this set stable: these names are never evicted
+# (they are the slow/interesting tail anyway), non-members evict
+# fastest-first as before, and the eviction is reported explicitly
+# (n_evicted_fastest + evicted_max_sec inline, full name list in
+# BENCH_FULL.json) instead of silently.
+_R14_INLINED = frozenset((
+    "bloom_membership_census", "bpe_train_merges",
+    "centrality_weighted_sample", "classifier_train",
+    "classifier_train_score", "corpus_curation_v2", "corpus_curation_v3",
+    "crosslingual_near_dups", "dedup_simhash_near_dups",
+    "domain_blocklist_filter", "domain_quality_rollup", "dsir_scores",
+    "er_3day_chain", "er_cluster_survivorship", "er_incremental_assign",
+    "er_incremental_audit", "er_skew_method_census", "er_snm_union_pairs",
+    "er_survivorship", "er_vocab_growth_assign", "er_vocab_growth_sizes",
+    "events_stream_anomaly", "events_stream_join", "events_stream_stateful",
+    "ivf_topk_trained", "ks_drift_sources", "near_dup_removal",
+    "ngram_lm_perplexity", "pagerank_convergence", "perplexity_buckets",
+    "referential_integrity_audit", "registered_domain_rollup",
+    "repeated_substring_spans", "rolling_zscore_events",
+    "semantic_decontaminate", "semantic_dedup", "semantic_dedup_2level",
+    "semantic_dedup_medoid", "semantic_ingest_2day",
+    "similarity_ann_lsh_tables", "source_overlap_matrix",
+    "spearman_trend_events", "star_schema_pipeline", "subdomain_profile",
+    "trim_repeated_spans", "web_curation_pipeline",
+))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -179,6 +256,27 @@ def main() -> None:
         payload["value_normalized_composite"] = round(
             payload["value"] / med, 4
         )
+    # re-pinned anchors (round-15 transition: emit BOTH generations)
+    common14 = [q for q in _R14_TPCH_ANCHOR if q in timings]
+    if sf == 0.1 and len(common14) == len(_R14_TPCH_ANCHOR):
+        r14 = sum(timings[q] for q in common14) / sum(
+            _R14_TPCH_ANCHOR.values()
+        )
+        payload["tpch_subset_ratio_vs_r14"] = round(r14, 4)
+        payload["value_normalized_r14"] = round(payload["value"] / r14, 4)
+    comp14 = {
+        q: t for q, t in _R14_COMPOSITE_ANCHOR.items() if q in timings
+    }
+    if sf == 0.1 and len(comp14) == len(_R14_COMPOSITE_ANCHOR):
+        ratios14 = {
+            q: round(timings[q] / t, 4) for q, t in sorted(comp14.items())
+        }
+        med14 = sorted(ratios14.values())[len(ratios14) // 2]
+        payload["composite_anchor_ratios_r14"] = ratios14
+        payload["composite_anchor_ratio_vs_r14"] = med14
+        payload["value_normalized_composite_r14"] = round(
+            payload["value"] / med14, 4
+        )
     if errors:
         payload["errors"] = errors
     # Per-query drift-normalized delta vs the PREVIOUS committed bench
@@ -261,20 +359,17 @@ def main() -> None:
                 payload["twice_flagged_min_of_4"] = iso
     except (OSError, ValueError):
         pass
-    # full per-query timings for the judge (the stdout line is size-capped)
-    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
-    try:
-        with open(full_path, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
-
     # The driver captures only the LAST 2000 chars of stdout and parses
     # the final line as JSON — with 76 queries the full dict is ~2300
     # chars and the line truncates mid-object (round 1's parsed=null).
     # Emit a compact line, dropping the FASTEST queries until it fits;
     # the slow ones are the perf signal, the full set is in
-    # BENCH_FULL.json.
+    # BENCH_FULL.json. Round-15 policy (r14 verdict ask #8): names the
+    # r14 line inlined (_R14_INLINED) are evicted LAST, so the driver's
+    # round-over-round comparison never sees a stable query vanish and
+    # mislabels it dropped; the eviction itself is reported explicitly
+    # (count + max evicted seconds inline, full name list in
+    # BENCH_FULL.json) instead of silently.
     line_budget = 1800
     inline = {k: round(v, 2) for k, v in timings.items()}
     compact = dict(payload)
@@ -282,6 +377,7 @@ def main() -> None:
     # the whole stdout budget and evict every actual timing
     compact.pop("normalized_delta_vs_prev", None)
     compact.pop("composite_anchor_ratios", None)  # BENCH_FULL-only
+    compact.pop("composite_anchor_ratios_r14", None)  # BENCH_FULL-only
     n_reg = len(payload.get("normalized_regressions_over_10pct", {}))
     compact.pop("normalized_regressions_over_10pct", None)
     compact["n_normalized_regressions_over_10pct"] = n_reg
@@ -295,13 +391,36 @@ def main() -> None:
             "n_twice_flagged_real"
         ]
     compact["queries_full"] = "BENCH_FULL.json"
-    by_speed = sorted(inline, key=lambda k: inline[k])
+    # evict non-priority fastest-first; priority names only as a last
+    # resort (two-level sort key)
+    by_speed = sorted(
+        inline, key=lambda k: (k in _R14_INLINED, inline[k])
+    )
+    evicted: list[str] = []
     while True:
         compact["queries"] = {k: inline[k] for k in sorted(inline)}
+        compact["n_queries_inlined"] = len(inline)
+        compact["n_evicted_fastest"] = len(evicted)
+        compact["evicted_max_sec"] = (
+            round(max(timings[q] for q in evicted), 2) if evicted else 0.0
+        )
         out = json.dumps(compact, separators=(",", ":"))
         if len(out) <= line_budget or not by_speed:
             break
-        inline.pop(by_speed.pop(0))
+        evicted.append(by_speed.pop(0))
+        inline.pop(evicted[-1])
+    payload["n_queries_inlined"] = len(inline)
+    payload["evicted_fastest"] = sorted(evicted)
+
+    # full per-query timings for the judge (the stdout line is size-capped)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     print(out)
     spark.stop()
 

@@ -26,11 +26,16 @@ def _hashed_ngram_features(
     ``sampling.hash_bucket`` (replayed by DuckDB as
     CAST('0x'||substr(md5(g),1,8) AS BIGINT) % B)."""
     from betl_spark.operators.sampling import hash_bucket
-    from betl_spark.operators.util import ensure_parallelism
 
-    # one md5 per unigram AND per bigram: the standard one-split
-    # parallelism guard on the hash-heavy map pass (no-op at scale)
-    df = ensure_parallelism(df)
+    # Deliberately NO one-split parallelism guard here (round-14's
+    # one real self-inflicted regression, reverted in round 15): the
+    # RoundRobin exchange ships — and sort-before-repartition first
+    # SORTS — the full text column, and that costs more than the
+    # hash pass saves (interleaved ABBA at sf0.1: guard ON min
+    # 2.41s/med 2.77s vs OFF 1.64s/1.70s on dsir_scores; the same
+    # +24-36% failure mode the lm family measured and rejected in
+    # r14). At real scale the input has many splits and a guard
+    # would be a no-op anyway, so removing it costs nothing there.
     toks = F.split(F.col(text_col), " ")
     uni = df.select(F.col(id_col), F.col("__t"), F.explode(toks).alias("__g"))
     bi = df.select(
@@ -207,7 +212,9 @@ def classifier_score(
     from betl_spark.operators.util import ensure_parallelism
 
     # one md5 per token: same one-split parallelism guard as the
-    # trainer's feature build (no-op at real scale)
+    # trainer's feature build (no-op at real scale; re-confirmed by
+    # the r15 interleaved ABBA — ON min 3.88s vs OFF 4.10s on
+    # classifier_train_score)
     toks = ensure_parallelism(df).select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     )
@@ -416,15 +423,18 @@ def classifier_train(
         .localCheckpoint(eager=True)
     )
     n_docs = int(obs.get["n"])
-    # AQE's byte-based coalescing collapses the checkpointed feature
-    # table to ONE partition at small scale (it is a few MB), and the
-    # per-iteration gradient EXPLODES it ~|fs|x downstream — the
-    # round-13 lesson again (output-row blow-up is invisible to byte
-    # stats), measured as every GD iteration running single-threaded.
-    # ensure_parallelism is a no-op at real scale (the feature table
-    # inherits the corpus's partitioning) and costs one tiny exchange
-    # per iteration here.
-    f = ensure_parallelism(f)
+    # NO per-iteration parallelism guard on the checkpointed feature
+    # table (round-14 shipped one; round-15 removed it after the
+    # driver flagged classifier_train in two consecutive sweeps and
+    # two interleaved ABBA experiments read OFF faster on median —
+    # ON med 3.72s/5.50s vs OFF 3.42s/4.71s). The per-iteration
+    # RoundRobin exchange costs one extra shuffle of the feature
+    # table per GD iteration, and the gradient's expensive expression
+    # (the aggregate over fs with the model literal) runs on DOC-grain
+    # rows — a few thousand at bench scale — so the parallelism it
+    # bought was on the cheap exploded rows only. At real scale the
+    # checkpoint inherits the corpus's partitioning and neither
+    # variant exchanges anything.
     wn: dict[int, int] = {}
     den = 1.0e9 * n_docs
     dec = "decimal(38,0)"

@@ -251,6 +251,11 @@ def rolling_zscore(
     Output: one row per scored event (part, tiebreak, value, z,
     is_anomaly), z rounded to 6dp.
     """
+    if n_bands is not None and int(n_bands) < 1:
+        # n_bands=0 would make the band-width expression NULL and the
+        # offsets join silently drop every row; negative values garble
+        # band ordering — fail before any plan is built
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     v = F.col(value_col).cast("decimal(12,3)")
     # NULL-timestamp events have no position in the trailing frame and
     # NULL sort order differs across engines (Spark first, DuckDB last)
@@ -701,7 +706,7 @@ def ewma_bounded(
       target ranks r..r+k−1, and one groupBy((key, rank)) sums them.
       Integer addition is exact and order-free, so the scores are
       BIT-IDENTICAL to the LAG formulation (equality-pinned in
-      tests/test_round9_ops.py); a frame is complete iff it received
+      tests/test_round10_ops.py); a frame is complete iff it received
       exactly k contributions, which is the same r ≥ k condition the
       LAG path tests. Parallelism becomes |keys|·B on the rank stage
       and (key, rank)-hash on the sum stage, at the cost of a k×
@@ -710,6 +715,12 @@ def ewma_bounded(
 
     Output: (part, tiebreak, value, ewma 6dp).
     """
+    if n_bands is not None and int(n_bands) < 1:
+        # same hazard as rolling_zscore's banded branch: B=0 NULLs the
+        # band width and the offsets join silently returns an empty
+        # frame; negative B garbles band ordering — fail before any
+        # plan is built
+        raise ValueError(f"n_bands must be >= 1, got {n_bands}")
     ws = ewma_weights(alpha, k)
     wsum = round(sum(ws), 12)
     # NULL values carry no weight and would NULL every frame they

@@ -245,6 +245,22 @@ def test_rolling_zscore_banded_empty_input(spark):
     assert rolling_zscore(df, "p", "t", "id", "v", n_bands=8).count() == 0
 
 
+def test_banded_n_bands_validation(spark):
+    # n_bands=0 would NULL the band-width expression and the offsets
+    # join would silently return an empty frame; both banded operators
+    # must reject it before any plan is built (round-14 ADVICE)
+    import pytest as _pytest
+
+    from betl_spark.operators.timeseries import ewma_bounded, rolling_zscore
+
+    df = spark.createDataFrame([], "p string, t long, id long, v double")
+    for bad in (0, -3):
+        with _pytest.raises(ValueError, match="n_bands"):
+            rolling_zscore(df, "p", "t", "id", "v", n_bands=bad)
+        with _pytest.raises(ValueError, match="n_bands"):
+            ewma_bounded(df, "p", "t", "id", "v", n_bands=bad)
+
+
 def test_rolling_zscore_constant_window_yields_null(spark):
     from betl_spark.operators.timeseries import rolling_zscore
 
