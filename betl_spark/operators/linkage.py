@@ -824,7 +824,15 @@ def incremental_bridge_audit(
         normalize_name(record_name).alias("name")
     ).where(F.col("name").isNotNull())
     existing = existing_labels.select("name", "cluster_id")
-    fresh = r.distinct().join(existing, "name", "left_anti")
+    # same reuse shape as incremental_cluster_assign: fresh (the
+    # batch's unseen names) is read by the in-batch pair join (both
+    # sides), the component join-back and the cross pairs — without
+    # the checkpoint each consumer recomputes the corpus-wide
+    # distinct + anti-join (guide §5: reuse a bounded frame; the
+    # sibling's r14 change, applied here in r15)
+    fresh = r.distinct().join(existing, "name", "left_anti").localCheckpoint(
+        eager=False
+    )
     nn = fuzzy_name_pairs(
         fresh, threshold, prefix_len, broadcast_names=broadcast_names, salt=salt
     )
