@@ -558,11 +558,19 @@ m AS (
          sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
                   THEN CAST(x * x AS DECIMAL(30,6)) END) AS sxx,
          sum(CASE WHEN x IS NOT NULL AND y IS NOT NULL
-                  THEN CAST(y * y AS DECIMAL(30,6)) END) AS syy
+                  THEN CAST(y * y AS DECIMAL(30,6)) END) AS syy,
+         min(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS nx,
+         max(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN x END) AS mx,
+         min(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS ny,
+         max(CASE WHEN x IS NOT NULL AND y IS NOT NULL THEN y END) AS my
   FROM p GROUP BY 1
 )
 SELECT event_type, n,
-       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       -- exact degeneracy gate (min < max on the quantized decimals)
+       -- mirrors stats.grouped_pearson; the double var > 0 terms stay
+       -- as the same NaN shield the Spark side evaluates
+       CASE WHEN nx < mx AND ny < my
+             AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0

@@ -477,6 +477,12 @@ def grouped_pearson(
         F.sum(F.when(both, (x * y).cast(f"decimal(30,{x_scale + y_scale})"))).alias("__sxy"),
         F.sum(F.when(both, (x * x).cast(f"decimal(30,{2 * x_scale})"))).alias("__sxx"),
         F.sum(F.when(both, (y * y).cast(f"decimal(30,{2 * y_scale})"))).alias("__syy"),
+        # exact degeneracy probes: a group has zero x-variance iff
+        # min(x) == max(x) on the EXACT quantized decimals
+        F.min(F.when(both, x)).alias("__nx"),
+        F.max(F.when(both, x)).alias("__mx"),
+        F.min(F.when(both, y)).alias("__ny"),
+        F.max(F.when(both, y)).alias("__my"),
     )
     n = F.col("n").cast("double")
     sx = F.col("__sx").cast("double")
@@ -486,9 +492,21 @@ def grouped_pearson(
     syy = F.col("__syy").cast("double")
     varx = n * sxx - sx * sx
     vary = n * syy - sy * sy
-    # + 0.0: signed-zero normalization (see quality.dsir_scores)
+    # the no-variance gate must be EXACT: the double expression
+    # n·Σx² − (Σx)² suffers catastrophic cancellation near zero and
+    # can land on either side of it for a CONSTANT column (hypothesis
+    # found x ≡ 2.93 yielding varx ≈ +1e-14 → r = 0.0 instead of
+    # NULL), so degeneracy is decided on min(x) < max(x) over the
+    # exact quantized decimals. The double varx/vary > 0 terms stay as
+    # a NaN shield (a true-but-tiny variance whose double form
+    # cancels to ≤ 0 would otherwise sqrt a negative); both engines
+    # evaluate the identical expression so the boundary is still
+    # engine-exact.
     r = F.when(
-        (varx > F.lit(0.0)) & (vary > F.lit(0.0)),
+        (F.col("__nx") < F.col("__mx"))
+        & (F.col("__ny") < F.col("__my"))
+        & (varx > F.lit(0.0))
+        & (vary > F.lit(0.0)),
         F.round((n * sxy - sx * sy) / F.sqrt(varx * vary), 6) + F.lit(0.0),
     )
     return agg.select(*group_cols, "n", r.alias("r"))
