@@ -12,6 +12,7 @@ is the value-domain coverage, not volume).
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -29,8 +30,13 @@ CELL = st.one_of(
         max_size=6,
     ),
 )
+# Fast default tier runs every property with fewer hypothesis examples
+# (each example is a full Spark round-trip, so wall time is ~linear in
+# the count); BETL_FULL_MATRIX=1 restores the pre-r15 matrix. The
+# hypothesis example DB still replays previously-found failures first
+# in both tiers.
 PROP_SETTINGS = settings(
-    max_examples=15,
+    max_examples=15 if os.environ.get("BETL_FULL_MATRIX") == "1" else 6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
